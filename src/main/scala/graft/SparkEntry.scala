@@ -1,13 +1,383 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ml.Clustering
+import graft.ops.{Dedup, Multimodal, PeriodChange, Preprocess, Similarity, TextAnalysis}
+import graft.sources.Tables
+import graft.streaming.EventStream
+
+/** Driver contract — one `queries` entry per SURVEY.md §2 row, plus a
+  * duckdb oracle for every SQL-expressible one.
+  *
+  * Conventions keeping the duckdb hash-compare byte-stable:
+  *  - monetary double sums go through exact integer cents/millis
+  *    (`sum(cast(round(v*100) as long))`) — float sums are not
+  *    associative, integer sums are;
+  *  - every computed column is aliased identically in Spark and SQL;
+  *  - counts/sizes cast to long (duckdb count/len are BIGINT);
+  *  - top-k orderings always carry a unique tiebreak column;
+  *  - timestamps surface as `date_format` strings (parquet tz-annotation
+  *    vs duckdb naive timestamps would otherwise diverge).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  // period-change (flagship) parameters: customer revenue 1996 vs 2000
+  private val P0 = 1996
+  private val P1 = 2000
+
+  private def changeDf(s: SparkSession, dir: String): DataFrame =
+    PeriodChange.changeBetween(
+      Tables.orders(s, dir), Seq("o_custkey"),
+      year(col("o_orderdate")), col("o_totalprice"), P0, P1)
+
+  private val changeSql: String =
+    s"""SELECT o_custkey,
+       |       CAST(v0_cents AS DOUBLE) / 100.0 AS v0,
+       |       CAST(v1_cents AS DOUBLE) / 100.0 AS v1,
+       |       CAST(v1_cents - v0_cents AS DOUBLE) / 100.0 AS change,
+       |       v1_cents <= v0_cents AS is_reduced
+       |FROM (SELECT o_custkey,
+       |             SUM(CASE WHEN year(o_orderdate) = $P0 THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS v0_cents,
+       |             SUM(CASE WHEN year(o_orderdate) = $P1 THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS v1_cents
+       |      FROM orders
+       |      WHERE year(o_orderdate) IN ($P0, $P1)
+       |      GROUP BY o_custkey)
+       |WHERE v0_cents IS NOT NULL AND v1_cents IS NOT NULL""".stripMargin
+
+  /** Flagship: the reference's change analysis on sf 0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    changeDf(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // R2: projection + filter pushed to the parquet scan
+    "q_pruned_scan" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_discount") > 0.05)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))),
+
+    // R3: na.drop("any") with explicit null/NaN semantics
+    "q_dropna_any" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      Preprocess.dropNullOrNan(ev, ev.columns.toSeq)
+        .select(col("event_id"), col("event_type"), col("value"))
+    }),
+
+    // R4+R5: per-entity change between two periods + reduced flag
+    "q_change_per_entity" -> ((s, dir) => changeDf(s, dir)),
+
+    // R6: OR-of-equalities filter (reference's countries-of-interest)
+    "q_filter_or" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .filter(col("n_name") === "NATION_1" || col("n_name") === "NATION_3" ||
+          col("n_name") === "NATION_7")
+        .select(col("c_custkey"), col("c_name"), col("n_name"), col("c_acctbal"))
+    }),
+
+    // R7: deterministic top-k, both directions
+    "q_topk_desc" -> ((s, dir) =>
+      PeriodChange.topMovers(
+        Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice")),
+        "o_totalprice", descending = true, n = 5, tiebreak = "o_orderkey")),
+    "q_topk_asc" -> ((s, dir) =>
+      PeriodChange.topMovers(
+        Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice")),
+        "o_totalprice", descending = false, n = 5, tiebreak = "o_orderkey")),
+
+    // R8: filtered count (reference: countries that reduced)
+    "q_filter_count" -> ((s, dir) =>
+      changeDf(s, dir).filter(col("is_reduced"))
+        .agg(count(lit(1)).as("n_reduced"))),
+
+    // R9: grouped min/max/sum/count aggregation
+    "q_agg_minmax" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          sum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n_lines"),
+          (sum(round(col("l_extendedprice") * 100).cast("long")) / 100.0).as("revenue"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    // R10: global sums split by flag
+    "q_sum_by_flag" -> ((s, dir) => PeriodChange.sumByFlag(changeDf(s, dir))),
+
+    // R11: per-group "min - max" range label (reference's UDF, built-ins here)
+    "q_label_agg" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .groupBy(col("c_nationkey"))
+        .agg(min(col("c_acctbal")).as("min_v"), max(col("c_acctbal")).as("max_v"))
+        .withColumn("label",
+          concat(col("min_v").cast("string"), lit(" - "), col("max_v").cast("string")))
+        .orderBy(col("c_nationkey"))),
+
+    // R12+R13: rename + fact↔dim broadcast joins
+    "q_join_enrich" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir).withColumnRenamed("n_name", "nation_name")
+      val r = Tables.region(s, dir).withColumnRenamed("r_name", "region_name")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("region_name"), col("nation_name"))
+        .agg(
+          count(lit(1)).as("n_customers"),
+          (sum(round(col("c_acctbal") * 100).cast("long")) / 100.0).as("total_acctbal"))
+    }),
+
+    // R14: stable row ids — per-entity sequence numbers
+    "q_row_number" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("seq", row_number().over(w).cast("long"))
+        .select(col("o_custkey"), col("o_orderkey"), col("seq"))
+    }),
+
+    // R15: KMeans over [change, is_reduced] (reference's clustering)
+    "q_kmeans_clusters" -> ((s, dir) => {
+      val fitted = Clustering.fitPredict(
+        changeDf(s, dir), Seq("change", "is_reduced"), k = 5, seed = 1L)
+      Clustering.clusterInfo(fitted.predictions, "change")
+    }),
+
+    // R17: DISTINCT projection
+    "q_distinct_rows" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_linestatus")).distinct()),
+
+    // R18: year-over-year change via lag window
+    "q_yoy_change" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byYear = Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"), year(col("o_orderdate")).as("o_year"))
+        .agg((sum(round(col("o_totalprice") * 100).cast("long")) / 100.0).as("revenue"))
+      val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_year"))
+      byYear
+        .withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
+        .withColumn("yoy_change", round((col("revenue") - col("prev_revenue")) * 100).cast("long") / 100.0)
+    }),
+
+    // E1: exact dedup by content
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exactByText(Tables.documents(s, dir), "text", "doc_id")),
+
+    // E2+E4: MinHash LSH dedup — survivors after near-dup removal
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.dropNearDups(Tables.documents(s, dir), "text", "doc_id")
+        .select(col("doc_id"), col("source"))),
+
+    // E3: per-doc 64-bit SimHash (custom codegen'd expression)
+    "q_dedup_simhash" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          graft.functions.exprs.simhash64(col("text"), 3).as("simhash"))),
+
+    // E5: embedding near-dup candidates (hyperplane-LSH buckets + cosine)
+    "q_embed_neardup" -> ((s, dir) =>
+      Dedup.embeddingNearDupPairs(
+        Tables.embeddings(s, dir), "embedding", "vec_id",
+        numPlanes = 8, threshold = -1.0)),
+
+    // E6: exact brute-force cosine top-k
+    "q_ann_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.bruteForceTopK(e, "vec_id", "embedding", queries, "qid", "qv", k = 10)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("cosine"))
+    }),
+
+    // E7: LSH-bucketed approximate top-k
+    "q_ann_lsh" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val queries = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.lshTopK(e, "vec_id", "embedding", queries, "qid", "qv",
+          k = 5, numPlanes = 6)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("cosine"))
+    }),
+
+    // E8: multimodal plumbing — batched feature extraction over payloads
+    "q_multimodal_meta" -> ((s, dir) => {
+      val media = Multimodal.mediaFromDocuments(Tables.documents(s, dir))
+      Multimodal.extractFeatures(s, media).toDF()
+        .select(col("media_id"), col("mime"), col("n_bytes"), col("width"),
+          col("height"), round(col("mean_intensity"), 4).as("mean_intensity"),
+          round(col("byte_entropy"), 4).as("byte_entropy"))
+    }),
+
+    // E9: language-ID heuristic
+    "q_lang_id" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.langIdHeuristic(col("text")).as("lang_id"))),
+
+    // E10: quality scoring
+    "q_text_quality" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.stopwordCount(col("text")).cast("long").as("stopword_hits"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))),
+
+    // E11: token counting (whitespace + BPE-ish regex)
+    "q_token_count" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tokens_ws"),
+          TextAnalysis.tokenCountBpeish(col("text")).cast("long").as("n_tokens_bpeish"))),
+
+    // E12: content fingerprints (md5 oracle-checked; rolling-hash custom expr)
+    "q_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.fingerprintMd5(col("text")).as("fp_md5"))),
+
+    // E13/E14: event-time tumbling windows (same transform as streaming)
+    "q_event_windows" -> ((s, dir) =>
+      EventStream.windowedAgg(Tables.events(s, dir), "1 hour"))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_pruned_scan" ->
+      "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem WHERE l_discount > 0.05",
+
+    "q_dropna_any" ->
+      """SELECT event_id, event_type, value FROM events
+        |WHERE event_id IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL
+        |  AND event_type IS NOT NULL AND value IS NOT NULL AND NOT isnan(value)
+        |  AND props IS NOT NULL""".stripMargin,
+
+    "q_change_per_entity" -> changeSql,
+
+    "q_filter_or" ->
+      """SELECT c_custkey, c_name, n_name, c_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_1' OR n_name = 'NATION_3' OR n_name = 'NATION_7'""".stripMargin,
+
+    "q_topk_desc" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 5",
+    "q_topk_asc" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice ASC, o_orderkey LIMIT 5",
+
+    "q_filter_count" ->
+      s"SELECT CAST(count(*) AS BIGINT) AS n_reduced FROM ($changeSql) WHERE is_reduced",
+
+    "q_agg_minmax" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        |       sum(l_quantity) AS sum_qty,
+        |       CAST(count(*) AS BIGINT) AS n_lines,
+        |       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_sum_by_flag" ->
+      s"""SELECT is_reduced, CAST(count(*) AS BIGINT) AS n_entities,
+         |       CAST(SUM(CAST(round(change * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_change
+         |FROM ($changeSql) GROUP BY is_reduced""".stripMargin,
+
+    "q_label_agg" ->
+      """SELECT c_nationkey, min(c_acctbal) AS min_v, max(c_acctbal) AS max_v,
+        |       CAST(min(c_acctbal) AS VARCHAR) || ' - ' || CAST(max(c_acctbal) AS VARCHAR) AS label
+        |FROM customer GROUP BY c_nationkey""".stripMargin,
+
+    "q_join_enrich" ->
+      """SELECT r_name AS region_name, n_name AS nation_name,
+        |       CAST(count(*) AS BIGINT) AS n_customers,
+        |       CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+
+    "q_row_number" ->
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS seq
+        |FROM orders""".stripMargin,
+
+    "q_distinct_rows" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+
+    "q_yoy_change" ->
+      """SELECT o_orderpriority, o_year, revenue,
+        |       LAG(revenue) OVER (PARTITION BY o_orderpriority ORDER BY o_year) AS prev_revenue,
+        |       CAST(round((revenue - LAG(revenue) OVER (PARTITION BY o_orderpriority ORDER BY o_year)) * 100) AS BIGINT) / 100.0 AS yoy_change
+        |FROM (SELECT o_orderpriority, year(o_orderdate) AS o_year,
+        |             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+        |      FROM orders GROUP BY o_orderpriority, year(o_orderdate))""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT text, CAST(min(doc_id) AS BIGINT) AS doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_copies
+        |FROM documents GROUP BY text""".stripMargin,
+
+    "q_ann_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+        |     c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS cv FROM embeddings),
+        |     scored AS (
+        |       SELECT qid AS query_id, nid AS neighbor_id,
+        |              round(list_cosine_similarity(cv, qv), 9) AS cosine
+        |       FROM c, q WHERE nid <> qid)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |      FROM scored)
+        |WHERE rank <= 10""".stripMargin,
+
+    "q_lang_id" -> {
+      val cases = TextAnalysis.LangMarkers.map { case (lang, words) =>
+        val set = words.map(w => s"'$w'").mkString(", ")
+        (lang, s"len(list_filter(string_split(text, ' '), t -> t IN ($set)))")
+      }
+      val hitDefs = cases.map { case (l, e) => s"$e AS h_$l" }.mkString(",\n       ")
+      val gmax = cases.map(c => s"h_${c._1}").mkString("greatest(", ", ", ")")
+      val whens = cases.map { case (l, _) =>
+        s"WHEN h_$l = gmax AND gmax > 0 THEN '$l'"
+      }.mkString(" ")
+      s"""SELECT doc_id, CASE $whens ELSE 'und' END AS lang_id
+         |FROM (SELECT doc_id, $gmax AS gmax, h_en, h_es, h_de, h_fr
+         |      FROM (SELECT doc_id,
+         |       $hitDefs
+         |      FROM documents))""".stripMargin
+    },
+
+    "q_text_quality" -> {
+      val stops = TextAnalysis.EnglishStopwords.map(w => s"'$w'").mkString(", ")
+      s"""SELECT doc_id,
+         |       CAST(stop_hits AS BIGINT) AS stopword_hits,
+         |       round(least(n_tok / 50.0, 1.0) * 0.4
+         |             + least(CASE WHEN n_tok = 0 THEN 0.0 ELSE stop_hits / n_tok END * 5.0, 1.0) * 0.3
+         |             + CASE WHEN n_tok > 0 AND (length(text) - (n_tok - 1.0)) / n_tok >= 3.0
+         |                         AND (length(text) - (n_tok - 1.0)) / n_tok <= 10.0 THEN 1.0 ELSE 0.0 END * 0.3
+         |             - least(CASE WHEN length(text) = 0 THEN 0.0
+         |                          ELSE CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]-]', '', 'g')) AS DOUBLE) / length(text) END * 5.0, 1.0) * 0.2,
+         |             4) AS quality
+         |FROM (SELECT doc_id, text,
+         |             CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+         |             CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stops))) AS DOUBLE) AS stop_hits
+         |      FROM documents)""".stripMargin
+    },
+
+    "q_token_count" ->
+      s"""SELECT doc_id,
+         |       CAST(CASE WHEN length(text) = 0 THEN 0 ELSE len(string_split(text, ' ')) END AS BIGINT) AS n_tokens_ws,
+         |       CAST(len(regexp_extract_all(text, '${TextAnalysis.BpeishPattern}')) AS BIGINT) AS n_tokens_bpeish
+         |FROM documents""".stripMargin,
+
+    "q_fingerprint" ->
+      "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
+
+    "q_event_windows" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |       event_type,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(SUM(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli
+        |FROM events GROUP BY 1, 2""".stripMargin
+  )
 }

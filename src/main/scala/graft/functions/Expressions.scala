@@ -1,0 +1,347 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the hashing hot paths. Both generate
+  * Java in `doGenCode` (a static helper call), so they stay inside
+  * WholeStageCodegen spans with the parquet scan — no interpreted-eval
+  * fallback, no UDF serialization, no boxing per row.
+  */
+object HashKernels extends Serializable {
+  /** 64-bit Karp-Rabin polynomial over the UTF-8 bytes,
+    * h = sum(b_i * B^(n-1-i)) with wrapping long arithmetic (mod 2^64).
+    */
+  def rollingHash(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = h * 1000003L + (bytes(i) & 0xffL)
+      i += 1
+    }
+    h
+  }
+
+  /** splitmix64 finalizer — cheap, well-mixed 64-bit hash step. */
+  @inline def mix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  /** 64-bit SimHash over character n-gram shingles: every shingle's
+    * mixed rolling hash votes +1/-1 per bit; sign of each vote total is
+    * the output bit. Single pass, O(len * 1) via rolling window reuse of
+    * the polynomial hash.
+    */
+  def simHash(s: UTF8String, n: Int): Long = {
+    val bytes = s.getBytes
+    if (bytes.length < n) return mix64(rollingHash(s))
+    val votes = new Array[Int](64)
+    // rolling update: h_next = h*B + in - out*B^n
+    var bPowN = 1L
+    var k = 0
+    while (k < n) { bPowN *= 1000003L; k += 1 }
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = h * 1000003L + (bytes(i) & 0xffL)
+      if (i >= n) h -= (bytes(i - n) & 0xffL) * bPowN
+      if (i >= n - 1) {
+        val sh = mix64(h)
+        var b = 0
+        while (b < 64) {
+          if (((sh >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** MinHash prime (2^31 - 1) and per-(k, seed) permutation coefficients,
+    * memoized once per JVM. The (a*x + b) mod p scheme over int-domain
+    * hashes is the standard universal-hash MinHash construction (as in
+    * Spark MLlib's MinHashLSH — public API we reimplement leaner here).
+    */
+  val MinhashPrime: Long = 2147483647L
+  private val coeffCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Long), (Array[Long], Array[Long])]()
+  private def coeffs(k: Int, seed: Long): (Array[Long], Array[Long]) =
+    coeffCache.computeIfAbsent((k, seed), { key =>
+      val rnd = new java.util.Random(key._2)
+      val a = Array.fill(key._1)(1L + rnd.nextInt(Int.MaxValue - 1).toLong)
+      val b = Array.fill(key._1)(rnd.nextInt(Int.MaxValue).toLong)
+      (a, b)
+    })
+
+  /** k-permutation MinHash signature over char n-gram shingles, one pass
+    * over the UTF-8 bytes (rolling shingle hash, k min-updates per
+    * shingle). Duplicate shingles are harmless: min() over a multiset
+    * equals min() over its set.
+    */
+  def minhashSig(s: UTF8String, n: Int, k: Int, seed: Long): ArrayData = {
+    val (as, bs) = coeffs(k, seed)
+    val mins = Array.fill(k)(Long.MaxValue)
+    val bytes = s.getBytes
+    val len = bytes.length
+    var bPowN = 1L
+    var j = 0
+    while (j < n) { bPowN *= 1000003L; j += 1 }
+    var h = 0L
+    var i = 0
+    while (i < len) {
+      h = h * 1000003L + (bytes(i) & 0xffL)
+      if (i >= n) h -= (bytes(i - n) & 0xffL) * bPowN
+      if (i >= n - 1 || i == len - 1) { // short texts: one whole-text shingle
+        val x = (mix64(h) & 0x7fffffffL) % MinhashPrime
+        var p = 0
+        while (p < k) {
+          val v = (as(p) * x + bs(p)) % MinhashPrime
+          if (v < mins(p)) mins(p) = v
+          p += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** Sorted distinct int-domain char n-gram shingle hashes — the set used
+    * for exact Jaccard verification of LSH candidate pairs.
+    */
+  def shingleSet(s: UTF8String, n: Int): ArrayData = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    val out = new java.util.TreeSet[Integer]()
+    var bPowN = 1L
+    var j = 0
+    while (j < n) { bPowN *= 1000003L; j += 1 }
+    var h = 0L
+    var i = 0
+    while (i < len) {
+      h = h * 1000003L + (bytes(i) & 0xffL)
+      if (i >= n) h -= (bytes(i - n) & 0xffL) * bPowN
+      if (i >= n - 1 || i == len - 1) {
+        out.add((mix64(h) & 0x7fffffffL).toInt)
+      }
+      i += 1
+    }
+    val arr = new Array[Int](out.size)
+    val it = out.iterator()
+    var p = 0
+    while (it.hasNext) { arr(p) = it.next(); p += 1 }
+    new GenericArrayData(arr)
+  }
+
+  /** Jaccard similarity of two sorted-distinct int arrays via a merge
+    * walk — O(|a|+|b|), no intermediate arrays (vs array_intersect +
+    * array_union which materializes both).
+    */
+  def jaccardSorted(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements(); val nb = b.numElements()
+    if (na == 0 && nb == 0) return 1.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getInt(i); val y = b.getInt(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / (na + nb - inter).toDouble
+  }
+
+  /** Dot product of two float vectors, accumulated left-to-right in
+    * double. Sequential order is part of the contract: it makes results
+    * bit-stable across engines and partitionings.
+    */
+  def dotF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    acc
+  }
+
+  def normF(a: ArrayData): Double = {
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) { val v = a.getFloat(i).toDouble; acc += v * v; i += 1 }
+    math.sqrt(acc)
+  }
+
+  def cosineF(a: ArrayData, b: ArrayData): Double = {
+    val na = normF(a); val nb = normF(b)
+    if (na == 0.0 || nb == 0.0) 0.0 else dotF(a, b) / (na * nb)
+  }
+
+  /** Fixed Gaussian hyperplanes for sign-LSH, memoized per
+    * (numPlanes, dim, seed). Flat row-major array for cache-friendliness.
+    */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long), Array[Double]]()
+  private def planes(numPlanes: Int, dim: Int, seed: Long): Array[Double] =
+    planeCache.computeIfAbsent((numPlanes, dim, seed), { key =>
+      val rnd = new java.util.Random(key._3)
+      Array.fill(key._1 * key._2)(rnd.nextGaussian())
+    })
+
+  /** Sign-bit signature of `numPlanes` random projections: vectors with
+    * high cosine similarity agree on most sign bits, so equal signatures
+    * are near-neighbor candidates (random-hyperplane LSH, Charikar 2002).
+    */
+  def hyperplaneSig(v: ArrayData, numPlanes: Int, dim: Int, seed: Long): Long = {
+    val ps = planes(numPlanes, dim, seed)
+    val n = math.min(v.numElements(), dim)
+    var sig = 0L
+    var p = 0
+    while (p < numPlanes) {
+      var acc = 0.0
+      val off = p * dim
+      var i = 0
+      while (i < n) { acc += v.getFloat(i).toDouble * ps(off + i); i += 1 }
+      if (acc >= 0.0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+}
+
+/** `rolling_hash(text)`: 64-bit content fingerprint. A cross-engine-stable
+  * alternative to md5 when only 8 bytes of key are needed (half the
+  * shuffle width of a hex md5 string).
+  */
+case class RollingHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_hash"
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.rollingHash(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashKernels.rollingHash($c)")
+  override protected def withNewChildInternal(c: Expression): RollingHash = copy(c)
+}
+
+/** `simhash64(text, n)`: 64-bit SimHash over char n-gram shingles.
+  * Near-duplicate texts land within a small hamming distance, so
+  * band-bucketing on 16-bit chunks finds candidates without any O(n²)
+  * comparison (see [[graft.ops.Dedup.simhashNearDupPairs]]).
+  */
+case class SimHash64(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.simHash(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashKernels.simHash($c, $n)")
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+}
+
+/** `minhash_sig(text, n, k, seed)`: k-long MinHash signature, one pass. */
+case class MinHashSig(child: Expression, n: Int, k: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.minhashSig(v.asInstanceOf[UTF8String], n, k, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashKernels.minhashSig($c, $n, $k, ${seed}L)")
+  override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+}
+
+/** `shingle_set(text, n)`: sorted distinct int shingle hashes. */
+case class ShingleSet(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "shingle_set"
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.shingleSet(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.shingleSet($c, $n)")
+  override protected def withNewChildInternal(c: Expression): ShingleSet = copy(child = c)
+}
+
+/** `jaccard_sorted(a, b)`: Jaccard over sorted-distinct int arrays. */
+case class JaccardSorted(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaccard_sorted"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashKernels.jaccardSorted(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.HashKernels.jaccardSorted($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSorted =
+    copy(left = l, right = r)
+}
+
+/** `cosine_f(a, b)` / `dot_f(a, b)`: float-vector similarity in double
+  * precision, sequential accumulation (bit-stable).
+  */
+case class CosineF(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_f"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashKernels.cosineF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashKernels.cosineF($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineF =
+    copy(left = l, right = r)
+}
+
+case class DotF(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_f"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashKernels.dotF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashKernels.dotF($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotF =
+    copy(left = l, right = r)
+}
+
+/** `hyperplane_sig(vec, numPlanes, dim, seed)`: sign-LSH bucket key. */
+case class HyperplaneSig(child: Expression, numPlanes: Int, dim: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hyperplane_sig"
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.hyperplaneSig(v.asInstanceOf[ArrayData], numPlanes, dim, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashKernels.hyperplaneSig($c, $numPlanes, $dim, ${seed}L)")
+  override protected def withNewChildInternal(c: Expression): HyperplaneSig = copy(child = c)
+}
+
+/** Column-facing wrappers. */
+object exprs {
+  private def expr(c: Column): Expression = ColumnBridge.expression(c)
+
+  def rolling_hash(c: Column): Column = ColumnBridge.column(RollingHash(expr(c)))
+  def simhash64(c: Column, n: Int = 3): Column = ColumnBridge.column(SimHash64(expr(c), n))
+  def minhash_sig(c: Column, n: Int, k: Int, seed: Long): Column =
+    ColumnBridge.column(MinHashSig(expr(c), n, k, seed))
+  def shingle_set(c: Column, n: Int): Column =
+    ColumnBridge.column(ShingleSet(expr(c), n))
+  def jaccard_sorted(a: Column, b: Column): Column =
+    ColumnBridge.column(JaccardSorted(expr(a), expr(b)))
+  def cosine_f(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineF(expr(a), expr(b)))
+  def dot_f(a: Column, b: Column): Column =
+    ColumnBridge.column(DotF(expr(a), expr(b)))
+  def hyperplane_sig(c: Column, numPlanes: Int, dim: Int, seed: Long): Column =
+    ColumnBridge.column(HyperplaneSig(expr(c), numPlanes, dim, seed))
+}

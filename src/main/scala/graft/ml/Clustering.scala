@@ -1,0 +1,74 @@
+package graft.ml
+
+import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
+import org.apache.spark.ml.evaluation.ClusteringEvaluator
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** KMeans clustering of the change analysis, as the reference does it.
+  *
+  * Reference: project-co2.py:34-76 — VectorAssembler over
+  * [change, isReduced], k-sweep 2..10 with cost curve on a seeded 10%
+  * sample, fixed k=5 fit, predictions, centres; BigData_Mayur.py:42-46
+  * adds the silhouette score via ClusteringEvaluator.
+  *
+  * Scale notes: KMeans in Spark ML is already distributed (broadcast
+  * centres + map-side partial sums per iteration). The k-sweep fits on a
+  * seeded sample — the reference's own trick (project-co2.py:48) — which
+  * is exactly how you'd keep the sweep cheap at 100 TB.
+  */
+object Clustering {
+
+  final case class Fitted(
+      predictions: DataFrame, model: KMeansModel,
+      centers: Array[Array[Double]], silhouette: Double)
+
+  def assemble(df: DataFrame, featureCols: Seq[String]): DataFrame = {
+    // VectorAssembler rejects booleans; project-co2.py:36 feeds isReduced
+    // as a numeric feature, so cast flags to double first.
+    val numeric = featureCols.foldLeft(df) { (d, c) =>
+      d.withColumn(c, col(c).cast("double"))
+    }
+    new VectorAssembler()
+      .setInputCols(featureCols.toArray)
+      .setOutputCol("features")
+      .transform(numeric)
+  }
+
+  /** Reference's k-sweep (project-co2.py:44-49): fit on a seeded sample
+    * per k, score full data; caller picks the elbow.
+    */
+  def kSweep(
+      assembled: DataFrame, ks: Range, sampleFraction: Double = 0.1,
+      seed: Long = 42L): Seq[(Int, Double)] = {
+    val sample = assembled.sample(withReplacement = false, sampleFraction, seed).cache()
+    try ks.map { k =>
+      val model = new KMeans().setK(k).setSeed(1L).setFeaturesCol("features").fit(sample)
+      // computeCost is gone post-3.0; the reference's own comment
+      // (project-co2.py:49) points at ClusteringEvaluator as replacement.
+      val preds = model.transform(assembled)
+      k -> new ClusteringEvaluator().setPredictionCol("prediction").evaluate(preds)
+    } finally sample.unpersist()
+  }
+
+  def fitPredict(
+      df: DataFrame, featureCols: Seq[String], k: Int = 5,
+      seed: Long = 1L): Fitted = {
+    val assembled = assemble(df, featureCols)
+    val model = new KMeans()
+      .setK(k).setSeed(seed)
+      .setFeaturesCol("features").setPredictionCol("cluster")
+      .fit(assembled)
+    val preds = model.transform(assembled)
+    val silhouette = new ClusteringEvaluator()
+      .setPredictionCol("cluster").evaluate(preds)
+    Fitted(preds, model, model.clusterCenters.map(_.toArray), silhouette)
+  }
+
+  /** Per-cluster summary with the reference's "min - max" range label
+    * (project-co2.py:130-133), native functions instead of a UDF.
+    */
+  def clusterInfo(predictions: DataFrame, valueCol: String): DataFrame =
+    graft.ops.PeriodChange.rangeLabels(predictions, "cluster", valueCol)
+}

@@ -1,0 +1,53 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Table loaders for the star schema plus a CSV reader matching the
+  * reference's ingest options.
+  *
+  * Reference: project-co2.py:87 (`header` + `inferSchema` CSV read) and
+  * BigData_Mayur.py:20 (adds a custom `escape` char). Here parquet is the
+  * primary format (columnar, splittable, predicate-pushdown-friendly —
+  * what you want at 100 TB); CSV is kept for ingest parity.
+  */
+object Tables {
+
+  val starTables: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
+  def events(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "events")
+  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** CSV ingest with the reference's options. Prefer an explicit schema:
+    * `inferSchema` forces an extra full pass over the data — fine on a
+    * 270 KB CSV, catastrophic on 100 TB.
+    */
+  def csv(
+      spark: SparkSession,
+      path: String,
+      schema: Option[StructType] = None,
+      header: Boolean = true,
+      escape: String = "\"",
+      inferSchema: Boolean = false): DataFrame = {
+    val base = spark.read
+      .option("header", header.toString)
+      .option("escape", escape)
+    schema match {
+      case Some(s) => base.schema(s).csv(path)
+      case None    => base.option("inferSchema", inferSchema.toString).csv(path)
+    }
+  }
+}
