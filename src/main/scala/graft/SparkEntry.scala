@@ -351,13 +351,13 @@ object SparkEntry {
       val stops = TextAnalysis.EnglishStopwords.map(w => s"'$w'").mkString(", ")
       s"""SELECT doc_id,
          |       CAST(stop_hits AS BIGINT) AS stopword_hits,
-         |       round(least(n_tok / 50.0, 1.0) * 0.4
+         |       CAST(CAST(floor((least(n_tok / 50.0, 1.0) * 0.4
          |             + least(CASE WHEN n_tok = 0 THEN 0.0 ELSE stop_hits / n_tok END * 5.0, 1.0) * 0.3
          |             + CASE WHEN n_tok > 0 AND (length(text) - (n_tok - 1.0)) / n_tok >= 3.0
          |                         AND (length(text) - (n_tok - 1.0)) / n_tok <= 10.0 THEN 1.0 ELSE 0.0 END * 0.3
          |             - least(CASE WHEN length(text) = 0 THEN 0.0
-         |                          ELSE CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]-]', '', 'g')) AS DOUBLE) / length(text) END * 5.0, 1.0) * 0.2,
-         |             4) AS quality
+         |                          ELSE CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]-]', '', 'g')) AS DOUBLE) / length(text) END * 5.0, 1.0) * 0.2
+         |             ) * 10000.0 + 0.5) AS BIGINT) AS DOUBLE) / 10000.0 AS quality
          |FROM (SELECT doc_id, text,
          |             CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
          |             CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stops))) AS DOUBLE) AS stop_hits

@@ -73,7 +73,11 @@ object TextAnalysis {
     val mtl = meanTokenLen(text)
     val mtlScore = when(mtl >= 3.0 && mtl <= 10.0, 1.0).otherwise(0.0)
     val punctPenalty = least(punctRatio(text) * 5.0, lit(1.0))
-    round(lenScore * 0.4 + stopScore * 0.3 + mtlScore * 0.3 - punctPenalty * 0.2, 4)
+    val q = lenScore * 0.4 + stopScore * 0.3 + mtlScore * 0.3 - punctPenalty * 0.2
+    // explicit half-up quantization instead of round(): engines implement
+    // round() differently (exact-decimal vs scaled-double), but floor on
+    // the same IEEE ops is bit-identical everywhere
+    floor(q * 10000.0 + 0.5).cast("long") / 10000.0
   }
 
   /** Tiny per-language function-word sets for the n-gram-free language
