@@ -57,9 +57,19 @@ object SparkEntry {
         .filter(col("l_discount") > 0.05)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))),
 
-    // R3: na.drop("any") with explicit null/NaN semantics
+    // R3: na.drop("any") with explicit null/NaN semantics. The raw sf
+    // events table contains zero nulls, so nulls AND NaNs are injected
+    // deterministically (same derivation in the oracle) — the drop path
+    // is actually exercised, not vacuously satisfied.
     "q_dropna_any" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
+        .withColumn("value",
+          when(col("event_id") % 97 === 0, lit(null).cast("double"))
+            .when(col("event_id") % 89 === 0, lit(Double.NaN))
+            .otherwise(col("value")))
+        .withColumn("event_type",
+          when(col("user_id") % 101 === 0, lit(null).cast("string"))
+            .otherwise(col("event_type")))
       Preprocess.dropNullOrNan(ev, ev.columns.toSeq)
         .select(col("event_id"), col("event_type"), col("value"))
     }),
@@ -163,9 +173,11 @@ object SparkEntry {
         .withColumn("yoy_change", round((col("revenue") - col("prev_revenue")) * 100).cast("long") / 100.0)
     }),
 
-    // E1: exact dedup by content
+    // E1: exact dedup by content — fingerprint-first, so the shuffle key
+    // is ~24 bytes of hashes rather than the document text itself
     "q_dedup_exact" -> ((s, dir) =>
-      Dedup.exactByText(Tables.documents(s, dir), "text", "doc_id")),
+      Dedup.exactByFingerprint(Tables.documents(s, dir), "text", "doc_id")
+        .select(col("doc_id"), col("n_copies"))),
 
     // E2+E4: MinHash LSH dedup — survivors after near-dup removal
     "q_dedup_minhash" -> ((s, dir) =>
@@ -250,7 +262,14 @@ object SparkEntry {
       "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem WHERE l_discount > 0.05",
 
     "q_dropna_any" ->
-      """SELECT event_id, event_type, value FROM events
+      """SELECT event_id, event_type, value FROM (
+        |  SELECT event_id, ts, user_id,
+        |         CASE WHEN user_id % 101 = 0 THEN NULL ELSE event_type END AS event_type,
+        |         CASE WHEN event_id % 97 = 0 THEN NULL
+        |              WHEN event_id % 89 = 0 THEN 'NaN'::DOUBLE
+        |              ELSE value END AS value,
+        |         props
+        |  FROM events)
         |WHERE event_id IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL
         |  AND event_type IS NOT NULL AND value IS NOT NULL AND NOT isnan(value)
         |  AND props IS NOT NULL""".stripMargin,
@@ -313,8 +332,11 @@ object SparkEntry {
         |             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
         |      FROM orders GROUP BY o_orderpriority, year(o_orderdate))""".stripMargin,
 
+    // oracle groups by the text itself; the Spark side groups by
+    // (rolling-hash, md5) — identical partitions unless both hashes
+    // collide simultaneously, so the results hash-match
     "q_dedup_exact" ->
-      """SELECT text, CAST(min(doc_id) AS BIGINT) AS doc_id,
+      """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
         |       CAST(count(*) AS BIGINT) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
 

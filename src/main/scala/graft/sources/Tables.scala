@@ -28,12 +28,15 @@ object Tables {
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
   /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
-    * Spark 4 rejects outright. Read nanos as long and convert with
-    * integer division (ns ≈ 1.7e18 exceeds double's 2^53 exact range, so
-    * a floating divide would corrupt timestamps).
+    * Spark 4 rejects outright. Sessions must set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` at build time (Bench,
+    * Verify and the spec base all do) — the conf is intentionally NOT
+    * mutated here: a loader silently flipping session-wide parquet
+    * semantics would affect every later read. The long nanos are then
+    * converted with integer division (ns ≈ 1.7e18 exceeds double's 2^53
+    * exact range, so a floating divide would corrupt timestamps).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(spark, dir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
