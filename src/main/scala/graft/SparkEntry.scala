@@ -179,10 +179,20 @@ object SparkEntry {
       Dedup.exactByFingerprint(Tables.documents(s, dir), "text", "doc_id")
         .select(col("doc_id"), col("n_copies"))),
 
-    // E2+E4: MinHash LSH dedup — survivors after near-dup removal
+    // E2+E4: MinHash LSH dedup — survivors after transitive-closure
+    // near-dup removal (oracle: exact string 5-gram Jaccard + recursive
+    // closure in DuckDB; agreement holds because the verified pairs sit
+    // far from the 0.8 threshold on either side)
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.dropNearDups(Tables.documents(s, dir), "text", "doc_id")
         .select(col("doc_id"), col("source"))),
+
+    // E2+E4: the verified near-dup pairs themselves (ids only — the
+    // jaccard value is over hashed shingles, the oracle's over string
+    // shingles; identical pair SET, bit-identical value not guaranteed)
+    "q_dedup_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashNearDupPairs(Tables.documents(s, dir), "text", "doc_id")
+        .select(col("id_a"), col("id_b"))),
 
     // E3: per-doc 64-bit SimHash (custom codegen'd expression)
     "q_dedup_simhash" -> ((s, dir) =>
@@ -190,11 +200,30 @@ object SparkEntry {
         .select(col("doc_id"),
           graft.functions.exprs.simhash64(col("text"), 3).as("simhash"))),
 
-    // E5: embedding near-dup candidates (hyperplane-LSH buckets + cosine)
-    "q_embed_neardup" -> ((s, dir) =>
-      Dedup.embeddingNearDupPairs(
-        Tables.embeddings(s, dir), "embedding", "vec_id",
-        numPlanes = 8, threshold = -1.0)),
+    // E3: hamming-verified near-dup pairs via 16-bit-chunk bucketing.
+    // With maxHamming=3 and four chunks the pigeonhole principle makes
+    // the bucketed result EXACTLY equal to all-pairs hamming — asserted
+    // against brute force in DedupSpec at sf0.01.
+    "q_dedup_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashNearDupPairs(Tables.documents(s, dir), "text", "doc_id")
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))),
+
+    // E5: embedding near-dup pairs, multi-table hyperplane LSH + cosine
+    // verify at a REAL threshold. The sf embeddings are near-orthogonal
+    // (max background cosine ≈ 0.51), so near-dups are planted in-query:
+    // 2×-scaled copies of every vector. Positive scaling preserves every
+    // hyperplane sign, so LSH recall on the planted pairs is exactly 1
+    // BY CONSTRUCTION — which is what lets a brute-force DuckDB oracle
+    // hash-match an LSH-bucketed plan.
+    "q_embed_neardup" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val scaled = e.select((col("vec_id") + 10000).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      val corpus = e.select(col("vec_id"), col("embedding")).unionByName(scaled)
+      Dedup.embeddingNearDupPairs(corpus, "embedding", "vec_id",
+          numPlanes = 8, threshold = 0.98, numTables = 4)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+    }),
 
     // E6: exact brute-force cosine top-k
     "q_ann_topk" -> ((s, dir) => {
@@ -206,15 +235,37 @@ object SparkEntry {
           col("neighbor_id"), col("cosine"))
     }),
 
-    // E7: LSH-bucketed approximate top-k
+    // E7: LSH-bucketed approximate top-k (multi-table + multi-probe;
+    // recall vs brute force measured in q_ann_lsh_recall and asserted
+    // >= 0.8 in SimilaritySpec)
     "q_ann_lsh" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       val queries = e.filter(col("vec_id") < 20)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       Similarity.lshTopK(e, "vec_id", "embedding", queries, "qid", "qv",
-          k = 5, numPlanes = 6)
+          k = 5, numPlanes = 8, numTables = 6, probeHamming = 2)
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("neighbor_id"), col("cosine"))
+    }),
+
+    // E7: measured recall of the approximate path against the exact one,
+    // per query — the number that makes an ANN shippable
+    "q_ann_lsh_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val queries = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val exact = Similarity.bruteForceTopK(
+          e, "vec_id", "embedding", queries, "qid", "qv", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = Similarity.lshTopK(e, "vec_id", "embedding", queries, "qid", "qv",
+          k = 5, numPlanes = 8, numTables = 6, probeHamming = 2)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "leftsemi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+      exact.select("query_id").distinct()
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          (coalesce(col("n_hit"), lit(0L)) / 5.0).as("recall"))
     }),
 
     // E8: multimodal plumbing — batched feature extraction over payloads
@@ -332,6 +383,43 @@ object SparkEntry {
         |             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
         |      FROM orders GROUP BY o_orderpriority, year(o_orderdate))""".stripMargin,
 
+    "q_dedup_minhash" ->
+      s"""WITH RECURSIVE
+         |grams AS (
+         |  SELECT DISTINCT doc_id, substr(text, i, 5) AS g
+         |  FROM (SELECT doc_id, text,
+         |               unnest(range(1, greatest(length(text) - 3, 2))) AS i
+         |        FROM documents)),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+         |          FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |pairs AS (SELECT ia, ib FROM inter
+         |          JOIN sizes sa ON sa.doc_id = ia
+         |          JOIN sizes sb ON sb.doc_id = ib
+         |          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+         |edges AS (SELECT ia AS s, ib AS d FROM pairs
+         |          UNION SELECT ib, ia FROM pairs),
+         |reach AS (SELECT s, d FROM edges
+         |          UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+         |SELECT doc_id, source FROM documents
+         |WHERE NOT EXISTS (SELECT 1 FROM reach WHERE s = doc_id AND d < doc_id)""".stripMargin,
+
+    "q_dedup_minhash_pairs" ->
+      s"""WITH grams AS (
+         |  SELECT DISTINCT doc_id, substr(text, i, 5) AS g
+         |  FROM (SELECT doc_id, text,
+         |               unnest(range(1, greatest(length(text) - 3, 2))) AS i
+         |        FROM documents)),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+         |          FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT ia AS id_a, ib AS id_b FROM inter
+         |JOIN sizes sa ON sa.doc_id = ia
+         |JOIN sizes sb ON sb.doc_id = ib
+         |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8""".stripMargin,
+
     // oracle groups by the text itself; the Spark side groups by
     // (rolling-hash, md5) — identical partitions unless both hashes
     // collide simultaneously, so the results hash-match
@@ -339,6 +427,18 @@ object SparkEntry {
       """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
         |       CAST(count(*) AS BIGINT) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
+
+    "q_embed_neardup" ->
+      """WITH c AS (
+        |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000,
+        |         list_transform(embedding::DOUBLE[], x -> x * 2.0)
+        |  FROM embeddings)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+        |FROM c a JOIN c b ON a.id < b.id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.98""".stripMargin,
 
     "q_ann_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),

@@ -64,15 +64,20 @@ object Dedup {
   def minhashNearDupPairs(
       docs: DataFrame, textCol: String, idCol: String,
       p: MinhashParams = MinhashParams()): DataFrame = {
-    val sigs = docs.select(
+    // One scan computes signature AND shingle set; the persisted keyed
+    // frame then feeds the band explode plus both sides of the verify
+    // join — without it the documents source is scanned three times.
+    // (Session-scoped cache; at real scale use a disk-tier StorageLevel.)
+    val keyed = docs.select(
       col(idCol).as("id"),
-      exprs.minhash_sig(col(textCol), p.shingleN, p.numHashes, p.seed).as("sig"))
+      exprs.minhash_sig(col(textCol), p.shingleN, p.numHashes, p.seed).as("sig"),
+      exprs.shingle_set(col(textCol), p.shingleN).as("sh")).persist()
 
     val bandCols = (0 until p.bands).map { i =>
       struct(lit(i).as("band"),
         xxhash64(slice(col("sig"), i * p.rowsPerBand + 1, p.rowsPerBand)).as("bh"))
     }
-    val buckets = sigs
+    val buckets = keyed
       .select(col("id"), explode(array(bandCols: _*)).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
 
@@ -84,8 +89,7 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
 
-    val shingles = docs.select(
-      col(idCol).as("id"), exprs.shingle_set(col(textCol), p.shingleN).as("sh"))
+    val shingles = keyed.select(col("id"), col("sh"))
     candidates
       .join(shingles.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(shingles.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -94,15 +98,54 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** Dedup decision from verified pairs: drop every doc that is the
-    * larger id of some pair (keep-smallest survivor; a union-find /
-    * connected-components pass is the exhaustive variant, planned r2).
+  /** Smallest-id connected-component labels over an undirected pair set:
+    * returns (id, root) for every id that appears in a pair, where root
+    * is the minimum id reachable through the pair graph.
+    *
+    * Iterative min-label propagation — each round joins the current
+    * labels across the edge list and keeps the per-node minimum;
+    * converges in O(diameter) rounds (near-dup components are shallow:
+    * chains of edited copies). `localCheckpoint` truncates lineage per
+    * round so the plan doesn't grow with iterations; on a real cluster
+    * use reliable checkpointing. Label propagation is the standard
+    * dataframe-native connected-components scheme (vs GraphX, which
+    * drops to RDDs).
+    */
+  def componentMinLabels(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("root", col("id")).localCheckpoint()
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("root"))
+      val next = labels.union(viaNeighbor)
+        .groupBy("id").agg(min("root").as("root"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("root", "prev"), "id")
+        .filter(col("root") =!= col("prev")).isEmpty
+      labels = next
+      round += 1
+    }
+    labels
+  }
+
+  /** Dedup decision from verified pairs with full transitive closure:
+    * within each connected component of the near-dup graph only the
+    * smallest id survives, so chains A~B~C collapse to A even when
+    * (A, C) never collided directly.
     */
   def dropNearDups(
       docs: DataFrame, textCol: String, idCol: String,
       p: MinhashParams = MinhashParams()): DataFrame = {
-    val losers = minhashNearDupPairs(docs, textCol, idCol, p)
-      .select(col("id_b").as(idCol)).distinct()
+    val pairs = minhashNearDupPairs(docs, textCol, idCol, p)
+    val losers = componentMinLabels(pairs)
+      .filter(col("root") =!= col("id"))
+      .select(col("id").as(idCol))
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
@@ -142,18 +185,35 @@ object Dedup {
   /** Embedding near-dup pairs: random-hyperplane LSH buckets (sign bits
     * of `numPlanes` fixed projections), cosine-verified. Same
     * bucket-then-verify shape as MinHash — no O(n²).
+    *
+    * `numTables` independent hash tables (fresh plane sets per table)
+    * OR-amplify recall: a pair is a candidate if it collides in ANY
+    * table, so the miss probability decays exponentially in the table
+    * count — the LSH analog of MinHash banding. Pairs that collide in
+    * several tables are deduplicated before the cosine verify.
     */
   def embeddingNearDupPairs(
       embs: DataFrame, vecCol: String, idCol: String,
       numPlanes: Int = 12, threshold: Double = 0.95, seed: Long = 42L,
-      dim: Int = 64): DataFrame = {
-    val sigCol = Similarity.hyperplaneSignature(col(vecCol), numPlanes, dim, seed)
-    val keyed = embs.select(col(idCol).as("id"), col(vecCol).as("v"), sigCol.as("bucket"))
-    val a = keyed.as("a")
-    val b = keyed.as("b")
-    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .withColumn("cosine", exprs.cosine_f(col("a.v"), col("b.v")))
+      dim: Int = 64, numTables: Int = 4): DataFrame = {
+    val keyed = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val tableCols = (0 until numTables).map { t =>
+      struct(lit(t).as("t"),
+        Similarity.hyperplaneSignature(col("v"), numPlanes, dim, seed + t).as("sig"))
+    }
+    val buckets = keyed
+      .select(col("id"), col("v"), explode(array(tableCols: _*)).as("b"))
+      .select(col("id"), col("v"), col("b.t").as("t"), col("b.sig").as("sig"))
+    val a = buckets.as("a")
+    val b = buckets.as("b")
+    a.join(b,
+        col("a.t") === col("b.t") && col("a.sig") === col("b.sig") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.v").as("va"), col("b.v").as("vb"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cosine", exprs.cosine_f(col("va"), col("vb")))
       .filter(col("cosine") >= threshold)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
+      .select(col("id_a"), col("id_b"), col("cosine"))
   }
 }

@@ -10,9 +10,10 @@ import graft.functions.exprs
   * Two paths, as a 100 TB pipeline needs both:
   *  - [[bruteForceTopK]]: exact — broadcast the (small) query set, scan
   *    the corpus ONCE computing all query similarities per row, then
-  *    top-k per query. The corpus is never shuffled in full: rows are
-  *    pre-filtered to each query's per-partition ceiling before the
-  *    single (query_id)-keyed exchange.
+  *    bounded-heap top-k per query: each map task keeps at most k rows
+  *    per query ([[graft.functions.TopKByScore]] partial aggregation),
+  *    so the only exchange carries tasks×queries×k rows — never the
+  *    N×Q scored set.
   *  - [[lshTopK]]: approximate — hyperplane-sign buckets co-partition
   *    corpus and queries, so each query compares against its bucket only.
   */
@@ -43,49 +44,79 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
-  /** Approximate top-k: candidates share the query's LSH bucket. With
-    * `numPlanes` bits the corpus splits into ~2^numPlanes buckets, so
-    * each query touches corpus/2^numPlanes rows — the scan cost drops by
-    * that factor at the price of recall (raise recall with multi-probe /
-    * fewer planes).
+  /** Approximate top-k: candidates share one of the query's LSH buckets.
+    *
+    * Recall amplification, both tunable:
+    *  - `numTables` independent hash tables (fresh plane sets): a miss
+    *    requires missing in EVERY table — exponential decay;
+    *  - `probeHamming` multi-probe: each query also probes buckets whose
+    *    signature differs from its own in up to that many bits (the
+    *    near-miss buckets where close neighbors land), at zero extra
+    *    cost on the corpus side.
+    *
+    * The corpus is exploded `numTables`× but joined via a BROADCAST of
+    * the (tiny) query×table×probe key set — the corpus side never
+    * shuffles, and only bucket-matching rows reach the scorer. Expected
+    * candidate volume per query ≈ numTables · Σ_{h≤r} C(planes, h) ·
+    * corpus / 2^planes — sublinear in the corpus for structured data.
+    * Measured recall vs [[bruteForceTopK]] is asserted in
+    * SimilaritySpec (sf0.01: ≥ 0.8 with the q_ann_lsh parameters).
     */
   def lshTopK(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
-      k: Int, numPlanes: Int = 8, dim: Int = 64, seed: Long = 42L): DataFrame = {
-    val cb = corpus.select(
-      col(corpusId).as("neighbor_id"), col(corpusVec).as("cv"),
-      hyperplaneSignature(col(corpusVec), numPlanes, dim, seed).as("bucket"))
-    val qb = queries.select(
-      col(queryId).as("query_id"), col(queryVec).as("qv"),
-      hyperplaneSignature(col(queryVec), numPlanes, dim, seed).as("bucket"))
-    val scored = cb.join(broadcast(qb), Seq("bucket"))
+      k: Int, numPlanes: Int = 8, dim: Int = 64, seed: Long = 42L,
+      numTables: Int = 4, probeHamming: Int = 1): DataFrame = {
+    require(probeHamming <= 2, "probe masks generated for hamming <= 2")
+    val probeMasks: Seq[Long] = {
+      val singles = (0 until numPlanes).map(i => 1L << i)
+      val doubles = for {
+        i <- 0 until numPlanes; j <- (i + 1) until numPlanes
+      } yield (1L << i) | (1L << j)
+      Seq(0L) ++
+        (if (probeHamming >= 1) singles else Nil) ++
+        (if (probeHamming >= 2) doubles else Nil)
+    }
+    val tableCol = (vec: Column) => (0 until numTables).map { t =>
+      struct(lit(t).as("t"),
+        hyperplaneSignature(vec, numPlanes, dim, seed + t).as("sig"))
+    }
+    val cb = corpus
+      .select(col(corpusId).as("neighbor_id"), col(corpusVec).as("cv"),
+        explode(array(tableCol(col(corpusVec)): _*)).as("b"))
+      .select(col("neighbor_id"), col("cv"),
+        col("b.t").as("t"), col("b.sig").as("sig"))
+    val qb = queries
+      .select(col(queryId).as("query_id"), col(queryVec).as("qv"),
+        explode(array(tableCol(col(queryVec)): _*)).as("b"))
+      .select(col("query_id"), col("qv"), col("b.t").as("t"),
+        explode(array(probeMasks.map(m => col("b.sig").bitwiseXOR(lit(m))): _*)).as("sig"))
+    val scored = cb.join(broadcast(qb), Seq("t", "sig"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
         round(exprs.cosine_f(col("cv"), col("qv")), 9).as("cosine"))
     topKPerQuery(scored, k)
   }
 
-  /** Two-stage top-k. A single `Window.partitionBy(query_id)` funnels
-    * the entire scored corpus for one query into ONE reducer — the skew
-    * wall at scale. Stage 1 ranks within (query_id, input-partition) so
-    * the heavy rank is spread across all reducers; stage 2 ranks only the
-    * surviving partitions×k rows per query. (r2 plan: replace stage 1
-    * with a bounded-heap TypedImperativeAggregate so the first exchange
-    * carries just k rows per map task.)
+  /** Bounded-heap top-k per query via [[graft.functions.TopKByScore]].
+    *
+    * A `Window.partitionBy(query_id)` approach would exchange ALL scored
+    * rows (N×Q) and funnel each query into one reducer. The typed
+    * aggregate instead runs map-side partial aggregation: every task
+    * keeps a k-entry heap per query, so the single exchange carries at
+    * most tasks×queries×k tiny (id, score) structs and the reducer merges
+    * heaps — O(k) state per query, no skew wall, no full shuffle.
+    * The (score desc, id asc) ordering is total, so the result is
+    * deterministic under any partitioning.
     */
-  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
-    val partial = Window
-      .partitionBy(col("query_id"), spark_partition_id())
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    val exact = Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
     scored
-      .withColumn("prn", row_number().over(partial))
-      .filter(col("prn") <= k)
-      .drop("prn")
-      .withColumn("rank", row_number().over(exact))
-      .filter(col("rank") <= k)
-  }
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKByScore.agg(col("cosine"), col("neighbor_id"), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("query_id"),
+        col("e.id").as("neighbor_id"),
+        col("e.score").as("cosine"),
+        (col("pos") + 1).as("rank"))
 }

@@ -47,11 +47,63 @@ class DedupSpec extends SparkSpecBase {
     assert(!kept.contains(2L), "exact copy with larger id must be dropped")
   }
 
+  test("transitive closure: chain through a largest-id middle node collapses to one survivor") {
+    // Component {1, 2, 3} where the HUB has the largest id: pairs are
+    // (1,3) and (2,3) only — 1~2 are not near-dups of each other. The
+    // old keep-smallest-of-pair rule kept {1, 2}; closure keeps {1}.
+    val rnd = new scala.util.Random(7)
+    val mid = Array.fill(300)(('a' + rnd.nextInt(26)).toChar).mkString
+    val prefixEdit = "XYZQWERTYUIOPASDFGHJKLZXCVBN" + mid.substring(28)
+    val suffixEdit = mid.substring(0, 272) + "QWERTYUIOPASDFGHJKLZXCVBNMQW"
+    val chained = Seq(
+      (1L, prefixEdit), (2L, suffixEdit), (3L, mid),
+      (9L, "totally unrelated text that shares nothing with the chain at all")
+    ).toDF("doc_id", "text")
+
+    // planted structure really is a path: ends similar to mid, not to each other
+    val j = chained.as("x").crossJoin(chained.as("y"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id"), col("y.doc_id"),
+        exprs.jaccard_sorted(
+          exprs.shingle_set(col("x.text"), 5), exprs.shingle_set(col("y.text"), 5)).as("j"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, v) => (a, b) -> v }.toMap
+    assert(j((1L, 3L)) >= 0.8 && j((2L, 3L)) >= 0.8)
+    assert(j((1L, 2L)) < 0.8)
+
+    val labels = Dedup.componentMinLabels(
+        Dedup.minhashNearDupPairs(chained, "text", "doc_id"))
+      .as[(Long, Long)].collect().toMap
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+
+    val kept = Dedup.dropNearDups(chained, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 9L))
+  }
+
   test("simhash: identical texts get identical hashes, near-dups low hamming") {
     val pairs = Dedup.simhashNearDupPairs(docs, "text", "doc_id", maxHamming = 8)
       .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
     val exact = pairs.find(p => p._1 == 0L && p._2 == 2L)
     assert(exact.exists(_._3 === 0), "identical docs must have hamming 0")
+  }
+
+  test("simhash bucketed pairs exactly equal all-pairs hamming on sf0.01") {
+    // Pigeonhole: any pair within hamming 3 of a 64-bit hash agrees on
+    // at least one of the four 16-bit chunks, so chunk-bucketed
+    // candidates lose nothing — the bucketed operator must return the
+    // IDENTICAL set as the O(n²) scan.
+    val docs = graft.sources.Tables.documents(spark, Sf001)
+    val bucketed = Dedup.simhashNearDupPairs(docs, "text", "doc_id")
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    val hashed = docs.select(col("doc_id"), exprs.simhash64(col("text"), 3).as("sh"))
+    val brute = hashed.as("a").crossJoin(hashed.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("h"))
+      .filter(col("h") <= 3).as[(Long, Long, Int)].collect().toSet
+    assert(brute.nonEmpty)
+    assert(bucketed === brute)
   }
 
   test("embedding near-dup finds identical vectors via LSH buckets") {
