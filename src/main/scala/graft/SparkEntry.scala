@@ -495,6 +495,34 @@ object SparkEntry {
     "q_fingerprint" ->
       "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
 
+    // the FakeDecoder's features are deterministic byte statistics, so
+    // the whole multimodal plumbing is oracle-checkable: the ordered
+    // entropy sum (ORDER BY code) replicates the decoder's ascending
+    // histogram walk bit-for-bit
+    "q_multimodal_meta" ->
+      """WITH b AS (
+        |  SELECT doc_id AS media_id, text,
+        |         CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+        |              WHEN doc_id % 3 = 1 THEN 'audio/wav'
+        |              ELSE 'video/mp4' END AS mime,
+        |         CAST(length(text) AS BIGINT) AS n_bytes
+        |  FROM documents),
+        |codes AS (
+        |  SELECT media_id, ord(substr(text, i, 1)) AS code
+        |  FROM (SELECT media_id, text, unnest(range(1, length(text) + 1)) AS i FROM b)),
+        |hist AS (SELECT media_id, code, count(*) AS c FROM codes GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT h.media_id,
+        |         CAST(sum(c * code) AS DOUBLE) / any_value(n_bytes) AS mean_raw,
+        |         -sum((CAST(c AS DOUBLE) / n_bytes) * ln(CAST(c AS DOUBLE) / n_bytes) / ln(2) ORDER BY code) AS ent_raw
+        |  FROM hist h JOIN b USING (media_id) GROUP BY h.media_id)
+        |SELECT b.media_id, mime, n_bytes,
+        |       CAST(greatest(1, floor(sqrt(CAST(n_bytes AS DOUBLE)))) AS INTEGER) AS width,
+        |       CAST(greatest(1, floor(sqrt(CAST(n_bytes AS DOUBLE)))) AS INTEGER) AS height,
+        |       round(mean_raw, 4) AS mean_intensity,
+        |       round(ent_raw, 4) AS byte_entropy
+        |FROM b JOIN stats USING (media_id)""".stripMargin,
+
     "q_event_windows" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         |       event_type,

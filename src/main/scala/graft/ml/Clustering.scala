@@ -55,15 +55,21 @@ object Clustering {
   def fitPredict(
       df: DataFrame, featureCols: Seq[String], k: Int = 5,
       seed: Long = 1L): Fitted = {
-    val assembled = assemble(df, featureCols)
-    val model = new KMeans()
-      .setK(k).setSeed(seed)
-      .setFeaturesCol("features").setPredictionCol("cluster")
-      .fit(assembled)
-    val preds = model.transform(assembled)
-    val silhouette = new ClusteringEvaluator()
-      .setPredictionCol("cluster").evaluate(preds)
-    Fitted(preds, model, model.clusterCenters.map(_.toArray), silhouette)
+    // Cache the assembled features: fit iterates over them per KMeans
+    // round, transform reads them again, and the silhouette is a third
+    // pass — without the cache each pass re-runs the whole upstream
+    // plan (scan + pivot aggregation), a 3×+ rescan at any scale.
+    val assembled = assemble(df, featureCols).cache()
+    try {
+      val model = new KMeans()
+        .setK(k).setSeed(seed)
+        .setFeaturesCol("features").setPredictionCol("cluster")
+        .fit(assembled)
+      val preds = model.transform(assembled).cache()
+      val silhouette = new ClusteringEvaluator()
+        .setPredictionCol("cluster").evaluate(preds)
+      Fitted(preds, model, model.clusterCenters.map(_.toArray), silhouette)
+    } finally assembled.unpersist()
   }
 
   /** Per-cluster summary with the reference's "min - max" range label

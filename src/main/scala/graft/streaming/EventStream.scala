@@ -1,7 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Event-time windowed aggregation over the events table, written once
   * and used from BOTH batch and Structured Streaming — the transform is a
@@ -34,6 +37,73 @@ object EventStream {
       events: DataFrame, windowLength: String = "1 hour",
       watermark: String = "2 hours"): DataFrame =
     windowedAgg(events.withWatermark("ts", watermark), windowLength)
+
+  // ---------------------------------------- stateful sessionization
+
+  final case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)
+
+  /** Open-session accumulator kept in the state store, epoch millis. */
+  final case class SessionAcc(startMs: Long, endMs: Long, n: Long, valueMilli: Long)
+
+  final case class SessionOut(
+      user_id: Long, session_start: Timestamp, session_end: Timestamp,
+      n_events: Long, value_milli: Long)
+
+  /** Custom-state sessionization via `flatMapGroupsWithState` — the
+    * arbitrary-state API the built-in `session_window` can't cover when
+    * session logic grows beyond a fixed gap (caps, per-user gaps,
+    * value-dependent closure…). State per user is ONE open session
+    * (bounded memory); sessions closed by a later in-batch event are
+    * emitted immediately, trailing sessions are emitted by event-time
+    * timeout once the watermark passes end + gap — which also bounds
+    * state lifetime on an unbounded feed.
+    */
+  def sessionizeWithState(
+      events: Dataset[SessionEvent], gapMinutes: Int = 30,
+      watermark: String = "1 hour"): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMillis = gapMinutes * 60000L
+
+    def fn(userId: Long, it: Iterator[SessionEvent],
+        state: GroupState[SessionAcc]): Iterator[SessionOut] = {
+      def out(a: SessionAcc): SessionOut = SessionOut(
+        userId, new Timestamp(a.startMs), new Timestamp(a.endMs), a.n, a.valueMilli)
+      if (state.hasTimedOut) {
+        val closed = state.getOption.map(out).iterator
+        state.remove()
+        closed
+      } else {
+        val sorted = it.toArray.sortBy(_.ts.getTime)
+        val closed = scala.collection.mutable.ArrayBuffer.empty[SessionAcc]
+        var acc = state.getOption
+        sorted.foreach { e =>
+          val t = e.ts.getTime
+          val vm = math.round(e.value * 1000)
+          acc match {
+            case Some(a) if t - a.endMs <= gapMillis =>
+              acc = Some(SessionAcc(a.startMs, math.max(a.endMs, t), a.n + 1, a.valueMilli + vm))
+            case Some(a) =>
+              closed += a
+              acc = Some(SessionAcc(t, t, 1L, vm))
+            case None =>
+              acc = Some(SessionAcc(t, t, 1L, vm))
+          }
+        }
+        acc.foreach { a =>
+          state.update(a)
+          state.setTimeoutTimestamp(a.endMs + gapMillis)
+        }
+        closed.iterator.map(out)
+      }
+    }
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionAcc, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
 
   /** Per-user session stats with a session-window (gap-based) —
     * the streaming-native sessionization the reference's batch world has

@@ -34,4 +34,45 @@ class ClusteringSpec extends SparkSpecBase {
     assert(sweep.map(_._1) === Seq(2, 3))
     sweep.foreach { case (_, s) => assert(s >= -1.0 && s <= 1.0) }
   }
+
+  test("exact-reference check: k=3 recovers the ground-truth partition of separated blobs") {
+    // With well-separated blobs and k = blob count, ANY correct k-means
+    // converges to the ground-truth partition — an exact oracle that
+    // needs no reference implementation.
+    import org.apache.spark.sql.functions._
+    val pts = (
+      (0 until 30).map(i => (i.toLong, 0.0 + (i % 5) * 0.01, 0L)) ++
+      (0 until 30).map(i => (100 + i.toLong, 50.0 + (i % 5) * 0.01, 1L)) ++
+      (0 until 30).map(i => (200 + i.toLong, -70.0 + (i % 5) * 0.01, 2L))
+    ).toDF("id", "change", "truth")
+    val fitted = Clustering.fitPredict(pts, Seq("change"), k = 3, seed = 1L)
+    // partition equality up to cluster relabeling: each predicted
+    // cluster maps to exactly one truth blob and vice versa
+    val pairs = fitted.predictions.select("truth", "cluster")
+      .distinct().as[(Long, Int)].collect()
+    assert(pairs.length === 3)
+    assert(pairs.map(_._1).distinct.length === 3)
+    assert(pairs.map(_._2).distinct.length === 3)
+  }
+
+  test("fitPredict is deterministic under a fixed seed") {
+    val a = Clustering.fitPredict(blobs, Seq("change", "is_reduced"), k = 2, seed = 7L)
+    val b = Clustering.fitPredict(blobs, Seq("change", "is_reduced"), k = 2, seed = 7L)
+    assert(a.centers.map(_.toSeq).toSeq === b.centers.map(_.toSeq).toSeq)
+    assert(a.silhouette === b.silhouette)
+  }
+
+  test("kSweep elbow runs end-to-end on sf0.001 change data with real seeded sampling") {
+    val change = graft.ops.PeriodChange.changeBetween(
+      graft.sources.Tables.orders(spark, Sf0001), Seq("o_custkey"),
+      org.apache.spark.sql.functions.year(org.apache.spark.sql.functions.col("o_orderdate")),
+      org.apache.spark.sql.functions.col("o_totalprice"), 1996, 2000)
+    val assembled = Clustering.assemble(change, Seq("change", "is_reduced"))
+    val sweep = Clustering.kSweep(assembled, 2 to 6, sampleFraction = 0.5, seed = 42L)
+    assert(sweep.map(_._1) === Seq(2, 3, 4, 5, 6))
+    sweep.foreach { case (_, s) => assert(s >= -1.0 && s <= 1.0) }
+    // the data has genuine cluster structure, so the best silhouette
+    // must beat an uninformative 0
+    assert(sweep.map(_._2).max > 0.0)
+  }
 }

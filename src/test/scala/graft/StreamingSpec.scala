@@ -39,6 +39,81 @@ class StreamingSpec extends SparkSpecBase {
     assert(batch.contains(("2024-01-01 10:00:00", "click", 2L, 4000L)))
   }
 
+  test("append mode: watermark finalizes windows and DROPS late events (bounded state)") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String, Double, Long)]
+    val streamDf = stream.toDF().toDF("ts", "event_type", "value", "user_id")
+    val q = EventStream.windowedAggStreaming(streamDf, "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("evict_agg")
+      .outputMode("append").start()
+    try {
+      // batch 1: three rows in [10:00, 11:00) + a marker far ahead that
+      // pushes the watermark to 11:30 (13:30 − 2h) after the batch
+      stream.addData(Seq(
+        (ts("2024-01-01 10:05:00"), "click", 1.0, 1L),
+        (ts("2024-01-01 10:15:00"), "click", 2.0, 2L),
+        (ts("2024-01-01 10:25:00"), "click", 4.0, 3L),
+        (ts("2024-01-01 13:30:00"), "marker", 0.0, 9L)))
+      q.processAllAvailable()
+      // batch 2: the watermark now exceeds the window end, so the
+      // [10:00, 11:00) window is finalized and emitted
+      stream.addData(Seq((ts("2024-01-01 14:00:00"), "marker", 0.0, 9L)))
+      q.processAllAvailable()
+      val afterClose = spark.table("evict_agg")
+        .select("window_start", "event_type", "n_events", "value_milli")
+        .as[(String, String, Long, Long)].collect().toSet
+      assert(afterClose.contains(("2024-01-01 10:00:00", "click", 3L, 7000L)),
+        s"closed window must be emitted exactly once, got $afterClose")
+
+      // batch 3: a LATE click at 10:45 — behind the watermark, its
+      // window is already finalized; state was evicted, the row dropped
+      stream.addData(Seq((ts("2024-01-01 10:45:00"), "click", 8.0, 4L)))
+      q.processAllAvailable()
+      stream.addData(Seq((ts("2024-01-01 15:30:00"), "marker", 0.0, 9L)))
+      q.processAllAvailable()
+      val afterLate = spark.table("evict_agg")
+        .filter($"window_start" === "2024-01-01 10:00:00" && $"event_type" === "click")
+        .select("n_events", "value_milli").as[(Long, Long)].collect().toSeq
+      assert(afterLate === Seq((3L, 7000L)),
+        "late event beyond the watermark must not re-open or re-emit the window")
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionization: in-batch closure + timeout emission") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, Double)]
+    val sessions = EventStream.sessionizeWithState(
+      stream.toDF().toDF("user_id", "ts", "value").as[EventStream.SessionEvent],
+      gapMinutes = 30, watermark = "1 hour")
+    val q = sessions.writeStream.format("memory").queryName("state_sessions")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 10 min apart (one session); user 2: one event
+      stream.addData(Seq(
+        (1L, ts("2024-01-01 10:00:00"), 1.0),
+        (1L, ts("2024-01-01 10:10:00"), 2.0),
+        (2L, ts("2024-01-01 10:05:00"), 4.0)))
+      q.processAllAvailable()
+      // user 1 reappears much later: closes their first session in-batch,
+      // and pushes the watermark to 14:00 on batch completion
+      stream.addData(Seq((1L, ts("2024-01-01 15:00:00"), 8.0)))
+      q.processAllAvailable()
+      // one more batch so user 2's (10:35) timeout < watermark fires
+      stream.addData(Seq((9L, ts("2024-01-01 16:00:00"), 0.0)))
+      q.processAllAvailable()
+
+      val got = spark.table("state_sessions")
+        .select("user_id", "session_start", "session_end", "n_events", "value_milli")
+        .as[(Long, Timestamp, Timestamp, Long, Long)].collect().toSet
+      assert(got.contains(
+        (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00"), 2L, 3000L)),
+        s"user 1 first session must be closed by the in-batch gap, got $got")
+      assert(got.contains(
+        (2L, ts("2024-01-01 10:05:00"), ts("2024-01-01 10:05:00"), 1L, 4000L)),
+        s"user 2 session must be emitted via event-time timeout, got $got")
+    } finally q.stop()
+  }
+
   test("sessionAgg groups events into gap-based sessions") {
     val sessRows = Seq(
       (ts("2024-01-01 10:00:00"), "click", 1.0, 1L),
