@@ -173,6 +173,157 @@ object SparkEntry {
         .withColumn("yoy_change", round((col("revenue") - col("prev_revenue")) * 100).cast("long") / 100.0)
     }),
 
+    // R19: ROLLUP hierarchy totals (region → nation → grand total);
+    // null group markers surfaced as 'ALL' so the sentinel is explicit
+    "q_rollup" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir)
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          (sum(round(col("c_acctbal") * 100).cast("long")) / 100.0).as("total_acctbal"))
+        .select(
+          coalesce(col("r_name"), lit("ALL")).as("region_name"),
+          coalesce(col("n_name"), lit("ALL")).as("nation_name"),
+          col("n_customers"), col("total_acctbal"))
+    }),
+
+    // R20: CUBE over two dimensions — all 2^2 grouping sets in one pass
+    "q_cube" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n_lines"), col("sum_qty"))),
+
+    // R21: left-semi join (EXISTS) — customers active in P0
+    "q_semi_join" -> ((s, dir) => {
+      val active = Tables.orders(s, dir)
+        .filter(year(col("o_orderdate")) === P0)
+        .select(col("o_custkey").as("c_custkey"))
+      Tables.customer(s, dir)
+        .join(active, Seq("c_custkey"), "leftsemi")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    // R21: left-anti join (NOT EXISTS) — customers with no P0 order
+    "q_anti_join" -> ((s, dir) => {
+      val active = Tables.orders(s, dir)
+        .filter(year(col("o_orderdate")) === P0)
+        .select(col("o_custkey").as("c_custkey"))
+      Tables.customer(s, dir)
+        .join(active, Seq("c_custkey"), "leftanti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    // R22: set operations — INTERSECT / EXCEPT with distinct semantics
+    "q_set_ops" -> ((s, dir) => {
+      def custsIn(y: Int) = Tables.orders(s, dir)
+        .filter(year(col("o_orderdate")) === y)
+        .select(col("o_custkey"))
+      custsIn(P0).intersect(custsIn(P1)).withColumn("tag", lit("both"))
+        .unionByName(
+          custsIn(P0).except(custsIn(P1)).withColumn("tag", lit("only_p0")))
+    }),
+
+    // R23: statistical moments from EXACT integer sums — mean, variance,
+    // stddev, correlation, all partition-order independent (the float
+    // accumulators of stddev/corr built-ins are not, across engines)
+    "q_stats_exact" -> ((s, dir) => {
+      val sums = Tables.lineitem(s, dir)
+        .select(col("l_quantity").cast("long").as("q"),
+          round(col("l_discount") * 100).cast("long").as("d"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("q")).as("sq"), sum(col("q") * col("q")).as("sqq"),
+          sum(col("d")).as("sd"), sum(col("d") * col("d")).as("sdd"),
+          sum(col("q") * col("d")).as("sqd"))
+      val varRaw = (col("sqq").cast("double") - col("sq").cast("double") * col("sq") / col("n")) / (col("n") - 1)
+      val corrNum = (col("n") * col("sqd") - col("sq") * col("sd")).cast("double")
+      val corrDen =
+        sqrt((col("n") * col("sqq") - col("sq") * col("sq")).cast("double")) *
+          sqrt((col("n") * col("sdd") - col("sd") * col("sd")).cast("double"))
+      sums.select(
+        col("n"),
+        round(col("sq").cast("double") / col("n"), 6).as("mean_qty"),
+        round(varRaw, 6).as("var_qty"),
+        round(sqrt(varRaw), 6).as("stddev_qty"),
+        round(corrNum / corrDen, 6).as("corr_qty_disc"))
+    }),
+
+    // R24: moving average over a row frame (4-day trailing), exact cents
+    "q_moving_avg" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"), col("o_orderdate"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev_cents"))
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_orderdate")).rowsBetween(-3, 0)
+      daily
+        .withColumn("ma4",
+          round(sum(col("rev_cents")).over(w).cast("double")
+            / count(lit(1)).over(w) / 100.0, 4))
+        .select(col("o_orderpriority"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          (col("rev_cents") / 100.0).as("revenue"), col("ma4"))
+    }),
+
+    // R25: ranking windows — dense_rank + ntile quartiles per nation
+    "q_ntile_rank" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byBal = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc)
+      val total = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables.customer(s, dir)
+        .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+          dense_rank().over(byBal).cast("long").as("bal_rank"),
+          ntile(4).over(total).cast("long").as("quartile"))
+    }),
+
+    // R26: skew-salted equi-join — semantically identical to the plain
+    // join (the oracle IS the plain join), but a hot suppkey spreads
+    // over 8 reducers instead of one
+    "q_salted_join" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_suppkey").as("s_suppkey"), col("l_orderkey"),
+          col("l_linenumber"), col("l_extendedprice"))
+      val sup = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+      graft.ops.SkewJoin.saltedEquiJoin(li, broadcast(sup), "s_suppkey",
+          numSalts = 8, saltSource = Seq("l_orderkey", "l_linenumber"))
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          (sum(round(col("l_extendedprice") * 100).cast("long")) / 100.0).as("revenue"))
+    }),
+
+    // R27: wide pivot — one column per year, conditional-agg semantics
+    "q_pivot_wide" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .withColumn("o_year", year(col("o_orderdate")))
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_year", Seq(1996, 1997, 1998, 1999))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")))
+        .select(col("o_orderpriority"),
+          (col("1996") / 100.0).as("rev_1996"),
+          (col("1997") / 100.0).as("rev_1997"),
+          (col("1998") / 100.0).as("rev_1998"),
+          (col("1999") / 100.0).as("rev_1999"))),
+
+    // R28: the SQL front end over the same engine — registered views +
+    // spark.sql, proving API parity with the DataFrame path
+    "q_sql_agg" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      s.sql("""SELECT l_returnflag,
+              |       CAST(count(*) AS BIGINT) AS n_lines,
+              |       sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+              |FROM lineitem_v GROUP BY l_returnflag""".stripMargin)
+    }),
+
     // E1: exact dedup by content — fingerprint-first, so the shuffle key
     // is ~24 bytes of hashes rather than the document text itself
     "q_dedup_exact" -> ((s, dir) =>
@@ -382,6 +533,96 @@ object SparkEntry {
         |FROM (SELECT o_orderpriority, year(o_orderdate) AS o_year,
         |             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
         |      FROM orders GROUP BY o_orderpriority, year(o_orderdate))""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT COALESCE(r_name, 'ALL') AS region_name,
+        |       COALESCE(n_name, 'ALL') AS nation_name,
+        |       CAST(count(*) AS BIGINT) AS n_customers,
+        |       CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)""".stripMargin,
+
+    "q_cube" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |       COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |       CAST(count(*) AS BIGINT) AS n_lines,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_semi_join" ->
+      s"""SELECT c_custkey, c_name FROM customer
+         |WHERE EXISTS (SELECT 1 FROM orders
+         |              WHERE o_custkey = c_custkey AND year(o_orderdate) = $P0)""".stripMargin,
+
+    "q_anti_join" ->
+      s"""SELECT c_custkey, c_name FROM customer
+         |WHERE NOT EXISTS (SELECT 1 FROM orders
+         |                  WHERE o_custkey = c_custkey AND year(o_orderdate) = $P0)""".stripMargin,
+
+    "q_set_ops" ->
+      s"""SELECT o_custkey, 'both' AS tag FROM (
+         |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = $P0
+         |  INTERSECT
+         |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = $P1)
+         |UNION ALL
+         |SELECT o_custkey, 'only_p0' AS tag FROM (
+         |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = $P0
+         |  EXCEPT
+         |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = $P1)""".stripMargin,
+
+    "q_stats_exact" ->
+      """SELECT n,
+        |       round(CAST(sq AS DOUBLE) / n, 6) AS mean_qty,
+        |       round((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * sq / n) / (n - 1), 6) AS var_qty,
+        |       round(sqrt((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * sq / n) / (n - 1)), 6) AS stddev_qty,
+        |       round(CAST(n * sqd - sq * sd AS DOUBLE)
+        |             / (sqrt(CAST(n * sqq - sq * sq AS DOUBLE)) * sqrt(CAST(n * sdd - sd * sd AS DOUBLE))), 6) AS corr_qty_disc
+        |FROM (SELECT CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(q) AS BIGINT) AS sq, CAST(sum(q * q) AS BIGINT) AS sqq,
+        |             CAST(sum(d) AS BIGINT) AS sd, CAST(sum(d * d) AS BIGINT) AS sdd,
+        |             CAST(sum(q * d) AS BIGINT) AS sqd
+        |      FROM (SELECT CAST(l_quantity AS BIGINT) AS q,
+        |                   CAST(round(l_discount * 100) AS BIGINT) AS d
+        |            FROM lineitem))""".stripMargin,
+
+    "q_moving_avg" ->
+      """SELECT o_orderpriority,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |       CAST(rev_cents AS DOUBLE) / 100.0 AS revenue,
+        |       round(CAST(sum(rev_cents) OVER w AS DOUBLE)
+        |             / (count(*) OVER w) / 100.0, 4) AS ma4
+        |FROM (SELECT o_orderpriority, o_orderdate,
+        |             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        |      FROM orders GROUP BY o_orderpriority, o_orderdate)
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate
+        |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q_ntile_rank" ->
+      """SELECT c_nationkey, c_custkey, c_acctbal,
+        |       CAST(DENSE_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS BIGINT) AS bal_rank,
+        |       CAST(NTILE(4) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS quartile
+        |FROM customer""".stripMargin,
+
+    "q_salted_join" ->
+      """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_lines,
+        |       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey""".stripMargin,
+
+    "q_pivot_wide" ->
+      """SELECT o_orderpriority,
+        |       CAST(SUM(CASE WHEN year(o_orderdate) = 1996 THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS DOUBLE) / 100.0 AS rev_1996,
+        |       CAST(SUM(CASE WHEN year(o_orderdate) = 1997 THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS DOUBLE) / 100.0 AS rev_1997,
+        |       CAST(SUM(CASE WHEN year(o_orderdate) = 1998 THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS DOUBLE) / 100.0 AS rev_1998,
+        |       CAST(SUM(CASE WHEN year(o_orderdate) = 1999 THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS DOUBLE) / 100.0 AS rev_1999
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q_sql_agg" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_lines,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "q_dedup_minhash" ->
       s"""WITH RECURSIVE
