@@ -456,7 +456,37 @@ object SparkEntry {
 
     // E13/E14: event-time tumbling windows (same transform as streaming)
     "q_event_windows" -> ((s, dir) =>
-      EventStream.windowedAgg(Tables.events(s, dir), "1 hour"))
+      EventStream.windowedAgg(Tables.events(s, dir), "1 hour")),
+
+    // E15: the training-data pipeline END TO END — enrich (lang-id,
+    // quality, tokens) → filter → near-dup dedup with closure → corpus
+    // stats per source. One oracle covers the composed whole.
+    "q_corpus_pipeline" -> ((s, dir) => {
+      // cached: the regex-heavy enrichment feeds both the near-dup pair
+      // search and the survivor anti-join — one pass instead of two
+      val enriched = Tables.documents(s, dir).select(
+          col("doc_id"), col("text"), col("source"),
+          TextAnalysis.langIdHeuristic(col("text")).as("lang_id"),
+          TextAnalysis.qualityScore(col("text")).as("quality"),
+          TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tokens"))
+        .filter(col("lang_id") === "en" && col("quality") >= 0.5)
+        .cache()
+      Dedup.dropNearDups(enriched, "text", "doc_id")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          round(sum(round(col("quality") * 10000).cast("long")).cast("double")
+            / 10000.0 / count(lit(1)), 6).as("mean_quality"))
+    }),
+
+    // E16: sketch cardinality (HyperLogLog++) — approximate distincts
+    // for pipeline telemetry; cross-engine sketches differ, so the check
+    // is the relative-error spec in TextAnalysisSpec, not an oracle
+    "q_approx_distinct" -> ((s, dir) =>
+      Tables.orders(s, dir).agg(
+        approx_count_distinct(col("o_custkey"), rsd = 0.02).as("approx_customers"),
+        count(lit(1)).as("n_orders")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -769,6 +799,53 @@ object SparkEntry {
         |       event_type,
         |       CAST(count(*) AS BIGINT) AS n_events,
         |       CAST(SUM(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli
-        |FROM events GROUP BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_corpus_pipeline" -> {
+      val stops = TextAnalysis.EnglishStopwords.map(w => s"'$w'").mkString(", ")
+      val hitDefs = TextAnalysis.LangMarkers.map { case (lang, words) =>
+        val set = words.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(string_split(text, ' '), t -> t IN ($set))) AS h_$lang"
+      }.mkString(",\n       ")
+      val langCase = TextAnalysis.LangMarkers.map { case (lang, _) =>
+        s"WHEN h_$lang = gmax AND gmax > 0 THEN '$lang'"
+      }.mkString(" ")
+      s"""WITH RECURSIVE
+         |raw AS (SELECT doc_id, text, source,
+         |       CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+         |       CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stops))) AS DOUBLE) AS stop_hits,
+         |       $hitDefs
+         |FROM documents),
+         |enr AS (SELECT doc_id, text, source,
+         |       CASE $langCase ELSE 'und' END AS lang_id,
+         |       CAST(CAST(floor((least(n_tok / 50.0, 1.0) * 0.4
+         |             + least(CASE WHEN n_tok = 0 THEN 0.0 ELSE stop_hits / n_tok END * 5.0, 1.0) * 0.3
+         |             + CASE WHEN n_tok > 0 AND (length(text) - (n_tok - 1.0)) / n_tok >= 3.0
+         |                         AND (length(text) - (n_tok - 1.0)) / n_tok <= 10.0 THEN 1.0 ELSE 0.0 END * 0.3
+         |             - least(CASE WHEN length(text) = 0 THEN 0.0
+         |                          ELSE CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]-]', '', 'g')) AS DOUBLE) / length(text) END * 5.0, 1.0) * 0.2
+         |             ) * 10000.0 + 0.5) AS BIGINT) AS DOUBLE) / 10000.0 AS quality,
+         |       CAST(CASE WHEN length(text) = 0 THEN 0 ELSE len(string_split(text, ' ')) END AS BIGINT) AS n_tokens
+         |FROM (SELECT *, greatest(h_en, h_es, h_de, h_fr) AS gmax FROM raw)),
+         |kept AS (SELECT * FROM enr WHERE lang_id = 'en' AND quality >= 0.5),
+         |grams AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS g
+         |          FROM (SELECT doc_id, text, unnest(range(1, greatest(length(text) - 3, 2))) AS i FROM kept)),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+         |          FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |pairs AS (SELECT ia, ib FROM inter
+         |          JOIN sizes sa ON sa.doc_id = ia
+         |          JOIN sizes sb ON sb.doc_id = ib
+         |          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+         |edges AS (SELECT ia AS s, ib AS d FROM pairs UNION SELECT ib, ia FROM pairs),
+         |reach AS (SELECT s, d FROM edges
+         |          UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |       round(CAST(sum(CAST(round(quality * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 / count(*), 6) AS mean_quality
+         |FROM kept
+         |WHERE NOT EXISTS (SELECT 1 FROM reach WHERE s = doc_id AND d < doc_id)
+         |GROUP BY source""".stripMargin
+    }
   )
 }

@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL-side registration of the custom Catalyst expressions, so the SQL
+  * front end (`spark.sql`) has the same surface as the Column API in
+  * [[exprs]].
+  *
+  * Production route: `spark.sql.extensions=graft.functions.GraftExtensions`
+  * (or `SparkSession.builder.withExtensions(new GraftExtensions)`); for
+  * an already-built session use
+  * [[org.apache.spark.sql.graft.GraftFunctionRegistry.register]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctionDefs.all.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftFunctionDefs {
+  type Builder = Seq[Expression] => Expression
+
+  /** Literal int/long argument extraction (e.g. `simhash64(text, 3)`) —
+    * the shape/seed parameters are constructor values, not runtime
+    * columns, so they must be foldable literals in SQL.
+    */
+  private def lit(e: Expression, fn: String): Long = {
+    require(e.foldable, s"$fn: parameter arguments must be literals")
+    e.eval().asInstanceOf[Number].longValue
+  }
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo("graft.functions", name, usage, "", "", "", "", "", "", "", "")
+
+  val all: Seq[(String, ExpressionInfo, Builder)] = Seq(
+    ("rolling_hash",
+      info("rolling_hash", "rolling_hash(text) - 64-bit Karp-Rabin content fingerprint"),
+      (c: Seq[Expression]) => RollingHash(c.head)),
+    ("simhash64",
+      info("simhash64", "simhash64(text[, n]) - 64-bit SimHash over char n-grams (default n=3)"),
+      (c: Seq[Expression]) => SimHash64(c.head,
+        if (c.length > 1) lit(c(1), "simhash64").toInt else 3)),
+    ("minhash_sig",
+      info("minhash_sig", "minhash_sig(text, n, k, seed) - k-permutation MinHash signature"),
+      (c: Seq[Expression]) => MinHashSig(c.head,
+        lit(c(1), "minhash_sig").toInt, lit(c(2), "minhash_sig").toInt, lit(c(3), "minhash_sig"))),
+    ("shingle_set",
+      info("shingle_set", "shingle_set(text, n) - sorted distinct char n-gram hashes"),
+      (c: Seq[Expression]) => ShingleSet(c.head, lit(c(1), "shingle_set").toInt)),
+    ("jaccard_sorted",
+      info("jaccard_sorted", "jaccard_sorted(a, b) - Jaccard of sorted int arrays"),
+      (c: Seq[Expression]) => JaccardSorted(c.head, c(1))),
+    ("cosine_f",
+      info("cosine_f", "cosine_f(a, b) - cosine similarity of float arrays"),
+      (c: Seq[Expression]) => CosineF(c.head, c(1))),
+    ("dot_f",
+      info("dot_f", "dot_f(a, b) - dot product of float arrays"),
+      (c: Seq[Expression]) => DotF(c.head, c(1))),
+    ("hyperplane_sig",
+      info("hyperplane_sig", "hyperplane_sig(vec, planes, dim, seed) - sign-LSH bucket"),
+      (c: Seq[Expression]) => HyperplaneSig(c.head,
+        lit(c(1), "hyperplane_sig").toInt, lit(c(2), "hyperplane_sig").toInt,
+        lit(c(3), "hyperplane_sig")))
+  )
+}

@@ -59,7 +59,17 @@ object Clustering {
     // round, transform reads them again, and the silhouette is a third
     // pass — without the cache each pass re-runs the whole upstream
     // plan (scan + pivot aggregation), a 3×+ rescan at any scale.
-    val assembled = assemble(df, featureCols).cache()
+    // Then right-size partitions: each Lloyd iteration is one job over
+    // the features, so near-empty partitions make the fit pure
+    // scheduler overhead (32 × 300-row tasks × ~25 jobs). Target ~500k
+    // rows per partition — feature rows are a handful of doubles.
+    val cached = assemble(df, featureCols).cache()
+    val n = cached.count()
+    val targetParts = math.max(1L, math.min(
+      cached.rdd.getNumPartitions.toLong, n / 500000L + 1L)).toInt
+    val assembled =
+      if (targetParts < cached.rdd.getNumPartitions) cached.coalesce(targetParts)
+      else cached
     try {
       val model = new KMeans()
         .setK(k).setSeed(seed)
@@ -69,7 +79,7 @@ object Clustering {
       val silhouette = new ClusteringEvaluator()
         .setPredictionCol("cluster").evaluate(preds)
       Fitted(preds, model, model.clusterCenters.map(_.toArray), silhouette)
-    } finally assembled.unpersist()
+    } finally cached.unpersist()
   }
 
   /** Per-cluster summary with the reference's "min - max" range label

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.GraftFunctionRegistry
+import graft.functions.exprs
+
+/** SQL front-end parity for the custom expressions: every function the
+  * Column API exposes must resolve and agree when called from SQL.
+  */
+class SqlFunctionsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    GraftFunctionRegistry.register(spark)
+  }
+
+  test("rolling_hash / simhash64 / shingle_set agree between SQL and Column API") {
+    Seq(("the quick brown fox", 1L)).toDF("t", "id").createOrReplaceTempView("sqlfn_t")
+    val viaSql = spark.sql(
+      """SELECT rolling_hash(t) AS rh, simhash64(t, 3) AS sh,
+        |       shingle_set(t, 5) AS ss, minhash_sig(t, 5, 16, 42) AS ms
+        |FROM sqlfn_t""".stripMargin)
+      .as[(Long, Long, Seq[Int], Seq[Long])].head()
+    val viaCol = Seq("the quick brown fox").toDF("t")
+      .select(exprs.rolling_hash(col("t")), exprs.simhash64(col("t"), 3),
+        exprs.shingle_set(col("t"), 5), exprs.minhash_sig(col("t"), 5, 16, 42L))
+      .as[(Long, Long, Seq[Int], Seq[Long])].head()
+    assert(viaSql === viaCol)
+  }
+
+  test("cosine_f and jaccard_sorted callable from SQL with literal arrays") {
+    val c = spark.sql(
+      """SELECT cosine_f(CAST(array(1.0, 0.0) AS ARRAY<FLOAT>),
+        |                CAST(array(1.0, 0.0) AS ARRAY<FLOAT>)) AS c,
+        |       jaccard_sorted(array(1, 2, 3), array(2, 3, 4)) AS j""".stripMargin)
+      .as[(Double, Double)].head()
+    assert(math.abs(c._1 - 1.0) < 1e-12)
+    assert(math.abs(c._2 - 0.5) < 1e-12)
+  }
+
+  test("non-literal shape parameter is rejected with a clear error") {
+    Seq(("x", 3)).toDF("t", "n").createOrReplaceTempView("sqlfn_bad")
+    val e = intercept[Exception] {
+      spark.sql("SELECT simhash64(t, n) FROM sqlfn_bad").collect()
+    }
+    assert(e.getMessage.contains("literal"))
+  }
+}
