@@ -117,14 +117,13 @@ object SparkEntry {
     // R10: global sums split by flag
     "q_sum_by_flag" -> ((s, dir) => PeriodChange.sumByFlag(changeDf(s, dir))),
 
-    // R11: per-group "min - max" range label (reference's UDF, built-ins here)
+    // R11: per-group "min - max" range label (reference's UDF, built-ins
+    // here; plain-cast render so the oracle can reproduce it — the
+    // reference's format_number style is the same code path, tested via
+    // q_kmeans_clusters)
     "q_label_agg" -> ((s, dir) =>
-      Tables.customer(s, dir)
-        .groupBy(col("c_nationkey"))
-        .agg(min(col("c_acctbal")).as("min_v"), max(col("c_acctbal")).as("max_v"))
-        .withColumn("label",
-          concat(col("min_v").cast("string"), lit(" - "), col("max_v").cast("string")))
-        .orderBy(col("c_nationkey"))),
+      PeriodChange.rangeLabels(
+        Tables.customer(s, dir), "c_nationkey", "c_acctbal", formatted = false)),
 
     // R12+R13: rename + fact↔dim broadcast joins
     "q_join_enrich" -> ((s, dir) => {
@@ -395,6 +394,19 @@ object SparkEntry {
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       Similarity.lshTopK(e, "vec_id", "embedding", queries, "qid", "qv",
           k = 5, numPlanes = 8, numTables = 6, probeHamming = 2)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("cosine"))
+    }),
+
+    // E7: IVF (kmeans-cell) ANN — the index layout for clustered
+    // embedding spaces; recall ≥ 0.9 proven on blob data in
+    // SimilaritySpec (sf embeddings are isotropic, so rows-only here)
+    "q_ann_ivf" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val queries = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.ivfTopK(e, "vec_id", "embedding", queries, "qid", "qv",
+          k = 5, numCells = 16, nProbe = 6)
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("neighbor_id"), col("cosine"))
     }),

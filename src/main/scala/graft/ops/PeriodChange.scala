@@ -77,15 +77,24 @@ object PeriodChange {
 
   /** Per-group "min - max" range label, as the reference's UDF
     * (project-co2.py:130-132) — but with codegen'd built-ins
-    * (format_number + concat) instead of an opaque UDF, so it stays
+    * (format_number/cast + concat) instead of an opaque UDF, so it stays
     * inside whole-stage codegen.
+    *
+    * `formatted = true` renders the reference's human-facing
+    * `format_number(_, 3)` style ("1,234.567"); `false` renders the
+    * plain cast form, which is what ANSI-SQL oracles can reproduce —
+    * one code path, both label styles (q_label_agg uses plain,
+    * q_kmeans_clusters the reference style).
     */
-  def rangeLabels(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+  def rangeLabels(
+      df: DataFrame, groupCol: String, valueCol: String,
+      formatted: Boolean = true): DataFrame = {
+    def render(c: Column): Column =
+      if (formatted) format_number(c, 3) else c.cast("string")
     df.groupBy(col(groupCol))
       .agg(min(col(valueCol)).as("min_v"), max(col(valueCol)).as("max_v"))
       .withColumn("label",
-        concat(
-          format_number(col("min_v"), 3), lit(" - "),
-          format_number(col("max_v"), 3)))
+        concat(render(col("min_v")), lit(" - "), render(col("max_v"))))
       .orderBy(col(groupCol))
+  }
 }

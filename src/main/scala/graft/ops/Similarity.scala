@@ -99,6 +99,65 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** IVF (inverted-file) ANN: a k-means coarse quantizer assigns every
+    * corpus vector to one of `numCells` cells; each query probes only
+    * its `nProbe` nearest cells, so the scan cost drops to
+    * ~nProbe/numCells of the corpus.
+    *
+    * This is the scale path for CLUSTERED embedding corpora (real
+    * embedding spaces are clustered — that is why IVF is the standard
+    * vector-index layout): SimilaritySpec proves recall ≥ 0.9 on
+    * blob-structured data. On isotropic random vectors no cell
+    * structure exists and recall degrades toward nProbe/numCells —
+    * prefer [[lshTopK]] there.
+    *
+    * Plan shape: one KMeans fit (sampleable via `fitFraction`), one
+    * map-side cell assignment on the corpus, centroid distances for the
+    * (tiny, broadcast) query side, bucket join, bounded-heap top-k.
+    */
+  def ivfTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, numCells: Int = 16, nProbe: Int = 4, seed: Long = 42L,
+      fitFraction: Double = 1.0): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val vecs = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("cv"))
+      .withColumn("features", array_to_vector(col("cv")))
+    val fitInput =
+      if (fitFraction < 1.0) vecs.sample(withReplacement = false, fitFraction, seed)
+      else vecs
+    val model = new KMeans().setK(numCells).setSeed(seed)
+      .setFeaturesCol("features").setPredictionCol("cell").fit(fitInput)
+    val cells = model.transform(vecs).select(col("neighbor_id"), col("cv"), col("cell"))
+
+    // centroids are tiny — ship them as a literal array and rank cells
+    // per query by exact squared distance
+    val centArr = array(model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("cell"), array(c.toArray.map(lit): _*).as("cent"))
+    }: _*)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("cell").asc)
+    val probes = queries
+      .select(col(queryId).as("query_id"), col(queryVec).as("qv"))
+      .withColumn("c", explode(centArr))
+      .select(col("query_id"), col("qv"), col("c.cell").as("cell"),
+        aggregate(
+          zip_with(col("qv").cast("array<double>"), col("c.cent"),
+            (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x).as("dist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cell"))
+
+    val scored = cells.join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(exprs.cosine_f(col("cv"), col("qv")), 9).as("cosine"))
+    topKPerQuery(scored, k)
+  }
+
   /** Bounded-heap top-k per query via [[graft.functions.TopKByScore]].
     *
     * A `Window.partitionBy(query_id)` approach would exchange ALL scored

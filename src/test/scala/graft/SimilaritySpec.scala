@@ -76,6 +76,29 @@ class SimilaritySpec extends SparkSpecBase {
     assert(recall >= 0.8)
   }
 
+  test("ivfTopK recall >= 0.9 on blob-structured embeddings (its design target)") {
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    val blobs = (0 until 20).map(_ => Array.fill(dim)(rnd.nextGaussian() * 10))
+    val corpus = (0L until 2000L).map { i =>
+      val c = blobs((i % 20).toInt)
+      (i, c.map(v => (v + rnd.nextGaussian() * 0.5).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+
+    val exact = Similarity.bruteForceTopK(
+        corpus, "vec_id", "embedding", queries, "qid", "qv", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(
+        corpus, "vec_id", "embedding", queries, "qid", "qv",
+        k = 5, numCells = 20, nProbe = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    info(f"IVF recall@5, 20 blobs, nProbe=3/20: $recall%.3f")
+    assert(recall >= 0.9)
+  }
+
   test("lshTopK returns a subset of brute-force candidates with exact scores") {
     val queries = Seq((0L, Array(1.0f, 0.0f, 0.0f))).toDF("qid", "qv")
     val lsh = Similarity.lshTopK(
