@@ -492,6 +492,65 @@ object SparkEntry {
             / 10000.0 / count(lit(1)), 6).as("mean_quality"))
     }),
 
+    // E20: fixed-window chunking with overlap — the packing primitive
+    // for context-length-bounded training data
+    "q_chunk_docs" -> ((s, dir) =>
+      graft.ops.Chunking.chunkFixed(
+          Tables.documents(s, dir), "text", "doc_id", size = 120, overlap = 20)
+        .select(col("doc_id"), col("start"),
+          length(col("chunk")).cast("long").as("chunk_len"),
+          md5(col("chunk")).as("chunk_md5"))),
+
+    // E21: PII redaction. The synthetic corpus contains no emails or
+    // digit runs, so deterministic PII is injected in-query (same
+    // derivation in the oracle) — the redaction path actually redacts.
+    "q_redact_pii" -> ((s, dir) => {
+      val withPii = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact u"), col("doc_id").cast("string"),
+          lit("@mail"), (col("doc_id") % 7).cast("string"), lit(".com ref "),
+          (col("doc_id") * 1000003L).cast("string")).as("t"))
+      withPii.select(col("doc_id"),
+        graft.ops.Chunking.emailCount(col("t")).cast("long").as("n_emails"),
+        graft.ops.Chunking.longNumberCount(col("t")).cast("long").as("n_longnums"),
+        md5(graft.ops.Chunking.redactPii(col("t"))).as("red_md5"))
+    }),
+
+    // E22: deterministic content-hash train/val/test split
+    "q_split_assign" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(graft.ops.Chunking.splitAssign(col("text")).as("split"))
+        .groupBy(col("split")).agg(count(lit(1)).as("n_docs"))),
+
+    // R29: FULL OUTER join with unmatched rows on both sides
+    "q_outer_join" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+        .filter(col("c_custkey") < 500).select(col("c_custkey"), col("c_name"))
+      val o = Tables.orders(s, dir)
+        .filter(year(col("o_orderdate")) === P0)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+        .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("c_name"), coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+    }),
+
+    // R30: cumulative windows — running sum + cume_dist/percent_rank
+    "q_cumulative" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val monthly = Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev_cents"))
+      val cum = Window.partitionBy(col("o_orderpriority")).orderBy(col("month"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val rankW = Window.partitionBy(col("o_orderpriority")).orderBy(col("month"))
+      monthly.select(col("o_orderpriority"), col("month"),
+        (col("rev_cents") / 100.0).as("revenue"),
+        (sum(col("rev_cents")).over(cum) / 100.0).as("cum_revenue"),
+        round(cume_dist().over(rankW), 6).as("cd"),
+        round(percent_rank().over(rankW), 6).as("pr"))
+    }),
+
     // E16: sketch cardinality (HyperLogLog++) — approximate distincts
     // for pipeline telemetry; cross-engine sketches differ, so the check
     // is the relative-error spec in TextAnalysisSpec, not an oracle
@@ -812,6 +871,55 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n_events,
         |       CAST(SUM(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_chunk_docs" ->
+      """SELECT doc_id, CAST(i AS BIGINT) AS start,
+        |       CAST(length(substr(text, i, 120)) AS BIGINT) AS chunk_len,
+        |       md5(substr(text, i, 120)) AS chunk_md5
+        |FROM (SELECT doc_id, text,
+        |             unnest(generate_series(1, greatest(length(text) - 20, 1), 100)) AS i
+        |      FROM documents)""".stripMargin,
+
+    "q_redact_pii" ->
+      """SELECT doc_id,
+        |       CAST(len(regexp_extract_all(t, '[A-Za-z0-9_.]+@[A-Za-z0-9.]+')) AS BIGINT) AS n_emails,
+        |       CAST(len(regexp_extract_all(t, '[0-9]{6,}')) AS BIGINT) AS n_longnums,
+        |       md5(regexp_replace(regexp_replace(t, '[A-Za-z0-9_.]+@[A-Za-z0-9.]+', '<EMAIL>', 'g'),
+        |                          '[0-9]{6,}', '<NUM>', 'g')) AS red_md5
+        |FROM (SELECT doc_id,
+        |             text || ' contact u' || CAST(doc_id AS VARCHAR)
+        |                  || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.com ref '
+        |                  || CAST(doc_id * 1000003 AS VARCHAR) AS t
+        |      FROM documents)""".stripMargin,
+
+    "q_split_assign" ->
+      """SELECT split, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM (SELECT CASE WHEN b < 80 THEN 'train'
+        |                  WHEN b < 90 THEN 'val'
+        |                  ELSE 'test' END AS split
+        |      FROM (SELECT CAST(('0x' || substr(md5(text), 1, 4)) AS BIGINT) % 100 AS b
+        |            FROM documents))
+        |GROUP BY split""".stripMargin,
+
+    "q_outer_join" ->
+      s"""SELECT COALESCE(c_custkey, o_custkey) AS custkey, c_name,
+         |       COALESCE(n_orders, 0) AS n_orders
+         |FROM (SELECT c_custkey, c_name FROM customer WHERE c_custkey < 500) c
+         |FULL JOIN (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+         |           FROM orders WHERE year(o_orderdate) = $P0
+         |           GROUP BY o_custkey) o
+         |ON c_custkey = o_custkey""".stripMargin,
+
+    "q_cumulative" ->
+      """SELECT o_orderpriority, month,
+        |       CAST(rev_cents AS DOUBLE) / 100.0 AS revenue,
+        |       CAST(sum(rev_cents) OVER (PARTITION BY o_orderpriority ORDER BY month
+        |                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0 AS cum_revenue,
+        |       round(cume_dist() OVER (PARTITION BY o_orderpriority ORDER BY month), 6) AS cd,
+        |       round(percent_rank() OVER (PARTITION BY o_orderpriority ORDER BY month), 6) AS pr
+        |FROM (SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m') AS month,
+        |             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        |      FROM orders GROUP BY 1, 2)""".stripMargin,
 
     "q_corpus_pipeline" -> {
       val stops = TextAnalysis.EnglishStopwords.map(w => s"'$w'").mkString(", ")

@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus shaping for training pipelines: fixed-window chunking,
+  * PII redaction, deterministic content-hash split assignment.
+  *
+  * All three are per-row scalar/generator transforms — no shuffle, fully
+  * pipelined with the scan (the split assignment in particular MUST be a
+  * pure content hash: a `rand()` split is neither reproducible across
+  * runs nor stable when the corpus is re-partitioned).
+  */
+object Chunking {
+
+  /** Explode each document into fixed-size character windows with
+    * `overlap` characters of context carried between consecutive chunks
+    * (the char-level analog of token-window packing). One generator per
+    * row: starts are 1, 1+step, … while start ≤ max(len − overlap, 1),
+    * step = size − overlap.
+    */
+  def chunkFixed(
+      docs: DataFrame, textCol: String, idCol: String,
+      size: Int, overlap: Int): DataFrame = {
+    require(size > overlap && overlap >= 0)
+    val step = size - overlap
+    docs
+      .select(col(idCol), col(textCol).as("__text"))
+      .withColumn("start",
+        explode(sequence(lit(1),
+          greatest(length(col("__text")) - overlap, lit(1)), lit(step))))
+      .select(col(idCol), col("start").cast("long").as("start"),
+        substring(col("__text"), col("start"), lit(size)).as("chunk"))
+  }
+
+  /** ASCII-explicit patterns so Java regex and RE2-style engines agree. */
+  val EmailPattern = "[A-Za-z0-9_.]+@[A-Za-z0-9.]+"
+  val LongNumberPattern = "[0-9]{6,}"
+
+  /** Redact emails then long digit runs (order matters: the email rule
+    * consumes digits inside addresses first — keep both engines on the
+    * same order).
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "<EMAIL>"),
+      LongNumberPattern, "<NUM>")
+
+  def emailCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(EmailPattern), lit(0)))
+
+  def longNumberCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(LongNumberPattern), lit(0)))
+
+  /** Deterministic train/val/test assignment from a CONTENT hash:
+    * bucket = first 16 bits of md5(content) mod 100. Stable across
+    * engines, runs, partitionings, and corpus growth (a doc keeps its
+    * split forever) — the properties row-number or rand() splits lack.
+    */
+  def splitAssign(content: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
+    val bucket = conv(substring(md5(content), 1, 4), 16, 10).cast("long") % 100
+    when(bucket < trainPct, "train")
+      .when(bucket < trainPct + valPct, "val")
+      .otherwise("test")
+  }
+}
