@@ -551,6 +551,16 @@ object SparkEntry {
         round(percent_rank().over(rankW), 6).as("pr"))
     }),
 
+    // E23: corpus token frequency — explode + count + deterministic
+    // top-k, the vocabulary-building primitive
+    "q_top_ngrams" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc)
+        .limit(20)),
+
     // E16: sketch cardinality (HyperLogLog++) — approximate distincts
     // for pipeline telemetry; cross-engine sketches differ, so the check
     // is the relative-error spec in TextAnalysisSpec, not an oracle
@@ -871,6 +881,12 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n_events,
         |       CAST(SUM(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_top_ngrams" ->
+      """SELECT token, CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |WHERE length(token) > 0
+        |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
 
     "q_chunk_docs" ->
       """SELECT doc_id, CAST(i AS BIGINT) AS start,
