@@ -201,17 +201,25 @@ object Dedup {
       struct(lit(t).as("t"),
         Similarity.hyperplaneSignature(col("v"), numPlanes, dim, seed + t).as("sig"))
     }
+    // Bucket rows and candidate pairs carry IDS ONLY. Carrying the
+    // vectors through the explode/join/dedup would (a) multiply the
+    // shuffled bytes by numTables and (b) force the distinct into a
+    // SortAggregate (array-typed agg buffers aren't hash-able) — a full
+    // sort of the candidate space. Ids alone keep it a HashAggregate;
+    // vectors are joined back only for the (rare) surviving candidates.
     val buckets = keyed
-      .select(col("id"), col("v"), explode(array(tableCols: _*)).as("b"))
-      .select(col("id"), col("v"), col("b.t").as("t"), col("b.sig").as("sig"))
+      .select(col("id"), explode(array(tableCols: _*)).as("b"))
+      .select(col("id"), col("b.t").as("t"), col("b.sig").as("sig"))
     val a = buckets.as("a")
     val b = buckets.as("b")
-    a.join(b,
+    val candidates = a.join(b,
         col("a.t") === col("b.t") && col("a.sig") === col("b.sig") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.v").as("va"), col("b.v").as("vb"))
-      .dropDuplicates("id_a", "id_b")
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    candidates
+      .join(keyed.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+      .join(keyed.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
       .withColumn("cosine", exprs.cosine_f(col("va"), col("vb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))

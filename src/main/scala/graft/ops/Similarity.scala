@@ -81,19 +81,28 @@ object Similarity {
       struct(lit(t).as("t"),
         hyperplaneSignature(vec, numPlanes, dim, seed + t).as("sig"))
     }
+    // Bucket rows carry ids only (vectors joined back post-dedup): with
+    // the vectors inline the numTables× explode multiplies shuffled
+    // bytes and the candidate dedup degrades from HashAggregate to a
+    // SortAggregate over array payloads.
     val cb = corpus
-      .select(col(corpusId).as("neighbor_id"), col(corpusVec).as("cv"),
+      .select(col(corpusId).as("neighbor_id"),
         explode(array(tableCol(col(corpusVec)): _*)).as("b"))
-      .select(col("neighbor_id"), col("cv"),
-        col("b.t").as("t"), col("b.sig").as("sig"))
+      .select(col("neighbor_id"), col("b.t").as("t"), col("b.sig").as("sig"))
     val qb = queries
-      .select(col(queryId).as("query_id"), col(queryVec).as("qv"),
+      .select(col(queryId).as("query_id"),
         explode(array(tableCol(col(queryVec)): _*)).as("b"))
-      .select(col("query_id"), col("qv"), col("b.t").as("t"),
+      .select(col("query_id"), col("b.t").as("t"),
         explode(array(probeMasks.map(m => col("b.sig").bitwiseXOR(lit(m))): _*)).as("sig"))
-    val scored = cb.join(broadcast(qb), Seq("t", "sig"))
+    val candidates = cb.join(broadcast(qb), Seq("t", "sig"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .dropDuplicates("query_id", "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"))
+      .distinct()
+    val scored = candidates
+      .join(corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("cv")),
+        "neighbor_id")
+      .join(broadcast(queries.select(col(queryId).as("query_id"), col(queryVec).as("qv"))),
+        "query_id")
       .select(col("query_id"), col("neighbor_id"),
         round(exprs.cosine_f(col("cv"), col("qv")), 9).as("cosine"))
     topKPerQuery(scored, k)
