@@ -134,11 +134,23 @@ object Similarity {
 
     val vecs = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("cv"))
       .withColumn("features", array_to_vector(col("cv")))
-    val fitInput =
+    // cache + right-size the fit input: every Lloyd iteration is a job
+    // over it, and near-empty partitions make the fit scheduler-bound
+    // (same fix as Clustering.fitPredict)
+    val sampled =
       if (fitFraction < 1.0) vecs.sample(withReplacement = false, fitFraction, seed)
       else vecs
-    val model = new KMeans().setK(numCells).setSeed(seed)
-      .setFeaturesCol("features").setPredictionCol("cell").fit(fitInput)
+    val fitInput = sampled.cache()
+    val n = fitInput.count()
+    val targetParts = math.max(1L, math.min(
+      fitInput.rdd.getNumPartitions.toLong, n / 500000L + 1L)).toInt
+    val fitReady =
+      if (targetParts < fitInput.rdd.getNumPartitions) fitInput.coalesce(targetParts)
+      else fitInput
+    val model =
+      try new KMeans().setK(numCells).setSeed(seed)
+        .setFeaturesCol("features").setPredictionCol("cell").fit(fitReady)
+      finally fitInput.unpersist()
     val cells = model.transform(vecs).select(col("neighbor_id"), col("cv"), col("cell"))
 
     // centroids are tiny — ship them as a literal array and rank cells

@@ -49,6 +49,17 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
+  /** JSON-lines ingest. Same schema caveat as CSV: without an explicit
+    * schema Spark runs a full inference pass over the data first.
+    */
+  def jsonLines(
+      spark: SparkSession, path: String,
+      schema: Option[StructType] = None): DataFrame =
+    schema match {
+      case Some(s) => spark.read.schema(s).json(path)
+      case None    => spark.read.json(path)
+    }
+
   /** CSV ingest with the reference's options. Prefer an explicit schema:
     * `inferSchema` forces an extra full pass over the data — fine on a
     * 270 KB CSV, catastrophic on 100 TB.

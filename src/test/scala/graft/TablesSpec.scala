@@ -38,6 +38,21 @@ class TablesSpec extends SparkSpecBase {
     assert(de.getDouble(2) === 10.5)
   }
 
+  test("json-lines reader honors an explicit schema (no inference pass)") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val f = Files.createTempFile("graft-docs", ".jsonl")
+    Files.writeString(f,
+      """{"id":1,"name":"alpha"}
+        |{"id":2,"name":"beta"}
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    val df = Tables.jsonLines(spark, f.toString, Some(schema))
+    assert(df.schema === schema)
+    assert(df.as[(Long, String)].collect().toSet === Set((1L, "alpha"), (2L, "beta")))
+  }
+
   test("entry (flagship) returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
