@@ -466,6 +466,30 @@ object SparkEntry {
         .select(col("doc_id"),
           TextAnalysis.fingerprintMd5(col("text")).as("fp_md5"))),
 
+    // R31: as-of join (point-in-time lookup) — each click joined to the
+    // user's latest view at or before it; DuckDB's native ASOF JOIN is
+    // the oracle for the composed union+window plan
+    "q_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("view_event_id"), col("value").as("view_value"))
+      graft.ops.AsOfJoin.leftAsOf(clicks, views, "user_id", "ts",
+          Seq("view_event_id", "view_value"))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+          col("asof_view_event_id"), col("asof_view_value"))
+    }),
+
+    // E24: approximate quantiles (GK sketch) — cross-engine sketches
+    // differ, so the bound is the SketchSpec error check, not an oracle
+    "q_approx_quantile" -> ((s, dir) =>
+      Tables.lineitem(s, dir).agg(
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_median"),
+        count(lit(1)).as("n"))),
+
     // E13/E14: event-time tumbling windows (same transform as streaming)
     "q_event_windows" -> ((s, dir) =>
       EventStream.windowedAgg(Tables.events(s, dir), "1 hour")),
@@ -936,6 +960,15 @@ object SparkEntry {
         |FROM (SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m') AS month,
         |             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
         |      FROM orders GROUP BY 1, 2)""".stripMargin,
+
+    "q_asof_join" ->
+      """SELECT l.event_id, l.user_id,
+        |       strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+        |       r.event_id AS asof_view_event_id,
+        |       r.value AS asof_view_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+        |ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
 
     "q_corpus_pipeline" -> {
       val stops = TextAnalysis.EnglishStopwords.map(w => s"'$w'").mkString(", ")

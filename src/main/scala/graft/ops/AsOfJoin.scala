@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** As-of join: for every left row, the single latest right row of the
+  * same key with `rightTime <= leftTime` — the point-in-time lookup
+  * (feature stores, slowly-changing state, market data).
+  *
+  * Spark has no native ASOF operator; the scalable composition is the
+  * union trick: tag both sides, union them, and run ONE window pass per
+  * key ordered by time where `last(right-row-struct, ignoreNulls)`
+  * carries the most recent right row forward into each left row. Cost:
+  * a single shuffle on the key — a naive "equi-join + filter + argmax"
+  * materializes every (left, earlier-right) pair first; this never
+  * forms pairs at all. The right row travels as ONE struct, so its
+  * columns can never mix across different right rows.
+  *
+  * Equal timestamps count as "at or before": right rows sort before
+  * left rows on ties (`__is_right` descending in the window order),
+  * matching native ASOF JOIN `l.t >= r.t` semantics (DuckDB's ASOF
+  * JOIN is the oracle for q_asof_join).
+  */
+object AsOfJoin {
+
+  /** @param valueCols right-side columns carried onto each left row as
+    *                   `asof_<name>` (null when no right row precedes)
+    */
+  def leftAsOf(
+      left: DataFrame, right: DataFrame,
+      keyCol: String, timeCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val rType = StructType(valueCols.map(c => right.schema(c)))
+    val taggedLeft = left
+      .withColumn("__is_right", lit(false))
+      .withColumn("__r", lit(null).cast(rType))
+    val taggedRight = right.select(
+      (Seq(col(keyCol), col(timeCol), lit(true).as("__is_right"),
+        struct(valueCols.map(col): _*).as("__r")) ++
+        leftCols.filterNot(c => c == keyCol || c == timeCol)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(timeCol).asc, col("__is_right").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    taggedLeft.unionByName(taggedRight)
+      .withColumn("__r_last", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(!col("__is_right"))
+      .select(leftCols.map(col) ++
+        valueCols.map(c => col(s"__r_last.$c").as(s"asof_$c")): _*)
+  }
+}

@@ -64,16 +64,23 @@ object Tables {
     * `inferSchema` forces an extra full pass over the data — fine on a
     * 270 KB CSV, catastrophic on 100 TB.
     */
+  /** @param mode malformed-row policy: PERMISSIVE (nulls for bad
+    *             fields), DROPMALFORMED (skip the row), FAILFAST
+    *             (abort the job) — the ingest-robustness dial a 100 TB
+    *             landing zone needs explicit (TablesSpec covers all 3).
+    */
   def csv(
       spark: SparkSession,
       path: String,
       schema: Option[StructType] = None,
       header: Boolean = true,
       escape: String = "\"",
-      inferSchema: Boolean = false): DataFrame = {
+      inferSchema: Boolean = false,
+      mode: String = "PERMISSIVE"): DataFrame = {
     val base = spark.read
       .option("header", header.toString)
       .option("escape", escape)
+      .option("mode", mode)
     schema match {
       case Some(s) => base.schema(s).csv(path)
       case None    => base.option("inferSchema", inferSchema.toString).csv(path)

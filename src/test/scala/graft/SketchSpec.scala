@@ -9,6 +9,17 @@ import org.apache.spark.sql.functions._
 class SketchSpec extends SparkSpecBase {
   import spark.implicits._
 
+  test("percentile_approx(accuracy=10000) lands within 1% of the exact median at sf0.01") {
+    val li = graft.sources.Tables.lineitem(spark, Sf001)
+    val approx = li.agg(
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)))
+      .as[Double].head()
+    val exact = li.agg(expr("percentile(l_extendedprice, 0.5)")).as[Double].head()
+    val relErr = math.abs(approx - exact) / exact
+    info(f"GK approx median $approx%.2f vs exact $exact%.2f (rel err $relErr%.5f)")
+    assert(relErr < 0.01)
+  }
+
   test("approx_count_distinct(rsd=0.02) lands within 5% of the exact count at sf0.01") {
     val orders = graft.sources.Tables.orders(spark, Sf001)
     val approx = orders.agg(approx_count_distinct(col("o_custkey"), rsd = 0.02))

@@ -114,6 +114,34 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("checkpointed file sink: restart resumes exactly-once (no re-emitted batches)") {
+    implicit val sqlCtx = spark.sqlContext
+    import java.nio.file.Files
+    val out = Files.createTempDirectory("graft-stream-out").toString
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt").toString
+    val stream = MemoryStream[(Timestamp, String, Double, Long)]
+    def start() = stream.toDF().toDF("ts", "event_type", "value", "user_id")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    val q1 = start()
+    stream.addData(Seq(
+      (ts("2024-01-01 10:00:00"), "click", 1.0, 1L),
+      (ts("2024-01-01 10:01:00"), "click", 2.0, 2L)))
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.read.parquet(out).count() === 2)
+
+    // restart from the checkpoint; only NEW data may land in the sink
+    val q2 = start()
+    stream.addData(Seq((ts("2024-01-01 10:02:00"), "click", 4.0, 3L)))
+    try q2.processAllAvailable() finally q2.stop()
+    val rows = spark.read.parquet(out)
+      .select("user_id").as[Long].collect().sorted
+    assert(rows === Array(1L, 2L, 3L),
+      "batch 1 must not be re-emitted after restart")
+  }
+
   test("sessionAgg groups events into gap-based sessions") {
     val sessRows = Seq(
       (ts("2024-01-01 10:00:00"), "click", 1.0, 1L),

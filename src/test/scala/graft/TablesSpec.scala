@@ -38,6 +38,26 @@ class TablesSpec extends SparkSpecBase {
     assert(de.getDouble(2) === 10.5)
   }
 
+  test("csv malformed-row modes: PERMISSIVE nulls, DROPMALFORMED skips, FAILFAST throws") {
+    import org.apache.spark.sql.types._
+    val f = Files.createTempFile("graft-bad", ".csv")
+    Files.writeString(f, "id,v\n1,1.5\nnotanint,alsobad\n3,2.5\n")
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("v", DoubleType)))
+
+    val permissive = Tables.csv(spark, f.toString, Some(schema)).collect()
+    assert(permissive.length === 3)
+    assert(permissive.count(r => r.isNullAt(0) && r.isNullAt(1)) === 1)
+
+    val dropped = Tables.csv(spark, f.toString, Some(schema),
+      mode = "DROPMALFORMED").collect()
+    assert(dropped.length === 2)
+
+    intercept[org.apache.spark.SparkException] {
+      Tables.csv(spark, f.toString, Some(schema), mode = "FAILFAST").collect()
+    }
+  }
+
   test("json-lines reader honors an explicit schema (no inference pass)") {
     import org.apache.spark.sql.types._
     import spark.implicits._
