@@ -483,6 +483,11 @@ object SparkEntry {
           col("asof_view_event_id"), col("asof_view_value"))
     }),
 
+    // E28: per-label embedding centroids (mean pooling) via exact
+    // micro-unit sums — partition-order independent vector averaging
+    "q_embed_centroids" -> ((s, dir) =>
+      Similarity.meanPoolByGroup(Tables.embeddings(s, dir), "label", "embedding")),
+
     // E24: approximate quantiles (GK sketch) — cross-engine sketches
     // differ, so the bound is the SketchSpec error check, not an oracle
     "q_approx_quantile" -> ((s, dir) =>
@@ -960,6 +965,14 @@ object SparkEntry {
         |FROM (SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m') AS month,
         |             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
         |      FROM orders GROUP BY 1, 2)""".stripMargin,
+
+    "q_embed_centroids" ->
+      """SELECT label, CAST(pos AS BIGINT) AS pos, CAST(count(*) AS BIGINT) AS n,
+        |       round(CAST(sum(CAST(round(x * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 / count(*), 9) AS mean
+        |FROM (SELECT label, unnest(embedding) AS x,
+        |             generate_subscripts(embedding, 1) - 1 AS pos
+        |      FROM embeddings)
+        |GROUP BY label, pos""".stripMargin,
 
     "q_asof_join" ->
       """SELECT l.event_id, l.user_id,

@@ -179,6 +179,32 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Per-group mean pooling of an embedding column — the centroid
+    * computation behind class prototypes, cluster summaries and
+    * multi-vector document pooling.
+    *
+    * Shape: posexplode to (group, position, component) rows, one
+    * partial-aggregated shuffle on (group, position). Components are
+    * summed as exact micro-units (`round(x·1e6)` longs) so the result
+    * is bit-identical under any partitioning — a float sum would drift
+    * with aggregation order on a real cluster.
+    *
+    * Output is long-form (group, pos, mean) — `collect_list` it back
+    * into vectors when needed (kept long-form here so the cross-engine
+    * oracle can compare rows directly).
+    */
+  def meanPoolByGroup(
+      embs: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    embs
+      .select(col(groupCol), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col(groupCol), col("pos"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(round(col("x") * 1e6).cast("long")).as("sum_micro"))
+      .select(col(groupCol), col("pos").cast("long").as("pos"),
+        col("n"),
+        round(col("sum_micro").cast("double") / 1e6 / col("n"), 9).as("mean"))
+
   /** Bounded-heap top-k per query via [[graft.functions.TopKByScore]].
     *
     * A `Window.partitionBy(query_id)` approach would exchange ALL scored
