@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{HashKernels, TopKBuffer, TopKByScore}
+
+/** Deterministic fuzz over the hand-written kernels — the code most
+  * likely to harbor edge-case bugs (rolling windows, merge walks,
+  * bounded heaps). Seeded, so failures reproduce.
+  */
+class KernelFuzzSpec extends AnyFunSuite {
+
+  private def utf8(s: String) = UTF8String.fromString(s)
+
+  test("jaccardSorted matches set arithmetic on 500 random sorted pairs") {
+    val rnd = new scala.util.Random(1)
+    (0 until 500).foreach { _ =>
+      val a = Array.fill(rnd.nextInt(40))(rnd.nextInt(60)).distinct.sorted
+      val b = Array.fill(rnd.nextInt(40))(rnd.nextInt(60)).distinct.sorted
+      val got = HashKernels.jaccardSorted(
+        new GenericArrayData(a), new GenericArrayData(b))
+      val inter = a.toSet.intersect(b.toSet).size
+      val union = a.toSet.union(b.toSet).size
+      val want = if (union == 0) 1.0 else inter.toDouble / union
+      assert(got === want, s"a=${a.toSeq} b=${b.toSeq}")
+    }
+  }
+
+  test("shingleSet is sorted-distinct for arbitrary strings incl. unicode and short/empty") {
+    val rnd = new scala.util.Random(2)
+    val alphabets = Seq("ab", "abcde", "aéλ語 x", " ")
+    (0 until 300).foreach { i =>
+      val alpha = alphabets(i % alphabets.length)
+      val s = Array.fill(rnd.nextInt(30))(alpha(rnd.nextInt(alpha.length))).mkString
+      val arr = HashKernels.shingleSet(utf8(s), 5)
+      val ints = (0 until arr.numElements()).map(arr.getInt)
+      assert(ints === ints.distinct.sorted, s"input='$s'")
+      if (s.getBytes("UTF-8").isEmpty) assert(ints.isEmpty)
+      else assert(ints.nonEmpty)
+    }
+  }
+
+  test("simhash self-distance 0; minhash signatures equal for equal strings, length k") {
+    val rnd = new scala.util.Random(3)
+    (0 until 200).foreach { _ =>
+      val s = Array.fill(rnd.nextInt(50))(('a' + rnd.nextInt(26)).toChar).mkString
+      assert(HashKernels.simHash(utf8(s), 3) === HashKernels.simHash(utf8(s), 3))
+      val sig1 = HashKernels.minhashSig(utf8(s), 5, 32, 42L)
+      val sig2 = HashKernels.minhashSig(utf8(s), 5, 32, 42L)
+      assert(sig1.numElements() === 32)
+      assert((0 until 32).forall(i => sig1.getLong(i) == sig2.getLong(i)))
+    }
+  }
+
+  test("cosineF stays in [-1, 1] and is ~1 on positive-scaled copies") {
+    val rnd = new scala.util.Random(4)
+    (0 until 200).foreach { _ =>
+      val n = 1 + rnd.nextInt(64)
+      val v = Array.fill(n)(rnd.nextGaussian().toFloat)
+      val w = Array.fill(n)(rnd.nextGaussian().toFloat)
+      val va: ArrayData = new GenericArrayData(v)
+      val wa: ArrayData = new GenericArrayData(w)
+      val c = HashKernels.cosineF(va, wa)
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+      val scaled: ArrayData = new GenericArrayData(v.map(_ * 2.0f))
+      if (v.exists(_ != 0.0f))
+        assert(math.abs(HashKernels.cosineF(va, scaled) - 1.0) < 1e-9)
+    }
+  }
+
+  test("TopKBuffer under random inserts, splits, serialization and merges == sort-take-k") {
+    val rnd = new scala.util.Random(5)
+    (0 until 200).foreach { trial =>
+      val k = 1 + rnd.nextInt(8)
+      val n = rnd.nextInt(60)
+      // quantized scores force plenty of ties → tiebreak correctness
+      val entries = Seq.fill(n)((rnd.nextInt(5).toDouble, rnd.nextLong() % 1000))
+        .distinct
+      val want = entries.sortBy { case (s, id) => (-s, id) }.take(k)
+
+      val aggK = TopKByScore(null, null, k)
+      val partitions = entries.groupBy(_ => rnd.nextInt(4)).values.toSeq
+      val revived = partitions.map { p =>
+        val b = new TopKBuffer(k)
+        p.foreach { case (s, id) => b.insert(s, id) }
+        aggK.deserialize(aggK.serialize(b)) // round-trip every buffer
+      }
+      val target = new TopKBuffer(k)
+      rnd.shuffle(revived).foreach(b => b.heap.forEach(e => target.insert(e.score, e.id)))
+      val got = target.sorted.map(e => (e.score, e.id)).toSeq
+      assert(got === want, s"trial=$trial k=$k entries=$entries")
+    }
+  }
+}
