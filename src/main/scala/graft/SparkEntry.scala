@@ -590,6 +590,21 @@ object SparkEntry {
         .orderBy(col("n").desc, col("token").asc)
         .limit(20)),
 
+    // E29: data-quality profiling — per-column row/null/distinct/range
+    // stats, the pre-flight check before any 100 TB ingest
+    "q_profile" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      Seq("l_quantity", "l_discount", "l_returnflag").map { c =>
+        li.agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+          count_distinct(col(c)).as("n_distinct"),
+          min(col(c)).cast("string").as("min_str"),
+          max(col(c)).cast("string").as("max_str"))
+          .withColumn("column_name", lit(c))
+      }.reduce(_.unionByName(_))
+    }),
+
     // E16: sketch cardinality (HyperLogLog++) — approximate distincts
     // for pipeline telemetry; cross-engine sketches differ, so the check
     // is the relative-error spec in TextAnalysisSpec, not an oracle
@@ -965,6 +980,16 @@ object SparkEntry {
         |FROM (SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m') AS month,
         |             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
         |      FROM orders GROUP BY 1, 2)""".stripMargin,
+
+    "q_profile" -> Seq("l_quantity", "l_discount", "l_returnflag").map { c =>
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |       CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         |       CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |       CAST(min($c) AS VARCHAR) AS min_str,
+         |       CAST(max($c) AS VARCHAR) AS max_str,
+         |       '$c' AS column_name
+         |FROM lineitem""".stripMargin
+    }.mkString("\nUNION ALL\n"),
 
     "q_embed_centroids" ->
       """SELECT label, CAST(pos AS BIGINT) AS pos, CAST(count(*) AS BIGINT) AS n,

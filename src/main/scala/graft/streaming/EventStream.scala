@@ -105,6 +105,29 @@ object EventStream {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** Stream-stream interval join: each click joined to the same user's
+    * views from the preceding `withinMinutes` — attribution joins on
+    * two live feeds. Both sides carry watermarks and the join condition
+    * bounds the event-time distance, so Spark can evict buffered rows
+    * once the watermark passes their join window: bounded state on two
+    * unbounded inputs (without the time bound the state would grow
+    * forever — Spark rejects such joins in append mode).
+    */
+  def clickViewIntervalJoin(
+      clicks: DataFrame, views: DataFrame,
+      withinMinutes: Int = 30, watermark: String = "1 hour"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val v = views.withWatermark("ts", watermark)
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+    c.join(v,
+      col("c_user") === col("v_user") &&
+        col("view_ts") >= col("click_ts") - expr(s"INTERVAL $withinMinutes MINUTES") &&
+        col("view_ts") <= col("click_ts"))
+  }
+
   /** Per-user session stats with a session-window (gap-based) —
     * the streaming-native sessionization the reference's batch world has
     * no equivalent for.

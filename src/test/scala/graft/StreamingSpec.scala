@@ -114,6 +114,35 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches only views within the window, per user") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, Long)] // (event_id, ts, user_id)
+    val views = MemoryStream[(Long, Timestamp, Long)]
+    def df(s: MemoryStream[(Long, Timestamp, Long)]) =
+      s.toDF().toDF("event_id", "ts", "user_id")
+    val q = EventStream.clickViewIntervalJoin(df(clicks), df(views), withinMinutes = 30)
+      .select("click_id", "view_id")
+      .writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    try {
+      views.addData(Seq(
+        (100L, ts("2024-01-01 10:00:00"), 1L), // within 30 min of click 1
+        (101L, ts("2024-01-01 08:00:00"), 1L), // too old
+        (102L, ts("2024-01-01 10:10:00"), 2L)  // other user
+      ))
+      clicks.addData(Seq((1L, ts("2024-01-01 10:20:00"), 1L)))
+      q.processAllAvailable()
+      // push watermarks forward so results flush in append mode
+      views.addData(Seq((199L, ts("2024-01-01 15:00:00"), 9L)))
+      clicks.addData(Seq((99L, ts("2024-01-01 15:00:00"), 9L)))
+      q.processAllAvailable()
+      val got = spark.table("ss_join").as[(Long, Long)].collect().toSet
+      assert(got.contains((1L, 100L)), s"in-window view must join, got $got")
+      assert(!got.exists(_._2 == 101L), "view older than the window must not join")
+      assert(!got.exists(_._2 == 102L), "other user's view must not join")
+    } finally q.stop()
+  }
+
   test("checkpointed file sink: restart resumes exactly-once (no re-emitted batches)") {
     implicit val sqlCtx = spark.sqlContext
     import java.nio.file.Files
