@@ -263,10 +263,13 @@ object SparkEntry {
         .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev_cents"))
       val w = Window.partitionBy(col("o_orderpriority"))
         .orderBy(col("o_orderdate")).rowsBetween(-3, 0)
+      // no rounding: the double division of exact cent sums is
+      // bit-identical across engines, while round() at a decimal tie
+      // (possible with frame counts 1..4 → denominators 100..800) is not
       daily
         .withColumn("ma4",
-          round(sum(col("rev_cents")).over(w).cast("double")
-            / count(lit(1)).over(w) / 100.0, 4))
+          sum(col("rev_cents")).over(w).cast("double")
+            / count(lit(1)).over(w) / 100.0)
         .select(col("o_orderpriority"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
           (col("rev_cents") / 100.0).as("revenue"), col("ma4"))
@@ -576,8 +579,8 @@ object SparkEntry {
       monthly.select(col("o_orderpriority"), col("month"),
         (col("rev_cents") / 100.0).as("revenue"),
         (sum(col("rev_cents")).over(cum) / 100.0).as("cum_revenue"),
-        round(cume_dist().over(rankW), 6).as("cd"),
-        round(percent_rank().over(rankW), 6).as("pr"))
+        cume_dist().over(rankW).as("cd"),
+        percent_rank().over(rankW).as("pr"))
     }),
 
     // E23: corpus token frequency — explode + count + deterministic
@@ -746,8 +749,8 @@ object SparkEntry {
       """SELECT o_orderpriority,
         |       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
         |       CAST(rev_cents AS DOUBLE) / 100.0 AS revenue,
-        |       round(CAST(sum(rev_cents) OVER w AS DOUBLE)
-        |             / (count(*) OVER w) / 100.0, 4) AS ma4
+        |       CAST(sum(rev_cents) OVER w AS DOUBLE)
+        |             / (count(*) OVER w) / 100.0 AS ma4
         |FROM (SELECT o_orderpriority, o_orderdate,
         |             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
         |      FROM orders GROUP BY o_orderpriority, o_orderdate)
@@ -975,8 +978,8 @@ object SparkEntry {
         |       CAST(rev_cents AS DOUBLE) / 100.0 AS revenue,
         |       CAST(sum(rev_cents) OVER (PARTITION BY o_orderpriority ORDER BY month
         |                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0 AS cum_revenue,
-        |       round(cume_dist() OVER (PARTITION BY o_orderpriority ORDER BY month), 6) AS cd,
-        |       round(percent_rank() OVER (PARTITION BY o_orderpriority ORDER BY month), 6) AS pr
+        |       cume_dist() OVER (PARTITION BY o_orderpriority ORDER BY month) AS cd,
+        |       percent_rank() OVER (PARTITION BY o_orderpriority ORDER BY month) AS pr
         |FROM (SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m') AS month,
         |             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
         |      FROM orders GROUP BY 1, 2)""".stripMargin,
@@ -993,7 +996,7 @@ object SparkEntry {
 
     "q_embed_centroids" ->
       """SELECT label, CAST(pos AS BIGINT) AS pos, CAST(count(*) AS BIGINT) AS n,
-        |       round(CAST(sum(CAST(round(x * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 / count(*), 9) AS mean
+        |       CAST(sum(CAST(round(x * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 / count(*) AS mean
         |FROM (SELECT label, unnest(embedding) AS x,
         |             generate_subscripts(embedding, 1) - 1 AS pos
         |      FROM embeddings)

@@ -201,9 +201,13 @@ object Similarity {
       .agg(
         count(lit(1)).as("n"),
         sum(round(col("x") * 1e6).cast("long")).as("sum_micro"))
+      // NO rounding on the mean: the double division of exact integer
+      // sums is already bit-identical in any IEEE engine, while a
+      // round(_, 9) at a decimal tie boundary is engine-dependent
+      // (BigDecimal half-up vs scaled-double rounding disagree there)
       .select(col(groupCol), col("pos").cast("long").as("pos"),
         col("n"),
-        round(col("sum_micro").cast("double") / 1e6 / col("n"), 9).as("mean"))
+        (col("sum_micro").cast("double") / 1e6 / col("n")).as("mean"))
 
   /** Bounded-heap top-k per query via [[graft.functions.TopKByScore]].
     *
