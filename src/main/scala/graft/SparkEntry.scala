@@ -17,6 +17,11 @@ import graft.streaming.EventStream
   *    associative, integer sums are;
   *  - every computed column is aliased identically in Spark and SQL;
   *  - counts/sizes cast to long (duckdb count/len are BIGINT);
+  *  - `round()` ONLY where the two engines compute genuinely different
+  *    doubles (independent implementations like cosine or ln); NEVER on
+  *    a division of identical exact integers — that double is already
+  *    bit-identical, and rounding it at a decimal tie is
+  *    engine-dependent (BigDecimal half-up vs scaled-double disagree);
   *  - top-k orderings always carry a unique tiebreak column;
   *  - timestamps surface as `date_format` strings (parquet tz-annotation
   *    vs duckdb naive timestamps would otherwise diverge).
@@ -437,9 +442,12 @@ object SparkEntry {
     // E8: multimodal plumbing — batched feature extraction over payloads
     "q_multimodal_meta" -> ((s, dir) => {
       val media = Multimodal.mediaFromDocuments(Tables.documents(s, dir))
+      // mean_intensity: raw double (exact-int division, identical in any
+      // IEEE engine — round() there only adds decimal-tie risk);
+      // byte_entropy: rounded, because ln() differs by ulps across libms
       Multimodal.extractFeatures(s, media).toDF()
         .select(col("media_id"), col("mime"), col("n_bytes"), col("width"),
-          col("height"), round(col("mean_intensity"), 4).as("mean_intensity"),
+          col("height"), col("mean_intensity"),
           round(col("byte_entropy"), 4).as("byte_entropy"))
     }),
 
@@ -918,7 +926,7 @@ object SparkEntry {
         |SELECT b.media_id, mime, n_bytes,
         |       CAST(greatest(1, floor(sqrt(CAST(n_bytes AS DOUBLE)))) AS INTEGER) AS width,
         |       CAST(greatest(1, floor(sqrt(CAST(n_bytes AS DOUBLE)))) AS INTEGER) AS height,
-        |       round(mean_raw, 4) AS mean_intensity,
+        |       mean_raw AS mean_intensity,
         |       round(ent_raw, 4) AS byte_entropy
         |FROM b JOIN stats USING (media_id)""".stripMargin,
 
