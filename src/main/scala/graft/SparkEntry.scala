@@ -528,8 +528,8 @@ object SparkEntry {
         .agg(
           count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("total_tokens"),
-          round(sum(round(col("quality") * 10000).cast("long")).cast("double")
-            / 10000.0 / count(lit(1)), 6).as("mean_quality"))
+          (sum(round(col("quality") * 10000).cast("long")).cast("double")
+            / 10000.0 / count(lit(1))).as("mean_quality"))
     }),
 
     // E20: fixed-window chunking with overlap — the packing primitive
@@ -1060,7 +1060,7 @@ object SparkEntry {
          |          UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
          |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
          |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-         |       round(CAST(sum(CAST(round(quality * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 / count(*), 6) AS mean_quality
+         |       CAST(sum(CAST(round(quality * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 / count(*) AS mean_quality
          |FROM kept
          |WHERE NOT EXISTS (SELECT 1 FROM reach WHERE s = doc_id AND d < doc_id)
          |GROUP BY source""".stripMargin

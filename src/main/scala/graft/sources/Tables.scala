@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.types.StructType
 
 /** Table loaders for the star schema plus a CSV reader matching the
@@ -48,6 +48,25 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** Typed rows for the corpus tables — `Dataset[T]` with case-class
+    * encoders where compile-time safety helps (pipeline code passing
+    * documents through many stages); `DataFrame` stays the default for
+    * dynamic-schema relational work.
+    */
+  final case class Document(
+      doc_id: Long, text: String, lang: String, source: String, n_chars: Long)
+  final case class Embedding(vec_id: Long, embedding: Array[Float], label: Int)
+
+  def documentsTyped(spark: SparkSession, dir: String): Dataset[Document] = {
+    import spark.implicits._
+    documents(spark, dir).as[Document]
+  }
+
+  def embeddingsTyped(spark: SparkSession, dir: String): Dataset[Embedding] = {
+    import spark.implicits._
+    embeddings(spark, dir).as[Embedding]
+  }
 
   /** JSON-lines ingest. Same schema caveat as CSV: without an explicit
     * schema Spark runs a full inference pass over the data first.

@@ -73,6 +73,17 @@ class TablesSpec extends SparkSpecBase {
     assert(df.as[(Long, String)].collect().toSet === Set((1L, "alpha"), (2L, "beta")))
   }
 
+  test("typed Dataset loaders round-trip the same rows as the DataFrame path") {
+    import spark.implicits._
+    val typed = Tables.documentsTyped(spark, Sf0001)
+    // typed transformations compile against the case class
+    val longDocs = typed.filter(_.n_chars > 100).map(d => (d.doc_id, d.source))
+    assert(longDocs.count() ===
+      Tables.documents(spark, Sf0001).filter($"n_chars" > 100).count())
+    val e = Tables.embeddingsTyped(spark, Sf0001).head()
+    assert(e.embedding.length === 64)
+  }
+
   test("entry (flagship) returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
