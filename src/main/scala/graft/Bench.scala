@@ -37,7 +37,11 @@ object Bench {
         catch { case e: Throwable =>
           Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
         }
-      R(name, (System.nanoTime() - t0) / 1e9, err)
+      val sec = (System.nanoTime() - t0) / 1e9
+      // several queries persist() intermediates; clearing between
+      // queries (outside the timed region) keeps timings isolated
+      spark.catalog.clearCache()
+      R(name, sec, err)
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {

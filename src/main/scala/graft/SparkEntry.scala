@@ -177,6 +177,70 @@ object SparkEntry {
         .withColumn("yoy_change", round((col("revenue") - col("prev_revenue")) * 100).cast("long") / 100.0)
     }),
 
+    // R32: TPC-H Q3 analog (shipping priority): selective dim filter,
+    // fact-fact join, grouped exact-revenue, deterministic top-10.
+    // revenue units are cents × (100 − discount%) — exact longs, so the
+    // sum is partition-order independent
+    "q_tpch_q3" -> ((s, dir) => {
+      val cutoff = lit("1998-03-15").cast("timestamp")
+      val c = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val o = Tables.orders(s, dir).filter(col("o_orderdate") < cutoff)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+      val l = Tables.lineitem(s, dir).filter(col("l_shipdate") > cutoff)
+        .select(col("l_orderkey"),
+          (round(col("l_extendedprice") * 100).cast("long")
+            * (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev_units"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg((sum(col("rev_units")) / 10000.0).as("revenue"))
+        .select(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("o_orderpriority"), col("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // R32: TPC-H Q5 analog (local supplier volume): 6-table join with a
+    // same-nation constraint, small sides broadcast
+    "q_tpch_q5" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+      val o = Tables.orders(s, dir)
+        .filter(year(col("o_orderdate")) === 1997)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (round(col("l_extendedprice") * 100).cast("long")
+            * (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev_units"))
+      val sup = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(sup),
+          l("l_suppkey") === sup("s_suppkey") &&
+            c("c_nationkey") === sup("s_nationkey"))
+        .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg((sum(col("rev_units")) / 10000.0).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // R32: TPC-H Q6 analog (forecast revenue): pure scan-filter-agg,
+    // every predicate pushed to the parquet scan
+    "q_tpch_q6" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(year(col("l_shipdate")) === 1997 &&
+          round(col("l_discount") * 100).cast("long").between(5, 7) &&
+          col("l_quantity") < 24)
+        .agg(
+          (sum(round(col("l_extendedprice") * 100).cast("long")
+            * round(col("l_discount") * 100).cast("long")) / 10000.0).as("revenue"),
+          count(lit(1)).as("n_lines"))),
+
     // R19: ROLLUP hierarchy totals (region → nation → grand total);
     // null group markers surfaced as 'ALL' so the sentinel is explicit
     "q_rollup" -> ((s, dir) => {
@@ -699,6 +763,39 @@ object SparkEntry {
         |FROM (SELECT o_orderpriority, year(o_orderdate) AS o_year,
         |             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
         |      FROM orders GROUP BY o_orderpriority, year(o_orderdate))""".stripMargin,
+
+    "q_tpch_q3" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |       o_orderpriority,
+        |       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1998-03-15'
+        |  AND l_shipdate > TIMESTAMP '1998-03-15'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q_tpch_q5" ->
+      """SELECT n_name,
+        |       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA' AND year(o_orderdate) = 1997
+        |GROUP BY n_name""".stripMargin,
+
+    "q_tpch_q6" ->
+      """SELECT CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |                * CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
+        |       CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem
+        |WHERE year(l_shipdate) = 1997
+        |  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+        |  AND l_quantity < 24""".stripMargin,
 
     "q_rollup" ->
       """SELECT COALESCE(r_name, 'ALL') AS region_name,
