@@ -483,6 +483,30 @@ object SparkEntry {
           col("neighbor_id"), col("cosine"))
     }),
 
+    // E7/E18: measured IVF recall on the sf embeddings. These are
+    // ISOTROPIC (no planted cell structure), IVF's hard case — measured
+    // 0.83 @ sf0.01 with nProbe 6/16, vs ≥ 0.9 on clustered data
+    // (SimilaritySpec blob test). Both numbers published on purpose:
+    // an ANN is only shippable with its recall measured on the actual
+    // data shape.
+    "q_ann_ivf_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val queries = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val exact = Similarity.bruteForceTopK(
+          e, "vec_id", "embedding", queries, "qid", "qv", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = Similarity.ivfTopK(e, "vec_id", "embedding", queries, "qid", "qv",
+          k = 5, numCells = 16, nProbe = 6)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "leftsemi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+      exact.select("query_id").distinct()
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          (coalesce(col("n_hit"), lit(0L)) / 5.0).as("recall"))
+    }),
+
     // E7: measured recall of the approximate path against the exact one,
     // per query — the number that makes an ANN shippable
     "q_ann_lsh_recall" -> ((s, dir) => {
