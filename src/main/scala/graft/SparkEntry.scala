@@ -177,6 +177,35 @@ object SparkEntry {
         .withColumn("yoy_change", round((col("revenue") - col("prev_revenue")) * 100).cast("long") / 100.0)
     }),
 
+    // R32: TPC-H Q1 analog (pricing summary): the classic wide-agg scan.
+    // disc_price/charge as exact integer units — cents × (100−d%) and
+    // cents × (100−d%) × (100+t%) — so every sum and mean is
+    // partition-order independent; averages are exact-int divisions
+    // (identical doubles in any engine, no rounding needed)
+    "q_tpch_q1" -> ((s, dir) => {
+      val cents = round(col("l_extendedprice") * 100).cast("long")
+      val dc = round(col("l_discount") * 100).cast("long")
+      val tc = round(col("l_tax") * 100).cast("long")
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("l_quantity").cast("long").as("qty"),
+          cents.as("cents"), dc.as("dc"),
+          (cents * (lit(100L) - dc)).as("disc_units"),
+          (cents * (lit(100L) - dc) * (lit(100L) + tc)).as("charge_units"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("qty")).as("sum_qty"),
+          (sum(col("cents")) / 100.0).as("sum_base_price"),
+          (sum(col("disc_units")) / 10000.0).as("sum_disc_price"),
+          (sum(col("charge_units")) / 1000000.0).as("sum_charge"),
+          (sum(col("qty")).cast("double") / count(lit(1))).as("avg_qty"),
+          (sum(col("cents")).cast("double") / 100.0 / count(lit(1))).as("avg_price"),
+          (sum(col("dc")).cast("double") / 100.0 / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
     // R32: TPC-H Q3 analog (shipping priority): selective dim filter,
     // fact-fact join, grouped exact-revenue, deterministic top-10.
     // revenue units are cents × (100 − discount%) — exact longs, so the
@@ -787,6 +816,25 @@ object SparkEntry {
         |FROM (SELECT o_orderpriority, year(o_orderdate) AS o_year,
         |             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
         |      FROM orders GROUP BY o_orderpriority, year(o_orderdate))""".stripMargin,
+
+    "q_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(qty) AS BIGINT) AS sum_qty,
+        |       CAST(sum(cents) AS DOUBLE) / 100.0 AS sum_base_price,
+        |       CAST(sum(cents * (100 - dc)) AS DOUBLE) / 10000.0 AS sum_disc_price,
+        |       CAST(sum(cents * (100 - dc) * (100 + tc)) AS DOUBLE) / 1000000.0 AS sum_charge,
+        |       CAST(sum(qty) AS DOUBLE) / count(*) AS avg_qty,
+        |       CAST(sum(cents) AS DOUBLE) / 100.0 / count(*) AS avg_price,
+        |       CAST(sum(dc) AS DOUBLE) / 100.0 / count(*) AS avg_disc,
+        |       CAST(count(*) AS BIGINT) AS count_order
+        |FROM (SELECT l_returnflag, l_linestatus,
+        |             CAST(l_quantity AS BIGINT) AS qty,
+        |             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        |             CAST(round(l_discount * 100) AS BIGINT) AS dc,
+        |             CAST(round(l_tax * 100) AS BIGINT) AS tc
+        |      FROM lineitem
+        |      WHERE l_shipdate <= TIMESTAMP '2000-12-01')
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
 
     "q_tpch_q3" ->
       """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,

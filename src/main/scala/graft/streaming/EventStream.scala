@@ -105,6 +105,45 @@ object EventStream {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** `foreachBatch` keyed upsert into a parquet state directory —
+    * latest row per key wins (CDC-style compaction the plain file sink
+    * can't express; a table format with merge would replace the
+    * generation-swap below in production, the batch logic is the same).
+    *
+    * Each micro-batch: read current state, union the batch, keep the
+    * newest row per key (ties: larger `tsCol`, then the batch side),
+    * write a NEW generation directory and swap it in — never
+    * read-and-overwrite the same path (Spark's lazy reads would race
+    * the truncation).
+    */
+  def upsertBatch(
+      state: String, key: String, tsCol: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = batch.sparkSession
+    val statePath = java.nio.file.Paths.get(state)
+    val existing =
+      if (java.nio.file.Files.exists(statePath)) spark.read.parquet(state)
+      else batch.limit(0)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(tsCol).desc, col("__gen").desc)
+    val merged = existing.withColumn("__gen", lit(0))
+      .unionByName(batch.withColumn("__gen", lit(1)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__gen")
+    val tmp = s"$state.next"
+    merged.write.mode("overwrite").parquet(tmp)
+    // swap generations
+    def rmTree(p: java.nio.file.Path): Unit =
+      if (java.nio.file.Files.exists(p)) {
+        java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.delete(f))
+      }
+    rmTree(statePath)
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), statePath)
+  }
+
   /** Stream-stream interval join: each click joined to the same user's
     * views from the preceding `withinMinutes` — attribution joins on
     * two live feeds. Both sides carry watermarks and the join condition

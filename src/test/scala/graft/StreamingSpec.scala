@@ -171,6 +171,35 @@ class StreamingSpec extends SparkSpecBase {
       "batch 1 must not be re-emitted after restart")
   }
 
+  test("foreachBatch keyed upsert: latest row per key wins across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import java.nio.file.Files
+    val state = Files.createTempDirectory("graft-upsert").toString + "/state"
+    val stream = MemoryStream[(Long, Timestamp, Double)] // (key, ts, value)
+    val q = stream.toDF().toDF("k", "ts", "v")
+      .writeStream
+      .foreachBatch(EventStream.upsertBatch(state, "k", "ts") _)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-upsert-ckpt").toString)
+      .start()
+    try {
+      stream.addData(Seq(
+        (1L, ts("2024-01-01 10:00:00"), 1.0),
+        (2L, ts("2024-01-01 10:00:00"), 2.0)))
+      q.processAllAvailable()
+      // batch 2: newer row for key 1, older (stale) row for key 2, new key 3
+      stream.addData(Seq(
+        (1L, ts("2024-01-01 11:00:00"), 10.0),
+        (2L, ts("2024-01-01 09:00:00"), 99.0),
+        (3L, ts("2024-01-01 10:30:00"), 3.0)))
+      q.processAllAvailable()
+      val got = spark.read.parquet(state)
+        .select("k", "v").as[(Long, Double)].collect().toMap
+      assert(got === Map(1L -> 10.0, 2L -> 2.0, 3L -> 3.0),
+        "newer wins, stale update ignored, new key inserted")
+    } finally q.stop()
+  }
+
   test("sessionAgg groups events into gap-based sessions") {
     val sessRows = Seq(
       (ts("2024-01-01 10:00:00"), "click", 1.0, 1L),
