@@ -445,6 +445,17 @@ object SparkEntry {
       Dedup.minhashNearDupPairs(Tables.documents(s, dir), "text", "doc_id")
         .select(col("id_a"), col("id_b"))),
 
+    // E32: benchmark decontamination — containment of a held-out "eval"
+    // slice in the remaining corpus (asymmetric, broadcast-eval join;
+    // the near-dup planted pairs that straddle the split surface here)
+    "q_contamination" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val evalDocs = docs.filter(col("doc_id") % 20 === 3)
+      val corpus = docs.filter(col("doc_id") % 20 =!= 3)
+      Dedup.contaminationPairs(corpus, evalDocs, "text", "doc_id",
+        shingleN = 5, threshold = 0.8)
+    }),
+
     // E3: per-doc 64-bit SimHash (custom codegen'd expression)
     "q_dedup_simhash" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -995,6 +1006,24 @@ object SparkEntry {
          |JOIN sizes sa ON sa.doc_id = ia
          |JOIN sizes sb ON sb.doc_id = ib
          |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8""".stripMargin,
+
+    // containment via string 5-grams: |eval ∩ corpus| / |eval| — same
+    // pair set as the hashed-shingle plan (collision-free on this data)
+    "q_contamination" ->
+      """WITH g2 AS (
+        |  SELECT DISTINCT doc_id, substr(text, i, 5) AS g
+        |  FROM (SELECT doc_id, text,
+        |               unnest(range(1, greatest(length(text) - 3, 2))) AS i
+        |        FROM documents)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM g2 GROUP BY doc_id)
+        |SELECT c.doc_id AS corpus_id, e.doc_id AS eval_id,
+        |       CAST(count(*) AS DOUBLE) / any_value(s.n) AS containment
+        |FROM g2 c
+        |JOIN g2 e ON c.g = e.g
+        |JOIN sizes s ON s.doc_id = e.doc_id
+        |WHERE e.doc_id % 20 = 3 AND c.doc_id % 20 <> 3
+        |GROUP BY c.doc_id, e.doc_id
+        |HAVING CAST(count(*) AS DOUBLE) / any_value(s.n) >= 0.8""".stripMargin,
 
     // oracle groups by the text itself; the Spark side groups by
     // (rolling-hash, md5) — identical partitions unless both hashes

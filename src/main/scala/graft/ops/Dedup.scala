@@ -149,6 +149,39 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  // ------------------------------------------------- eval contamination
+
+  /** Benchmark decontamination: for each (corpus doc, eval doc) pair,
+    * the CONTAINMENT of the eval doc in the corpus doc —
+    * |shingles(eval) ∩ shingles(corpus)| / |shingles(eval)|. Asymmetric
+    * on purpose: a short benchmark question embedded in a long training
+    * document scores ~1 even though the pair's Jaccard is tiny (which
+    * is why near-dup LSH is the WRONG tool for this).
+    *
+    * Scale shape: the eval set is small (benchmark suites), so its
+    * exploded shingles broadcast; the corpus explodes its shingles once
+    * and hash-joins — one pass over the corpus, no O(n²), exact
+    * answer. Returns pairs at or above `threshold`.
+    */
+  def contaminationPairs(
+      corpus: DataFrame, evalDocs: DataFrame,
+      textCol: String, idCol: String,
+      shingleN: Int = 5, threshold: Double = 0.5): DataFrame = {
+    val cs = corpus.select(col(idCol).as("corpus_id"),
+      explode(exprs.shingle_set(col(textCol), shingleN)).as("g"))
+    val es = evalDocs.select(col(idCol).as("eval_id"),
+      explode(exprs.shingle_set(col(textCol), shingleN)).as("g"))
+    val esz = evalDocs.select(col(idCol).as("eval_id"),
+      size(exprs.shingle_set(col(textCol), shingleN)).as("n_eval"))
+    cs.join(broadcast(es), "g")
+      .groupBy(col("corpus_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(broadcast(esz), "eval_id")
+      .withColumn("containment", col("n_common").cast("double") / col("n_eval"))
+      .filter(col("containment") >= threshold)
+      .select(col("corpus_id"), col("eval_id"), col("containment"))
+  }
+
   // -------------------------------------------------------------- SimHash
 
   /** Near-dup pairs via 64-bit SimHash: candidates share at least one of
