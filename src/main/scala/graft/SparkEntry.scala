@@ -447,13 +447,17 @@ object SparkEntry {
 
     // E32: benchmark decontamination — containment of a held-out "eval"
     // slice in the remaining corpus (asymmetric, broadcast-eval join;
-    // the near-dup planted pairs that straddle the split surface here)
+    // the near-dup planted pairs that straddle the split surface here).
+    // 8-char shingles, not 5: on a small-vocabulary corpus short grams
+    // collide across most documents and the gram join explodes; longer
+    // shingles span word boundaries and stay distinctive (background
+    // containment 0.36 vs 0.98+ for true contamination)
     "q_contamination" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val evalDocs = docs.filter(col("doc_id") % 20 === 3)
       val corpus = docs.filter(col("doc_id") % 20 =!= 3)
       Dedup.contaminationPairs(corpus, evalDocs, "text", "doc_id",
-        shingleN = 5, threshold = 0.8)
+        shingleN = 8, threshold = 0.8)
     }),
 
     // E3: per-doc 64-bit SimHash (custom codegen'd expression)
@@ -1011,9 +1015,9 @@ object SparkEntry {
     // pair set as the hashed-shingle plan (collision-free on this data)
     "q_contamination" ->
       """WITH g2 AS (
-        |  SELECT DISTINCT doc_id, substr(text, i, 5) AS g
+        |  SELECT DISTINCT doc_id, substr(text, i, 8) AS g
         |  FROM (SELECT doc_id, text,
-        |               unnest(range(1, greatest(length(text) - 3, 2))) AS i
+        |               unnest(range(1, greatest(length(text) - 6, 2))) AS i
         |        FROM documents)),
         |sizes AS (SELECT doc_id, count(*) AS n FROM g2 GROUP BY doc_id)
         |SELECT c.doc_id AS corpus_id, e.doc_id AS eval_id,

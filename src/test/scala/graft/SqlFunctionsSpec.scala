@@ -39,6 +39,27 @@ class SqlFunctionsSpec extends SparkSpecBase {
     assert(math.abs(c._2 - 0.5) < 1e-12)
   }
 
+  test("production route: SparkSessionExtensions registers functions at session build") {
+    import org.apache.spark.sql.SparkSession
+    val prev = spark
+    // a fresh session on the SAME SparkContext, built through the
+    // extensions hook exactly as spark.sql.extensions would do it
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      val got = s2.sql("SELECT rolling_hash('graft') AS h").collect().head.getLong(0)
+      val want = Seq("graft").toDF("t")
+        .select(exprs.rolling_hash(col("t"))).as[Long].head()
+      assert(got === want)
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+
   test("non-literal shape parameter is rejected with a clear error") {
     Seq(("x", 3)).toDF("t", "n").createOrReplaceTempView("sqlfn_bad")
     val e = intercept[Exception] {
