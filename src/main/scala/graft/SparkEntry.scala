@@ -460,6 +460,16 @@ object SparkEntry {
         shingleN = 8, threshold = 0.8)
     }),
 
+    // E2: dedup observability — near-dup component-size histogram
+    // (how big are the duplicate families?), closure-labels grouped
+    // twice; oracle recomputes components with the recursive CTE
+    "q_dup_component_sizes" -> ((s, dir) => {
+      val pairs = Dedup.minhashNearDupPairs(Tables.documents(s, dir), "text", "doc_id")
+      Dedup.componentMinLabels(pairs)
+        .groupBy(col("root")).agg(count(lit(1)).as("size"))
+        .groupBy(col("size")).agg(count(lit(1)).as("n_components"))
+    }),
+
     // E3: per-doc 64-bit SimHash (custom codegen'd expression)
     "q_dedup_simhash" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -995,6 +1005,32 @@ object SparkEntry {
          |          UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
          |SELECT doc_id, source FROM documents
          |WHERE NOT EXISTS (SELECT 1 FROM reach WHERE s = doc_id AND d < doc_id)""".stripMargin,
+
+    "q_dup_component_sizes" ->
+      s"""WITH RECURSIVE
+         |grams AS (
+         |  SELECT DISTINCT doc_id, substr(text, i, 5) AS g
+         |  FROM (SELECT doc_id, text,
+         |               unnest(range(1, greatest(length(text) - 3, 2))) AS i
+         |        FROM documents)),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+         |          FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |pairs AS (SELECT ia, ib FROM inter
+         |          JOIN sizes sa ON sa.doc_id = ia
+         |          JOIN sizes sb ON sb.doc_id = ib
+         |          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+         |edges AS (SELECT ia AS s, ib AS d FROM pairs
+         |          UNION SELECT ib, ia FROM pairs),
+         |reach AS (SELECT s, d FROM edges
+         |          UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+         |roots AS (SELECT s AS id,
+         |                 least(s, min(d)) AS root
+         |          FROM reach GROUP BY s),
+         |csize AS (SELECT root, CAST(count(*) AS BIGINT) AS size FROM roots GROUP BY root)
+         |SELECT size, CAST(count(*) AS BIGINT) AS n_components
+         |FROM csize GROUP BY size""".stripMargin,
 
     "q_dedup_minhash_pairs" ->
       s"""WITH grams AS (

@@ -105,6 +105,18 @@ object EventStream {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** Streaming exact dedup with BOUNDED state: duplicate `idCol` rows
+    * arriving within the watermark horizon are dropped, and the
+    * dedup-state for ids older than the watermark is evicted — the
+    * at-least-once-source → exactly-once-pipeline building block.
+    * (Plain `dropDuplicates` on a stream would keep every id forever.)
+    */
+  def dedupStream(
+      events: DataFrame, idCol: String = "event_id",
+      watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCol)
+
   /** `foreachBatch` keyed upsert into a parquet state directory —
     * latest row per key wins (CDC-style compaction the plain file sink
     * can't express; a table format with merge would replace the

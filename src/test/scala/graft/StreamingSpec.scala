@@ -171,6 +171,30 @@ class StreamingSpec extends SparkSpecBase {
       "batch 1 must not be re-emitted after restart")
   }
 
+  test("dedupStream drops within-watermark duplicates across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, Double)] // (event_id, ts, value)
+    val q = EventStream.dedupStream(
+        stream.toDF().toDF("event_id", "ts", "value"), "event_id", "1 hour")
+      .select("event_id", "value")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      stream.addData(Seq(
+        (1L, ts("2024-01-01 10:00:00"), 1.0),
+        (2L, ts("2024-01-01 10:01:00"), 2.0)))
+      q.processAllAvailable()
+      // batch 2: id 1 re-delivered (at-least-once source), id 3 new
+      stream.addData(Seq(
+        (1L, ts("2024-01-01 10:02:00"), 99.0),
+        (3L, ts("2024-01-01 10:03:00"), 3.0)))
+      q.processAllAvailable()
+      val got = spark.table("dedup_stream").as[(Long, Double)].collect().sorted
+      assert(got === Array((1L, 1.0), (2L, 2.0), (3L, 3.0)),
+        "the re-delivered id must be dropped, first delivery wins")
+    } finally q.stop()
+  }
+
   test("foreachBatch keyed upsert: latest row per key wins across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import java.nio.file.Files
