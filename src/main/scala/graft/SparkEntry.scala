@@ -341,10 +341,17 @@ object SparkEntry {
           sum(col("d")).as("sd"), sum(col("d") * col("d")).as("sdd"),
           sum(col("q") * col("d")).as("sqd"))
       val varRaw = (col("sqq").cast("double") - col("sq").cast("double") * col("sq") / col("n")) / (col("n") - 1)
-      val corrNum = (col("n") * col("sqd") - col("sq") * col("sd")).cast("double")
+      // corr cross-terms in DOUBLE: n*sqq etc. as pure long arithmetic
+      // overflows 64 bits around sf10 on lineitem-sized sums (ANSI mode
+      // would error loudly rather than wrap). Exactness lives in the
+      // integer SUMS; the final combination is float either way, and
+      // double×double is IEEE-identical across engines.
+      val nD = col("n").cast("double")
+      val sqD = col("sq").cast("double"); val sdD = col("sd").cast("double")
+      val corrNum = nD * col("sqd").cast("double") - sqD * sdD
       val corrDen =
-        sqrt((col("n") * col("sqq") - col("sq") * col("sq")).cast("double")) *
-          sqrt((col("n") * col("sdd") - col("sd") * col("sd")).cast("double"))
+        sqrt(nD * col("sqq").cast("double") - sqD * sqD) *
+          sqrt(nD * col("sdd").cast("double") - sdD * sdD)
       sums.select(
         col("n"),
         round(col("sq").cast("double") / col("n"), 6).as("mean_qty"),
@@ -744,18 +751,36 @@ object SparkEntry {
         .limit(20)),
 
     // E29: data-quality profiling — per-column row/null/distinct/range
-    // stats, the pre-flight check before any 100 TB ingest
+    // stats, the pre-flight check before any 100 TB ingest. ONE scan of
+    // the fact table no matter how many columns are profiled: all
+    // per-column aggregates are computed side by side in a single
+    // Aggregate (Catalyst plans the multi-DISTINCT via one Expand —
+    // rows × n_cols inside the stage, still a single FileScan), then the
+    // 1-row wide result is unpivoted driver-free with explode(array(...)).
+    // The r2 shape (one li.agg(...) per column + unionByName) re-scanned
+    // lineitem once per profiled column — N passes at 100 TB.
     "q_profile" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
-      Seq("l_quantity", "l_discount", "l_returnflag").map { c =>
-        li.agg(
-          count(lit(1)).as("n_rows"),
-          sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
-          count_distinct(col(c)).as("n_distinct"),
-          min(col(c)).cast("string").as("min_str"),
-          max(col(c)).cast("string").as("max_str"))
-          .withColumn("column_name", lit(c))
-      }.reduce(_.unionByName(_))
+      val cols = Seq("l_quantity", "l_discount", "l_returnflag")
+      val perCol = cols.flatMap { c =>
+        Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+          count_distinct(col(c)).as(s"${c}__distinct"),
+          min(col(c)).cast("string").as(s"${c}__min"),
+          max(col(c)).cast("string").as(s"${c}__max"))
+      }
+      val wide = li.agg(count(lit(1)).as("n_rows"), perCol: _*)
+      wide
+        .select(explode(array(cols.map { c =>
+          struct(
+            col("n_rows"),
+            col(s"${c}__nulls").as("n_nulls"),
+            col(s"${c}__distinct").as("n_distinct"),
+            col(s"${c}__min").as("min_str"),
+            col(s"${c}__max").as("max_str"),
+            lit(c).as("column_name"))
+        }: _*)).as("p"))
+        .select(col("p.*"))
     }),
 
     // E16: sketch cardinality (HyperLogLog++) — approximate distincts
@@ -937,8 +962,9 @@ object SparkEntry {
         |       round(CAST(sq AS DOUBLE) / n, 6) AS mean_qty,
         |       round((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * sq / n) / (n - 1), 6) AS var_qty,
         |       round(sqrt((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * sq / n) / (n - 1)), 6) AS stddev_qty,
-        |       round(CAST(n * sqd - sq * sd AS DOUBLE)
-        |             / (sqrt(CAST(n * sqq - sq * sq AS DOUBLE)) * sqrt(CAST(n * sdd - sd * sd AS DOUBLE))), 6) AS corr_qty_disc
+        |       round((CAST(n AS DOUBLE) * sqd - CAST(sq AS DOUBLE) * sd)
+        |             / (sqrt(CAST(n AS DOUBLE) * sqq - CAST(sq AS DOUBLE) * sq)
+        |                * sqrt(CAST(n AS DOUBLE) * sdd - CAST(sd AS DOUBLE) * sd)), 6) AS corr_qty_disc
         |FROM (SELECT CAST(count(*) AS BIGINT) AS n,
         |             CAST(sum(q) AS BIGINT) AS sq, CAST(sum(q * q) AS BIGINT) AS sqq,
         |             CAST(sum(d) AS BIGINT) AS sd, CAST(sum(d * d) AS BIGINT) AS sdd,

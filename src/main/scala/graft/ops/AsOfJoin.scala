@@ -42,8 +42,16 @@ object AsOfJoin {
         struct(valueCols.map(col): _*).as("__r")) ++
         leftCols.filterNot(c => c == keyCol || c == timeCol)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    // The struct itself is the final tiebreak: among multiple right rows
+    // with equal (key, time) the carried asof_* values are otherwise
+    // whatever partition order produced — against the repo convention
+    // that every ordering carries a unique tiebreak. Structs are
+    // orderable in Spark; within a tie-group all __r are non-null (right
+    // rows) or all null (left rows), so it never perturbs the
+    // right-before-left tie rule enforced by __is_right desc. The winner
+    // is the lexicographically greatest right row — deterministic.
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(timeCol).asc, col("__is_right").desc)
+      .orderBy(col(timeCol).asc, col("__is_right").desc, col("__r").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     taggedLeft.unionByName(taggedRight)
       .withColumn("__r_last", last(col("__r"), ignoreNulls = true).over(w))

@@ -60,6 +60,14 @@ object Dedup {
     *  4. re-join the two shingle sets by id and verify exact Jaccard.
     *
     * Returns (id_a, id_b, jaccard) with id_a < id_b.
+    *
+    * EAGER: the verified pair set is materialized (localCheckpoint)
+    * before returning so the internal cache can be released — the pair
+    * set is the small output of the funnel (near-dups above threshold),
+    * the cached signatures+shingles are the big intermediate. A lazy
+    * version would have to leave the cache registered for the session
+    * (the r2 shape — a leak for library callers; the Bench harness only
+    * survived it by calling clearCache() between queries).
     */
   def minhashNearDupPairs(
       docs: DataFrame, textCol: String, idCol: String,
@@ -90,48 +98,111 @@ object Dedup {
       .distinct()
 
     val shingles = keyed.select(col("id"), col("sh"))
-    candidates
+    val verified = candidates
       .join(shingles.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(shingles.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
       .withColumn("jaccard", exprs.jaccard_sorted(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= p.jaccardThreshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    // Materialize the (small) result, then release the (large) cache.
+    // localCheckpoint blocks are ContextCleaner-managed (freed on GC),
+    // unlike CacheManager entries which live until explicit unpersist.
+    val out = verified.localCheckpoint(eager = true)
+    keyed.unpersist()
+    out
   }
 
   /** Smallest-id connected-component labels over an undirected pair set:
     * returns (id, root) for every id that appears in a pair, where root
     * is the minimum id reachable through the pair graph.
     *
-    * Iterative min-label propagation — each round joins the current
-    * labels across the edge list and keeps the per-node minimum;
-    * converges in O(diameter) rounds (near-dup components are shallow:
-    * chains of edited copies). `localCheckpoint` truncates lineage per
-    * round so the plan doesn't grow with iterations; on a real cluster
-    * use reliable checkpointing. Label propagation is the standard
-    * dataframe-native connected-components scheme (vs GraphX, which
-    * drops to RDDs).
+    * Large-star/small-star contraction (the alternating two-phase
+    * connected-components algorithm of Kiveris et al., "Connected
+    * Components in MapReduce and Beyond" — public literature): each
+    * round rewires every node's strictly-larger neighbors (large-star)
+    * then its smaller-or-equal neighbors (small-star) to the local
+    * minimum, halving component height — O(log n) rounds even on a
+    * pathological dup CHAIN, where r2's min-label propagation needed
+    * O(diameter) rounds (thousands, for scraped-boilerplate families).
+    * Both phases are plain join+agg on the edge list — no collect_list,
+    * so a high-degree hub never materializes its neighborhood in one
+    * task. Convergence is detected by an edge-set checksum
+    * (count + sum of per-edge xxhash64): ONE driver action per round,
+    * not the two (agg + isEmpty join) of the r2 loop. `localCheckpoint`
+    * truncates lineage per round; on a real cluster use reliable
+    * checkpointing.
+    *
+    * Contract: converges within `maxRounds` for any component of size
+    * ≤ 2^maxRounds (i.e. always, for maxRounds=20 at < 10^6-node
+    * components; real near-dup families are far smaller). If the bound
+    * is ever exhausted the method now FAILS LOUDLY rather than return
+    * partially-propagated labels that would silently under-dedup.
     */
   def componentMinLabels(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // canonical larger→smaller directed edges (src > dst)
+    var dir = pairs
+      .select(greatest(col("id_a"), col("id_b")).as("src"),
+        least(col("id_a"), col("id_b")).as("dst"))
+      .filter(col("src") =!= col("dst"))
       .distinct().localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("root", col("id")).localCheckpoint()
+    val nodes = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id")))
+      .distinct().localCheckpoint()
+
+    // large-star: for every node u, connect each strictly-LARGER
+    // neighbor v to m = min(Γ(u) ∪ {u}); emitted edges stay src > dst.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val mins = sym.groupBy("src").agg(min("dst").as("mn"))
+        .select(col("src"), least(col("src"), col("mn")).as("m"))
+      sym.join(mins, "src")
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .distinct()
+    }
+    // small-star: for every node u, connect each SMALLER neighbor and u
+    // itself to m = min of u's smaller neighborhood.
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy("src").agg(min("dst").as("m"))
+      e.join(mins, "src")
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .union(mins.select(col("src"), col("m").as("dst")))
+        .distinct()
+    }
+    // count + XOR of per-edge hashes: order-independent, overflow-free
+    // (ANSI sum of 64-bit hashes would overflow), distinct edge sets
+    // collide only with ~2^-64 probability
+    def checksum(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)).as("n"),
+        expr("bit_xor(xxhash64(src, dst))").as("h")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
     var round = 0
     var converged = false
+    var prev = checksum(dir)
     while (!converged && round < maxRounds) {
-      val viaNeighbor = edges
-        .join(labels.withColumnRenamed("id", "src"), "src")
-        .select(col("dst").as("id"), col("root"))
-      val next = labels.union(viaNeighbor)
-        .groupBy("id").agg(min("root").as("root"))
-        .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("root", "prev"), "id")
-        .filter(col("root") =!= col("prev")).isEmpty
-      labels = next
+      dir = smallStar(largeStar(dir)).localCheckpoint()
+      val cur = checksum(dir)
+      converged = cur == prev
+      prev = cur
       round += 1
     }
-    labels
+    if (!converged)
+      throw new IllegalStateException(
+        s"componentMinLabels: star contraction did not converge in $maxRounds rounds " +
+          s"(component deeper than 2^$maxRounds nodes?) — refusing to return partial labels")
+
+    // At the fixed point every component is a star: each non-root has
+    // exactly one edge to the component min. (min(dst) is a no-op guard
+    // on that invariant, not a correctness crutch.)
+    val nonRoots = dir.groupBy("src").agg(min("dst").as("root"))
+      .select(col("src").as("id"), col("root"))
+    val roots = nodes
+      .join(dir.select(col("src").as("id")).distinct(), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("root"))
+    nonRoots.union(roots)
   }
 
   /** Dedup decision from verified pairs with full transitive closure:

@@ -81,6 +81,40 @@ class DedupSpec extends SparkSpecBase {
     assert(kept === Set(1L, 9L))
   }
 
+  test("star contraction: 120-node chain collapses in O(log n) rounds") {
+    // A pathological dup CHAIN (scraped-boilerplate family): 1~2~3~…~120,
+    // diameter 119. Min-label propagation needs one round per hop; star
+    // contraction must finish within 10 rounds (~log₂ n + slack) — the
+    // call would throw on exhaustion, so passing IS the round bound.
+    val pairs = (1L until 120L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.componentMinLabels(pairs, maxRounds = 10)
+      .as[(Long, Long)].collect()
+    assert(labels.length === 120)
+    assert(labels.forall(_._2 == 1L), "every chain node must label to the min id 1")
+  }
+
+  test("star contraction: mixed component shapes and sizes all label to component min") {
+    // three components: a 50-chain offset by 1000, a hub-and-spoke with
+    // the hub as LARGEST id, and one isolated pair
+    val chain = (1000L until 1049L).map(i => (i, i + 1))
+    val hub = (1L to 9L).map(i => (i, 99L)) // spokes 1..9 all link only to hub 99
+    val pair = Seq((500L, 501L))
+    val labels = Dedup.componentMinLabels((chain ++ hub ++ pair).toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert((1000L to 1049L).forall(labels(_) == 1000L))
+    assert(((1L to 9L) :+ 99L).forall(i => labels(i) == 1L))
+    assert(labels(500L) === 500L && labels(501L) === 500L)
+  }
+
+  test("minhashNearDupPairs releases its internal cache (library hygiene)") {
+    spark.catalog.clearCache()
+    val out = Dedup.minhashNearDupPairs(docs, "text", "doc_id",
+      Dedup.MinhashParams(jaccardThreshold = 0.7))
+    assert(out.count() >= 1)
+    assert(org.apache.spark.sql.graft.CacheBridge.noCachedPlans(spark),
+      "the keyed signatures+shingles frame must be unpersisted once pairs materialize")
+  }
+
   test("simhash: identical texts get identical hashes, near-dups low hamming") {
     val pairs = Dedup.simhashNearDupPairs(docs, "text", "doc_id", maxHamming = 8)
       .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
