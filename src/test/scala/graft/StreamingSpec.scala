@@ -217,11 +217,70 @@ class StreamingSpec extends SparkSpecBase {
         (2L, ts("2024-01-01 09:00:00"), 99.0),
         (3L, ts("2024-01-01 10:30:00"), 3.0)))
       q.processAllAvailable()
-      val got = spark.read.parquet(state)
+      val got = EventStream.readUpsertState(spark, state)
         .select("k", "v").as[(Long, Double)].collect().toMap
       assert(got === Map(1L -> 10.0, 2L -> 2.0, 3L -> 3.0),
         "newer wins, stale update ignored, new key inserted")
     } finally q.stop()
+  }
+
+  test("upsert sink: a 1-key batch rewrites only that key's bucket") {
+    import java.nio.file.{Files, Paths}
+    val state = Files.createTempDirectory("graft-upsert-prune").toString + "/state"
+    val B = 8
+    // batch 0: 64 keys → every bucket populated
+    val batch0 = (1L to 64L).map(k => (k, ts("2024-01-01 10:00:00"), k.toDouble))
+      .toDF("k", "ts", "v")
+    EventStream.upsertBatch(state, "k", "ts", B)(batch0, 0L)
+    def manifest() = Files.readAllLines(Paths.get(state, "MANIFEST"))
+    assert(manifest().size === B, "64 xxhash64-spread keys must hit all 8 buckets")
+    val files0 = Files.walk(Paths.get(state)).filter(_.toString.endsWith(".parquet"))
+      .map[String](_.toString).toList
+    // batch 1: ONE key updated
+    EventStream.upsertBatch(state, "k", "ts", B)(
+      Seq((7L, ts("2024-01-01 11:00:00"), 700.0)).toDF("k", "ts", "v"), 1L)
+    import scala.jdk.CollectionConverters._
+    val gens = manifest().asScala.map(_.split(",")).map(a => a(0).toInt -> a(1).toLong).toMap
+    assert(gens.values.count(_ == 1L) === 1,
+      s"exactly one bucket may advance to generation 1, got $gens")
+    val advanced = gens.collectFirst { case (b, 1L) => b }.get
+    val files1 = Files.walk(Paths.get(state)).filter(_.toString.endsWith(".parquet"))
+      .map[String](_.toString).toList
+    val removed = files0.asScala.toSet.diff(files1.asScala.toSet)
+    val added = files1.asScala.toSet.diff(files0.asScala.toSet)
+    assert((removed ++ added).forall(_.contains(s"/b$advanced/")),
+      s"only bucket $advanced's files may change; changed: ${removed ++ added}")
+    assert(removed.nonEmpty && added.nonEmpty)
+    val got = EventStream.readUpsertState(spark, state)
+      .select("k", "v").as[(Long, Double)].collect().toMap
+    assert(got.size === 64 && got(7L) === 700.0 && got(8L) === 8.0)
+  }
+
+  test("upsert sink: recovery sweeps stale tmp dirs and readers never see orphan generations") {
+    import java.nio.file.{Files, Paths}
+    val state = Files.createTempDirectory("graft-upsert-crash").toString + "/state"
+    EventStream.upsertBatch(state, "k", "ts", 4)(
+      Seq((1L, ts("2024-01-01 10:00:00"), 1.0),
+        (2L, ts("2024-01-01 10:00:00"), 2.0)).toDF("k", "ts", "v"), 0L)
+    // simulate a crash mid-batch-1: a half-written tmp dir and an orphan
+    // generation that was never promoted into the manifest
+    val tmp = Paths.get(s"$state/.tmp-1")
+    Files.createDirectories(tmp.resolve("__b=0"))
+    Files.writeString(tmp.resolve("__b=0/part-garbage.parquet"), "not parquet")
+    val orphan = Paths.get(s"$state/b0/g999")
+    Files.createDirectories(orphan)
+    Files.writeString(orphan.resolve("part-garbage.parquet"), "not parquet either")
+    // the reader ignores both (manifest names only complete generations)
+    val before = EventStream.readUpsertState(spark, state)
+      .select("k", "v").as[(Long, Double)].collect().toMap
+    assert(before === Map(1L -> 1.0, 2L -> 2.0))
+    // the replayed batch succeeds despite the leftovers
+    EventStream.upsertBatch(state, "k", "ts", 4)(
+      Seq((1L, ts("2024-01-01 11:00:00"), 10.0)).toDF("k", "ts", "v"), 1L)
+    val after = EventStream.readUpsertState(spark, state)
+      .select("k", "v").as[(Long, Double)].collect().toMap
+    assert(after === Map(1L -> 10.0, 2L -> 2.0))
+    assert(!Files.exists(tmp), "stale tmp dir for the replayed batch must be swept")
   }
 
   test("sessionAgg groups events into gap-based sessions") {
