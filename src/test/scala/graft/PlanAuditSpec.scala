@@ -1,0 +1,94 @@
+package graft
+
+/** Plan-REGRESSION assertions: the bench numbers prove today's plans are
+  * fast; these specs pin the plan SHAPES so a config drift (e.g.
+  * autoBroadcastJoinThreshold, a lost broadcast hint, an accidental
+  * cross join) fails a test instead of silently regressing a 100 TB run.
+  * graft.Explain dumps the same plans for eyeballing; this is the
+  * automated version the r2 verdict asked for.
+  */
+class PlanAuditSpec extends SparkSpecBase {
+
+  private def plan(name: String, dir: String = Sf001): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  private def nOcc(hay: String, needle: String): Int =
+    needle.r.findAllMatchIn(hay).size
+
+  test("q_tpch_q3: dim joins broadcast, no cartesian product, no extra scans") {
+    val p = plan("q_tpch_q3")
+    assert(p.contains("BroadcastHashJoin"), s"customer dim must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), "no cartesian product in a keyed join")
+  }
+
+  test("q_tpch_q5: every hinted dim broadcasts, no cartesian product") {
+    val p = plan("q_tpch_q5")
+    assert(nOcc(p, "BroadcastHashJoin") >= 3,
+      s"supplier, nation and region carry broadcast hints — all three must be BHJ:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_salted_join: salting adds no Exchange over the plain join") {
+    import org.apache.spark.sql.functions._
+    val dir = Sf001
+    val salted = plan("q_salted_join", dir)
+    val li = sources.Tables.lineitem(spark, dir)
+      .select(col("l_suppkey").as("s_suppkey"), col("l_orderkey"),
+        col("l_linenumber"), col("l_extendedprice"))
+    val sup = sources.Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))
+    val plain = li.join(broadcast(sup), "s_suppkey")
+      .groupBy(col("s_nationkey"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_lines"),
+        (sum(round(col("l_extendedprice") * 100).cast("long")) / 100.0).as("revenue"))
+      .queryExecution.executedPlan.toString
+    assert(nOcc(salted, "Exchange") === nOcc(plain, "Exchange"),
+      s"salted plan must not add exchanges.\nSALTED:\n$salted\nPLAIN:\n$plain")
+    assert(salted.contains("BroadcastHashJoin"))
+  }
+
+  test("q_profile: ONE scan of lineitem no matter how many columns are profiled") {
+    val p = plan("q_profile")
+    val scans = nOcc(p, "(?i)scan parquet")
+    assert(scans === 1, s"profiling must be a single pass, found $scans scans:\n$p")
+  }
+
+  test("runtime bloom filter prunes the q_tpch_q3 orders→lineitem edge under shuffle-join conditions") {
+    // At sf0.01 both sides fit under the broadcast threshold, so Spark
+    // (correctly) broadcasts and needs no runtime filter. At 100 TB the
+    // fact-fact edge is a shuffle join and the selective orders filter
+    // should seed a bloom filter on the lineitem scan. Recreate those
+    // conditions: force shuffle joins and drop the application-side size
+    // gate, then assert Spark 4's runtime bloom filter is injected AND
+    // the result is row-identical to the broadcast plan's.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    val expected = SparkEntry.queries("q_tpch_q3")(spark, Sf001).collect()
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1024")
+      val df = SparkEntry.queries("q_tpch_q3")(spark, Sf001)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("might_contain") || p.contains("bloom_filter"),
+        s"runtime bloom filter must be injected on the shuffle-join plan:\n$p")
+      assert(df.collect() === expected,
+        "bloom-pruned plan must return the identical rows")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
+  test("q_pruned_scan: filter and projection reach the parquet scan") {
+    val p = plan("q_pruned_scan")
+    assert(p.contains("PushedFilters: [IsNotNull(l_discount), GreaterThan(l_discount"),
+      s"predicate must be pushed:\n$p")
+    val readSchema = "ReadSchema:.*".r.findFirstIn(p).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && !readSchema.contains("l_comment"),
+      s"scan must read only the projected columns: $readSchema")
+  }
+}
