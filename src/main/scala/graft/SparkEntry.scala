@@ -431,6 +431,19 @@ object SparkEntry {
               |FROM lineitem_v GROUP BY l_returnflag""".stripMargin)
     }),
 
+    // E17/E2: the SQL front end reaching an EXTENSION operator, not just
+    // a plain table — near-dup pairs exposed as a view and consumed by
+    // pure SQL (join back to the corpus, per-source dup-pair counts).
+    // Catalyst inlines the view, so the SQL user gets the same
+    // bucket-then-verify plan as the programmatic API.
+    "q_sql_neardup" -> ((s, dir) => {
+      graft.sql.GraftViews.registerBase(s, dir)
+      graft.sql.GraftViews.registerNearDupPairs(s, dir)
+      s.sql("""SELECT d.source AS source, CAST(count(*) AS BIGINT) AS n_pairs
+              |FROM neardup_pairs p JOIN documents_v d ON p.id_a = d.doc_id
+              |GROUP BY d.source""".stripMargin)
+    }),
+
     // E1: exact dedup by content — fingerprint-first, so the shuffle key
     // is ~24 bytes of hashes rather than the document text itself
     "q_dedup_exact" -> ((s, dir) =>
@@ -1057,6 +1070,26 @@ object SparkEntry {
          |csize AS (SELECT root, CAST(count(*) AS BIGINT) AS size FROM roots GROUP BY root)
          |SELECT size, CAST(count(*) AS BIGINT) AS n_components
          |FROM csize GROUP BY size""".stripMargin,
+
+    // same exact-jaccard pair derivation as q_dedup_minhash_pairs, then
+    // the per-source rollup the SQL view query computes
+    "q_sql_neardup" ->
+      s"""WITH grams AS (
+         |  SELECT DISTINCT doc_id, substr(text, i, 5) AS g
+         |  FROM (SELECT doc_id, text,
+         |               unnest(range(1, greatest(length(text) - 3, 2))) AS i
+         |        FROM documents)),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+         |          FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |pairs AS (SELECT ia AS id_a, ib AS id_b FROM inter
+         |          JOIN sizes sa ON sa.doc_id = ia
+         |          JOIN sizes sb ON sb.doc_id = ib
+         |          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8)
+         |SELECT d.source AS source, CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM pairs p JOIN documents d ON p.id_a = d.doc_id
+         |GROUP BY d.source""".stripMargin,
 
     "q_dedup_minhash_pairs" ->
       s"""WITH grams AS (
