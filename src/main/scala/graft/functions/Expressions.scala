@@ -198,6 +198,30 @@ object HashKernels extends Serializable {
       Array.fill(key._1 * key._2)(rnd.nextGaussian())
     })
 
+  /** Johnson-Lindenstrauss random-projection sketch: the vector's dot
+    * products with `sketchDim` fixed Gaussian planes (same memoized
+    * planes as the sign-LSH). Angles are approximately preserved, so
+    * the sketches' cosine is a cheap PRE-SCORE for the full cosine —
+    * the coarse-score half of an IVF re-rank (the role PQ asymmetric
+    * distance plays in a Faiss-style layout), at sketchDim/dim the
+    * multiply-adds of the exact similarity.
+    */
+  def randProjSketch(v: ArrayData, sketchDim: Int, dim: Int, seed: Long): ArrayData = {
+    val ps = planes(sketchDim, dim, seed)
+    val n = math.min(v.numElements(), dim)
+    val out = new Array[Float](sketchDim)
+    var p = 0
+    while (p < sketchDim) {
+      var acc = 0.0
+      val off = p * dim
+      var i = 0
+      while (i < n) { acc += v.getFloat(i).toDouble * ps(off + i); i += 1 }
+      out(p) = acc.toFloat
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Sign-bit signature of `numPlanes` random projections: vectors with
     * high cosine similarity agree on most sign bits, so equal signatures
     * are near-neighbor candidates (random-hyperplane LSH, Charikar 2002).
@@ -313,6 +337,21 @@ case class DotF(left: Expression, right: Expression) extends BinaryExpression {
     copy(left = l, right = r)
 }
 
+/** `rand_proj_sketch(vec, sketchDim, dim, seed)`: JL projection sketch
+  * (float array) for coarse pre-scoring before an exact re-rank.
+  */
+case class RandProjSketch(child: Expression, sketchDim: Int, dim: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "rand_proj_sketch"
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.randProjSketch(v.asInstanceOf[ArrayData], sketchDim, dim, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashKernels.randProjSketch($c, $sketchDim, $dim, ${seed}L)")
+  override protected def withNewChildInternal(c: Expression): RandProjSketch = copy(child = c)
+}
+
 /** `hyperplane_sig(vec, numPlanes, dim, seed)`: sign-LSH bucket key. */
 case class HyperplaneSig(child: Expression, numPlanes: Int, dim: Int, seed: Long)
     extends UnaryExpression {
@@ -344,4 +383,6 @@ object exprs {
     ColumnBridge.column(DotF(expr(a), expr(b)))
   def hyperplane_sig(c: Column, numPlanes: Int, dim: Int, seed: Long): Column =
     ColumnBridge.column(HyperplaneSig(expr(c), numPlanes, dim, seed))
+  def rand_proj_sketch(c: Column, sketchDim: Int, dim: Int, seed: Long): Column =
+    ColumnBridge.column(RandProjSketch(expr(c), sketchDim, dim, seed))
 }

@@ -123,12 +123,22 @@ object Similarity {
     * Plan shape: one KMeans fit (sampleable via `fitFraction`), one
     * map-side cell assignment on the corpus, centroid distances for the
     * (tiny, broadcast) query side, bucket join, bounded-heap top-k.
+    *
+    * `rerankShortlist` > 0 enables the two-stage scoring a real vector
+    * index uses once the probed cells hold millions of candidates: a
+    * cheap JL-sketch cosine (sketchDim multiply-adds instead of dim)
+    * pre-scores every candidate, a bounded heap keeps the top
+    * `rerankShortlist` ids per query, and ONLY the shortlist gets the
+    * exact cosine — the full similarity runs on ≤ queries×shortlist
+    * rows instead of every probed candidate (structural cap, asserted
+    * via plan metrics in SimilaritySpec).
     */
   def ivfTopK(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int, numCells: Int = 16, nProbe: Int = 4, seed: Long = 42L,
-      fitFraction: Double = 1.0): DataFrame = {
+      fitFraction: Double = 1.0,
+      rerankShortlist: Int = 0, sketchDim: Int = 16, dim: Int = 64): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
@@ -172,11 +182,31 @@ object Similarity {
       .filter(col("rn") <= nProbe)
       .select(col("query_id"), col("qv"), col("cell"))
 
-    val scored = cells.join(broadcast(probes), Seq("cell"))
+    val candidates = cells.join(broadcast(probes), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
+    if (rerankShortlist <= 0) {
+      val scored = candidates.select(col("query_id"), col("neighbor_id"),
         round(exprs.cosine_f(col("cv"), col("qv")), 9).as("cosine"))
-    topKPerQuery(scored, k)
+      topKPerQuery(scored, k)
+    } else {
+      // stage 1 — coarse: sketch cosine per candidate, map-side bounded
+      // heap keeps only the per-query shortlist (ids, no vectors)
+      val pre = candidates.select(col("query_id"), col("neighbor_id"),
+        round(exprs.cosine_f(
+          exprs.rand_proj_sketch(col("cv"), sketchDim, dim, seed + 7001),
+          exprs.rand_proj_sketch(col("qv"), sketchDim, dim, seed + 7001)), 9).as("cosine"))
+      val shortlist = topKPerQuery(pre, rerankShortlist)
+        .select(col("query_id"), col("neighbor_id"))
+      // stage 2 — exact: re-join vectors for the shortlist only
+      val scored = shortlist
+        .join(corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("cv")),
+          "neighbor_id")
+        .join(broadcast(queries.select(col(queryId).as("query_id"), col(queryVec).as("qv"))),
+          "query_id")
+        .select(col("query_id"), col("neighbor_id"),
+          round(exprs.cosine_f(col("cv"), col("qv")), 9).as("cosine"))
+      topKPerQuery(scored, k)
+    }
   }
 
   /** Per-group mean pooling of an embedding column — the centroid

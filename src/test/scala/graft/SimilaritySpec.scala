@@ -99,6 +99,76 @@ class SimilaritySpec extends SparkSpecBase {
     assert(recall >= 0.9)
   }
 
+  test("ivf sketch re-rank on blobs: recall holds with ~15x fewer exact cosine evals") {
+    // Plan-metrics proof of the two-stage scoring: the exact cosine may
+    // only run on shortlist rows (Generate output of the coarse top-k),
+    // a structural cap far below the probed-candidate volume (the cell
+    // join's output). AQE off so the executed plan is directly walkable.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.GenerateExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val conf = spark.conf
+    val saved = conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      conf.set("spark.sql.adaptive.enabled", "false")
+      // 40 well-separated blobs of 100; a high-recall config probes 12
+      // cells, so ~1200 candidates per query — but the true top-5 all
+      // live in the query's home blob. The shortlist is sized to COVER
+      // that tie group (sketches order BETWEEN blobs, where the cosine
+      // gap is ~1; no 8-dim sketch can order WITHIN a blob where gaps
+      // are ~0.003 — that is the re-rank's job).
+      val rnd = new scala.util.Random(11)
+      val dim = 16
+      val blobs = (0 until 40).map(_ => Array.fill(dim)(rnd.nextGaussian() * 10))
+      val corpus = (0L until 4000L).map { i =>
+        val c = blobs((i % 40).toInt)
+        (i, c.map(v => (v + rnd.nextGaussian() * 0.5).toFloat))
+      }.toDF("vec_id", "embedding")
+      val queries = corpus.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val exact = Similarity.bruteForceTopK(
+          corpus, "vec_id", "embedding", queries, "qid", "qv", k = 5)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      val df = Similarity.ivfTopK(
+        corpus, "vec_id", "embedding", queries, "qid", "qv",
+        k = 5, numCells = 40, nProbe = 12,
+        rerankShortlist = 100, sketchDim = 8, dim = dim)
+      // execute THIS df (a .select would be a separate QueryExecution
+      // and the audited plan's metrics would stay zero)
+      val got = df.collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+      val recall = (exact & got).size.toDouble / exact.size
+      info(f"IVF+rerank recall@5 on blobs: $recall%.3f")
+      assert(recall >= 0.9, f"re-rank must not cost recall on its design target: $recall%.3f")
+
+      def nodes(p: SparkPlan): Seq[SparkPlan] = p +: p.children.flatMap(nodes)
+      val all = nodes(df.queryExecution.executedPlan)
+      val candidateRows = all.collect { case j: BroadcastHashJoinExec => j }
+        .map(_.metrics("numOutputRows").value).max
+      val exactEvalRows = all.collect { case g: GenerateExec => g }
+        .map(_.metrics("numOutputRows").value).filter(_ > 0).max
+      info(s"probed candidates: $candidateRows, exact cosine evals: <= $exactEvalRows")
+      assert(candidateRows >= 10 * exactEvalRows,
+        s"shortlist must cut exact evals >=10x: $exactEvalRows vs $candidateRows candidates")
+    } finally conf.set("spark.sql.adaptive.enabled", saved)
+  }
+
+  test("ivf sampled fit + sketch re-rank keeps recall >= 0.85 at sf0.01 (q_ann_ivf parameters)") {
+    val e = sources.Tables.embeddings(spark, Sf001)
+    val queries = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val exact = Similarity.bruteForceTopK(
+        e, "vec_id", "embedding", queries, "qid", "qv", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopK(e, "vec_id", "embedding", queries, "qid", "qv",
+        k = 5, numCells = 16, nProbe = 6,
+        fitFraction = 0.25, rerankShortlist = 240, sketchDim = 32)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(f"IVF recall@5, sampled fit + rerank, isotropic sf0.01: $recall%.3f")
+    assert(recall >= 0.85, f"got $recall%.3f — published number is 0.90")
+  }
+
   test("lshTopK returns a subset of brute-force candidates with exact scores") {
     val queries = Seq((0L, Array(1.0f, 0.0f, 0.0f))).toDF("qid", "qv")
     val lsh = Similarity.lshTopK(
