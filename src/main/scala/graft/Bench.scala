@@ -57,9 +57,54 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.map(_.sec).sum
     val nErr = results.count(_.err.isDefined)
+
+    // Per-query regression gate vs the previous round's bench at the
+    // same sf (bench_baselines/, refreshed each round). Ratios are
+    // SHARE-normalized — (sec/total) / (old_sec/old_total) — because
+    // the benching host's speed swings by 2x between runs (measured:
+    // an idle-machine rerun moved EVERY query by a ~2.3x median,
+    // including untouched scan-only ones); a raw-seconds gate would
+    // flag ambient noise as regressions. A genuinely regressed query
+    // still moves its SHARE of total time. Flag: share ratio > 1.5 and
+    // absolute slowdown > 1 s. Reported as "vs_prev", enforced via
+    // exit code 3.
+    val baselineFile = new java.io.File(
+      s"bench_baselines/${sys.env.getOrElse("SPARK_GRAFT_BASELINE", "r02")}_${
+        new java.io.File(sfDir).getName}.txt")
+    val vsPrev: Option[String] =
+      if (!baselineFile.isFile) None
+      else {
+        val base = scala.io.Source.fromFile(baselineFile).getLines()
+          .filterNot(l => l.startsWith("#") || l.trim.isEmpty)
+          .map { l => val Array(n, s) = l.split(" "); n -> s.toDouble }.toMap
+        // shares computed over the COMMON query set on both sides, so
+        // queries added or removed since the baseline don't skew them
+        val common = results.filter(r => r.err.isEmpty && base.contains(r.name))
+        val newTotal = common.map(_.sec).sum
+        val baseTotal = common.map(r => base(r.name)).sum
+        val rated = common.map { r =>
+          val o = base(r.name)
+          (r.name, o, r.sec, (r.sec / newTotal) / (o / baseTotal))
+        }
+        val regressions = rated
+          .filter { case (_, o, n, ratio) => ratio > 1.5 && n - o > 1.0 }
+          .sortBy(-_._4)
+        val worst = rated.maxByOption(_._4)
+        Some(
+          s""""vs_prev":{"baseline":${jstr(baselineFile.getName)},""" +
+            s""""n_compared":${rated.size},""" +
+            s""""worst":${worst.map { case (q, _, _, r) =>
+              s"""{"q":${jstr(q)},"ratio":${math.rint(r * 100) / 100}}""" }.getOrElse("null")},""" +
+            s""""regressions":[${regressions.map { case (q, o, n, r) =>
+              s"""{"q":${jstr(q)},"old":$o,"new":$n,"ratio":${math.rint(r * 100) / 100}}""" }
+              .mkString(",")}]}""")
+      }
+    val regressed = vsPrev.exists(_.contains(""""regressions":[{"""))
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_err":$nErr,"sf":${jstr(sfDir)}}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_err":$nErr,""" +
+        vsPrev.map(_ + ",").getOrElse("") + s""""sf":${jstr(sfDir)}}""")
     spark.stop()
     if (nErr > 0) sys.exit(1)
+    if (regressed) sys.exit(3)
   }
 }

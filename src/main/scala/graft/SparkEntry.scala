@@ -773,35 +773,47 @@ object SparkEntry {
 
     // E29: data-quality profiling — per-column row/null/distinct/range
     // stats, the pre-flight check before any 100 TB ingest. ONE scan of
-    // the fact table no matter how many columns are profiled: all
-    // per-column aggregates are computed side by side in a single
-    // Aggregate (Catalyst plans the multi-DISTINCT via one Expand —
-    // rows × n_cols inside the stage, still a single FileScan), then the
-    // 1-row wide result is unpivoted driver-free with explode(array(...)).
-    // The r2 shape (one li.agg(...) per column + unionByName) re-scanned
-    // lineitem once per profiled column — N passes at 100 TB.
+    // the fact table no matter how many columns are profiled (asserted
+    // in PlanAuditSpec), and — just as important — HASH aggregation in
+    // the heavy stage. The naive single-pass (one agg with N
+    // count_distincts + string min/max) is a trap: Catalyst's
+    // multi-DISTINCT Expand is fine, but a min(string) buffer is not
+    // hash-able, so the whole rows×N expanded stream falls into Sort +
+    // SortAggregate — measured 4-5x SLOWER than even the r2 N-scan
+    // shape at sf0.1. Instead: explode to (column, value) long form,
+    // hash-dedup (column, value) with counts (the only big stage —
+    // pure HashAggregate), then compute every stat on the DISTINCT
+    // values (n_distinct = count, nulls/rows from the counts, numeric
+    // min/max from a double slot, string min/max sort-aggregated over
+    // distinct values only — the set any exact min/max must visit).
     "q_profile" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
-      val cols = Seq("l_quantity", "l_discount", "l_returnflag")
-      val perCol = cols.flatMap { c =>
-        Seq(
-          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-          count_distinct(col(c)).as(s"${c}__distinct"),
-          min(col(c)).cast("string").as(s"${c}__min"),
-          max(col(c)).cast("string").as(s"${c}__max"))
-      }
-      val wide = li.agg(count(lit(1)).as("n_rows"), perCol: _*)
-      wide
-        .select(explode(array(cols.map { c =>
-          struct(
-            col("n_rows"),
-            col(s"${c}__nulls").as("n_nulls"),
-            col(s"${c}__distinct").as("n_distinct"),
-            col(s"${c}__min").as("min_str"),
-            col(s"${c}__max").as("max_str"),
-            lit(c).as("column_name"))
-        }: _*)).as("p"))
-        .select(col("p.*"))
+      val numericCols = Seq("l_quantity", "l_discount")
+      val stringCols = Seq("l_returnflag")
+      val kv = li.select(explode(array(
+        numericCols.map { c =>
+          struct(lit(c).as("c"), col(c).cast("string").as("v"),
+            col(c).as("vn"))
+        } ++ stringCols.map { c =>
+          struct(lit(c).as("c"), col(c).as("v"),
+            lit(null).cast("double").as("vn"))
+        }: _*)).as("kv"))
+        .select(col("kv.c"), col("kv.v"), col("kv.vn"))
+      val distinctCounts = kv.groupBy("c", "v")
+        .agg(count(lit(1)).as("cnt"), first(col("vn")).as("vn"))
+      distinctCounts.groupBy("c")
+        .agg(
+          sum(col("cnt")).as("n_rows"),
+          sum(when(col("v").isNull, col("cnt")).otherwise(0L)).as("n_nulls"),
+          count(when(col("v").isNotNull, lit(1))).as("n_distinct"),
+          min(col("vn")).cast("string").as("min_n"),
+          max(col("vn")).cast("string").as("max_n"),
+          min(col("v")).as("min_s"),
+          max(col("v")).as("max_s"))
+        .select(col("n_rows"), col("n_nulls"), col("n_distinct"),
+          coalesce(col("min_n"), col("min_s")).as("min_str"),
+          coalesce(col("max_n"), col("max_s")).as("max_str"),
+          col("c").as("column_name"))
     }),
 
     // E16: sketch cardinality (HyperLogLog++) — approximate distincts
