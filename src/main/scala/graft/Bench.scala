@@ -26,7 +26,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warmup: absorb codegen/classloading so the first timed query is honest
+    // warmup: absorb codegen/classloading AND the noop-sink write path
+    // (r2 warmed only count(), so the alphabetically-first query paid
+    // ~3 s of datasource/commit-protocol init every round)
+    spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000)
+      .write.format("noop").mode("overwrite").save()
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
 
     final case class R(name: String, sec: Double, err: Option[String])

@@ -408,6 +408,145 @@ object SparkEntry {
           (sum(round(col("l_extendedprice") * 100).cast("long")) / 100.0).as("revenue"))
     }),
 
+    // R33: explicit GROUPING SETS — per-segment totals and per-nation
+    // totals in ONE pass, a set combination neither rollup nor cube
+    // expresses (no (segment, nation) cross cells); Spark plans the
+    // same single-scan Expand as cube/rollup
+    "q_grouping_sets" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupingSets(
+          Seq(Seq(col("c_mktsegment")), Seq(col("n_name")), Seq()),
+          col("c_mktsegment"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          (sum(round(col("c_acctbal") * 100).cast("long")) / 100.0).as("total_acctbal"))
+        .select(
+          coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+          coalesce(col("n_name"), lit("ALL")).as("nation_name"),
+          col("n_customers"), col("total_acctbal"))
+    }),
+
+    // R34: exact interpolated percentiles per group (percentile_cont
+    // semantics) — the distribution summary approx_quantile trades
+    // away; exact quantity values make the interpolation arithmetic
+    // engine-identical
+    "q_percentiles" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          percentile(col("l_quantity"), lit(0.25)).as("p25"),
+          percentile(col("l_quantity"), lit(0.5)).as("p50"),
+          percentile(col("l_quantity"), lit(0.75)).as("p75"),
+          count(lit(1)).as("n"))),
+
+    // E35: BATCH sessionization — the same 30-minute-gap session
+    // semantics as the streaming flatMapGroupsWithState operator, as a
+    // pure window composition: flag gap-openers with lag(), running-sum
+    // the flags into session indexes, aggregate per session. One
+    // shuffle on user_id; (ts, event_id) ordering is total so session
+    // boundaries are deterministic under any partitioning.
+    "q_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val gapMs = 30L * 60000L
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          unix_millis(col("ts")).as("ms"),
+          round(col("value") * 1000).cast("long").as("vm"))
+        .withColumn("opens",
+          when(col("ms") - lag(col("ms"), 1).over(w) > gapMs, 1L)
+            .when(lag(col("ms"), 1).over(w).isNull, 1L).otherwise(0L))
+        .withColumn("session_idx",
+          sum(col("opens")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(
+          date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+          count(lit(1)).as("n_events"),
+          sum(col("vm")).as("value_milli"))
+    }),
+
+    // E36: fixed-width revenue histogram — integer bucket arithmetic on
+    // exact cents (25k-currency-unit buckets), one scan one shuffle
+    "q_histogram" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .select(round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .select(expr("cents div 2500000").as("bucket"), col("cents"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_orders"),
+          (sum(col("cents")) / 100.0).as("revenue"))
+        .withColumn("bucket_lo", col("bucket") * 25000L)),
+
+    // E37: TF-IDF top terms per document — the vocabulary-weighting
+    // primitive. tf and df from exact counts; idf = ln(N/df) rounded to
+    // 6 dp ONLY because ln differs across libm implementations (the
+    // repo's round() rule); ranking uses the rounded value + term
+    // tiebreak so both engines select identical rows.
+    "q_tfidf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val tokens = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .filter(length(col("term")) > 0)
+      val tf = tokens.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tokens.select(col("doc_id"), col("term")).distinct()
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("term").asc)
+      tf.join(df, "term")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("tfidf",
+          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+        .filter(col("doc_id") < 20)
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("doc_id"), col("rnk").cast("long").as("rnk"),
+          col("term"), col("tfidf"))
+    }),
+
+    // R35: TPC-H Q14 analog (promo revenue share) — fact⋈dim join with
+    // a conditional numerator; share is a double division of two exact
+    // unit sums, so it is bit-identical across engines
+    "q_tpch_q14" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+        .select(col("l_partkey"),
+          (round(col("l_extendedprice") * 100).cast("long")
+            * (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev_units"))
+      val p = Tables.part(s, dir).select(col("p_partkey"), col("p_type"))
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .agg(
+          (sum(when(col("p_type") === "PROMO", col("rev_units")).otherwise(0L)) / 10000.0)
+            .as("promo_revenue"),
+          (sum(col("rev_units")) / 10000.0).as("total_revenue"),
+          (lit(100.0) * sum(when(col("p_type") === "PROMO", col("rev_units")).otherwise(0L))
+            / sum(col("rev_units"))).as("promo_share_pct"))
+    }),
+
+    // R36: TPC-H Q10 analog (returned-item revenue by customer):
+    // selective fact filter, two fact joins, broadcast dim, exact-cents
+    // grouped revenue, deterministic top-20
+    "q_tpch_q10" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          (round(col("l_extendedprice") * 100).cast("long")
+            * (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev_units"))
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      val c = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_acctbal"))
+      val n = Tables.nation(s, dir)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"), col("c_acctbal"))
+        .agg((sum(col("rev_units")) / 10000.0).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    }),
+
     // R27: wide pivot — one column per year, conditional-agg semantics
     "q_pivot_wide" -> ((s, dir) =>
       Tables.orders(s, dir)
@@ -1090,6 +1229,94 @@ object SparkEntry {
          |csize AS (SELECT root, CAST(count(*) AS BIGINT) AS size FROM roots GROUP BY root)
          |SELECT size, CAST(count(*) AS BIGINT) AS n_components
          |FROM csize GROUP BY size""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+        |       coalesce(n_name, 'ALL') AS nation_name,
+        |       CAST(count(*) AS BIGINT) AS n_customers,
+        |       CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY GROUPING SETS ((c_mktsegment), (n_name), ())""".stripMargin,
+
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        |       quantile_cont(l_quantity, 0.25) AS p25,
+        |       quantile_cont(l_quantity, 0.5) AS p50,
+        |       quantile_cont(l_quantity, 0.75) AS p75,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |         epoch_ms(ts) AS ms,
+        |         CAST(round(value * 1000) AS BIGINT) AS vm,
+        |         CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL THEN 1
+        |              WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000 THEN 1
+        |              ELSE 0 END AS opens
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT *, CAST(sum(opens) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+        |  FROM flagged)
+        |SELECT user_id, session_idx,
+        |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(vm) AS BIGINT) AS value_milli
+        |FROM sessions GROUP BY user_id, session_idx""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT CAST(round(o_totalprice * 100) AS BIGINT) // 2500000 AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
+        |       (CAST(round(o_totalprice * 100) AS BIGINT) // 2500000) * 25000 AS bucket_lo
+        |FROM orders GROUP BY 1, 4""".stripMargin,
+
+    "q_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tok2 AS (SELECT doc_id, term FROM tok WHERE length(term) > 0),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM tok2 GROUP BY doc_id, term),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        |       FROM (SELECT DISTINCT doc_id, term FROM tok2) GROUP BY term),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |         round(tf.tf * ln(n.n_docs / df.df), 6) AS tfidf
+        |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+        |  WHERE tf.doc_id < 20)
+        |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term, tfidf
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                 ORDER BY tfidf DESC, term ASC) AS rnk
+        |      FROM scored)
+        |WHERE rnk <= 5""".stripMargin,
+
+    "q_tpch_q14" ->
+      """SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev_units ELSE 0 END) AS DOUBLE) / 10000.0 AS promo_revenue,
+        |       CAST(SUM(rev_units) AS DOUBLE) / 10000.0 AS total_revenue,
+        |       100.0 * SUM(CASE WHEN p_type = 'PROMO' THEN rev_units ELSE 0 END)
+        |             / SUM(rev_units) AS promo_share_pct
+        |FROM (SELECT l_partkey,
+        |             CAST(round(l_extendedprice * 100) AS BIGINT)
+        |               * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_units
+        |      FROM lineitem) l
+        |JOIN part ON l_partkey = p_partkey""".stripMargin,
+
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name, n_name, c_acctbal,
+        |       CAST(SUM(rev_units) AS DOUBLE) / 10000.0 AS revenue
+        |FROM (SELECT l_orderkey,
+        |             CAST(round(l_extendedprice * 100) AS BIGINT)
+        |               * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_units
+        |      FROM lineitem WHERE l_returnflag = 'R') l
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY c_custkey, c_name, n_name, c_acctbal
+        |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
 
     // same exact-jaccard pair derivation as q_dedup_minhash_pairs, then
     // the per-source rollup the SQL view query computes

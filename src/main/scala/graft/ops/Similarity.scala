@@ -138,7 +138,8 @@ object Similarity {
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int, numCells: Int = 16, nProbe: Int = 4, seed: Long = 42L,
       fitFraction: Double = 1.0,
-      rerankShortlist: Int = 0, sketchDim: Int = 16, dim: Int = 64): DataFrame = {
+      rerankShortlist: Int = 0, sketchDim: Int = 16, dim: Int = 64,
+      fitMaxIter: Int = 10): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
@@ -157,8 +158,12 @@ object Similarity {
     val fitReady =
       if (targetParts < fitInput.rdd.getNumPartitions) fitInput.coalesce(targetParts)
       else fitInput
+    // a coarse quantizer doesn't need full Lloyd convergence — cell
+    // BOUNDARIES move little after the first few iterations and nProbe
+    // probing absorbs boundary error (the standard IVF training
+    // shortcut); default 10 iterations, recall re-measured in specs
     val model =
-      try new KMeans().setK(numCells).setSeed(seed)
+      try new KMeans().setK(numCells).setSeed(seed).setMaxIter(fitMaxIter)
         .setFeaturesCol("features").setPredictionCol("cell").fit(fitReady)
       finally fitInput.unpersist()
     val cells = model.transform(vecs).select(col("neighbor_id"), col("cv"), col("cell"))

@@ -283,6 +283,50 @@ class StreamingSpec extends SparkSpecBase {
     assert(!Files.exists(tmp), "stale tmp dir for the replayed batch must be swept")
   }
 
+  test("batch q_sessionize == streaming flatMapGroupsWithState sessions on sf0.001 events") {
+    // The window-composition batch sessionizer and the stateful
+    // streaming sessionizer implement the SAME 30-minute-gap semantics;
+    // feeding the whole sf0.001 events table through both must produce
+    // identical session sets. Trailing sessions are flushed from the
+    // state store by a far-future sentinel event that advances the
+    // watermark past every real session's timeout.
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val batch = SparkEntry.queries("q_sessionize")(spark, Sf0001)
+      .select("user_id", "session_start", "session_end", "n_events", "value_milli")
+      .as[(Long, String, String, Long, Long)].collect().toSet
+
+    val events = sources.Tables.events(spark, Sf0001)
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[EventStream.SessionEvent].collect()
+    val sentinel = EventStream.SessionEvent(-1L, ts("2099-01-01 00:00:00"), 0.0)
+    val stream = MemoryStream[EventStream.SessionEvent]
+    val q = EventStream.sessionizeWithState(stream.toDS(), gapMinutes = 30,
+        watermark = "1 minute")
+      .writeStream.format("memory").queryName("sess_parity")
+      .outputMode("append").start()
+    try {
+      stream.addData(events.toSeq)
+      q.processAllAvailable()
+      stream.addData(Seq(sentinel))
+      q.processAllAvailable()
+      // one empty-ish trigger so event-time timeouts fire after the
+      // watermark moved; the sentinel's own session stays open
+      stream.addData(Seq(EventStream.SessionEvent(-1L, ts("2099-01-01 00:00:01"), 0.0)))
+      q.processAllAvailable()
+      val streamed = spark.table("sess_parity")
+        .filter(col("user_id") >= 0)
+        .select(col("user_id"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("s"),
+          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("e"),
+          col("n_events"), col("value_milli"))
+        .as[(Long, String, String, Long, Long)].collect().toSet
+      assert(streamed.nonEmpty)
+      assert(streamed === batch,
+        s"batch-only: ${(batch -- streamed).take(3)}; stream-only: ${(streamed -- batch).take(3)}")
+    } finally q.stop()
+  }
+
   test("sessionAgg groups events into gap-based sessions") {
     val sessRows = Seq(
       (ts("2024-01-01 10:00:00"), "click", 1.0, 1L),
