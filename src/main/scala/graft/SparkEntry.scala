@@ -547,6 +547,27 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // E38: equi+range join (point-in-interval) via time binning —
+    // events matched into each user's daily 2-hour activity windows.
+    // The naive inequality join is a BroadcastNestedLoopJoin (quadratic);
+    // the binned plan is a hash join on (user, hour-bin) + exact verify
+    // (PlanAuditSpec asserts no nested-loop node)
+    "q_range_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"),
+          to_date(col("ts")).as("day"))
+      val windows = ev.groupBy(col("user_id"), col("day"))
+        .agg(min(col("ms")).as("lo"))
+        .withColumn("hi", col("lo") + lit(7200000L))
+        .select(col("user_id"), col("lo"), col("hi"))
+      graft.ops.RangeJoin.pointInInterval(
+          ev.select(col("user_id"), col("event_id"), col("ms")), "ms",
+          windows, "lo", "hi", Seq("user_id"), binWidth = 3600000L)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_in_window"),
+          count_distinct(col("event_id")).as("n_events_in_window"))
+    }),
+
     // R27: wide pivot — one column per year, conditional-agg semantics
     "q_pivot_wide" -> ((s, dir) =>
       Tables.orders(s, dir)
@@ -1229,6 +1250,20 @@ object SparkEntry {
          |csize AS (SELECT root, CAST(count(*) AS BIGINT) AS size FROM roots GROUP BY root)
          |SELECT size, CAST(count(*) AS BIGINT) AS n_components
          |FROM csize GROUP BY size""".stripMargin,
+
+    "q_range_join" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ms, CAST(ts AS DATE) AS day
+        |  FROM events),
+        |win AS (
+        |  SELECT user_id, min(ms) AS lo, min(ms) + 7200000 AS hi
+        |  FROM ev GROUP BY user_id, day)
+        |SELECT e.user_id,
+        |       CAST(count(*) AS BIGINT) AS n_in_window,
+        |       CAST(count(DISTINCT e.event_id) AS BIGINT) AS n_events_in_window
+        |FROM ev e JOIN win w
+        |  ON e.user_id = w.user_id AND e.ms >= w.lo AND e.ms <= w.hi
+        |GROUP BY e.user_id""".stripMargin,
 
     "q_grouping_sets" ->
       """SELECT coalesce(c_mktsegment, 'ALL') AS segment,

@@ -83,6 +83,13 @@ class PlanAuditSpec extends SparkSpecBase {
     }
   }
 
+  test("q_range_join: binned plan is a hash join, never a nested-loop/cartesian") {
+    val p = plan("q_range_join", "/root/testdata/sf0.001")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join must bin into an equi join:\n$p")
+    assert(p.contains("Join") || p.contains("join"))
+  }
+
   test("q_pruned_scan: filter and projection reach the parquet scan") {
     val p = plan("q_pruned_scan")
     assert(p.contains("PushedFilters: [IsNotNull(l_discount), GreaterThan(l_discount"),
