@@ -568,6 +568,62 @@ object SparkEntry {
           count_distinct(col("event_id")).as("n_events_in_window"))
     }),
 
+    // E40: ordered funnel (view → click-after-view → purchase-after-
+    // click). Each stage is a user-keyed min-aggregation, and every
+    // subsequent join + groupBy reuses the user_id hash partitioning —
+    // one logical shuffle shape repeated, never a window sort over the
+    // whole event stream. Each stage's event_type filter pushes to the
+    // parquet scan, so the three passes each read only their slice.
+    "q_funnel" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ms"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ms")).as("v_ms"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ms") > col("v_ms"))
+        .groupBy(col("user_id")).agg(min(col("ms")).as("c_ms"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ms") > col("c_ms"))
+        .groupBy(col("user_id")).agg(min(col("ms")).as("p_ms"))
+      v.agg(count(lit(1)).as("n_users")).select(lit("1_view").as("stage"), col("n_users"))
+        .unionAll(c.agg(count(lit(1)).as("n_users"))
+          .select(lit("2_click_after_view").as("stage"), col("n_users")))
+        .unionAll(p.agg(count(lit(1)).as("n_users"))
+          .select(lit("3_purchase_after_click").as("stage"), col("n_users")))
+    }),
+
+    // E41: cohort retention — users grouped by first-seen day, activity
+    // counted per week offset. The cohort frame is a user-keyed agg
+    // joined straight back to the user-keyed events (partitioning
+    // reused); output cardinality is cohort-days × offsets, tiny at
+    // any corpus scale.
+    "q_retention" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val cohort = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+      ev.join(cohort, "user_id")
+        .groupBy(
+          date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+          floor(datediff(col("day"), col("cohort_day")) / 7).cast("long").as("week_offset"))
+        .agg(count_distinct(col("user_id")).as("n_active"))
+    }),
+
+    // E42: latest-per-key (the CDC/upsert compaction primitive as a
+    // batch query) — ONE partial-aggregable shuffle via max(struct),
+    // not a window sort: the struct's (ms, event_id) prefix is a total
+    // order, so max() picks the unique latest row and map-side combine
+    // keeps the shuffle at one record per (task, user).
+    "q_latest_per_key" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("user_id"), unix_millis(col("ts")).as("ms"), col("event_id"),
+          col("event_type"), round(col("value") * 1000).cast("long").as("vm"))
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("ms"), col("event_id"), col("event_type"), col("vm"))).as("last"))
+        .select(col("user_id"), col("last.ms").as("last_ms"),
+          col("last.event_id").as("last_event_id"),
+          col("last.event_type").as("last_event_type"),
+          col("last.vm").as("last_value_milli"))),
+
     // R27: wide pivot — one column per year, conditional-agg semantics
     "q_pivot_wide" -> ((s, dir) =>
       Tables.orders(s, dir)
@@ -1264,6 +1320,47 @@ object SparkEntry {
         |FROM ev e JOIN win w
         |  ON e.user_id = w.user_id AND e.ms >= w.lo AND e.ms <= w.hi
         |GROUP BY e.user_id""".stripMargin,
+
+    "q_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+        |v AS (SELECT user_id, min(ms) AS v_ms FROM ev
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ms) AS c_ms FROM ev e
+        |      JOIN v ON e.user_id = v.user_id AND e.ms > v.v_ms
+        |      WHERE e.event_type = 'click' GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ms) AS p_ms FROM ev e
+        |      JOIN c ON e.user_id = c.user_id AND e.ms > c.c_ms
+        |      WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
+        |UNION ALL
+        |SELECT '2_click_after_view', CAST(count(*) AS BIGINT) FROM c
+        |UNION ALL
+        |SELECT '3_purchase_after_click', CAST(count(*) AS BIGINT) FROM p""".stripMargin,
+
+    "q_retention" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |cohort AS (
+        |  SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1)
+        |SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+        |       CAST(floor(date_diff('day', c.cohort_day, e.day) / 7.0) AS BIGINT) AS week_offset,
+        |       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
+        |FROM ev e JOIN cohort c ON e.user_id = c.user_id
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_latest_per_key" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_ms(ts) AS ms, event_id, event_type,
+        |         CAST(round(value * 1000) AS BIGINT) AS vm
+        |  FROM events),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |            ORDER BY ms DESC, event_id DESC) AS rn
+        |  FROM ev)
+        |SELECT user_id, ms AS last_ms, event_id AS last_event_id,
+        |       event_type AS last_event_type, vm AS last_value_milli
+        |FROM r WHERE rn = 1""".stripMargin,
 
     "q_grouping_sets" ->
       """SELECT coalesce(c_mktsegment, 'ALL') AS segment,

@@ -90,6 +90,21 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("Join") || p.contains("join"))
   }
 
+  test("q_latest_per_key: one partial-aggregable shuffle, never a window sort") {
+    val p = plan("q_latest_per_key")
+    assert(!p.contains("Window"), s"max(struct) agg must not plan a Window:\n$p")
+    assert(p.contains("partial_max") || p.contains("HashAggregate"),
+      s"latest-per-key must be a map-side-combinable aggregate:\n$p")
+  }
+
+  test("q_funnel: each stage's event_type filter pushes to the parquet scan") {
+    val p = plan("q_funnel")
+    assert(p.contains("EqualTo(event_type,view)") && p.contains("EqualTo(event_type,click)")
+      && p.contains("EqualTo(event_type,purchase)"),
+      s"stage filters must reach PushedFilters:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q_pruned_scan: filter and projection reach the parquet scan") {
     val p = plan("q_pruned_scan")
     assert(p.contains("PushedFilters: [IsNotNull(l_discount), GreaterThan(l_discount"),
