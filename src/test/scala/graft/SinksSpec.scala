@@ -32,4 +32,46 @@ class SinksSpec extends SparkSpecBase {
     val unpruned = spark.read.parquet(path).count()
     assert(unpruned > want, "sanity: other partitions exist")
   }
+
+  private def parquetFilesPerDir(root: String): Map[String, Int] = {
+    val rootPath = Paths.get(root)
+    val stream = Files.walk(rootPath)
+    try {
+      import scala.jdk.CollectionConverters._
+      stream.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .toList
+        .groupBy(p => rootPath.relativize(p.getParent).toString)
+        .map { case (d, fs) => d -> fs.size }
+    } finally stream.close()
+  }
+
+  test("compaction collapses fragmented partitions to sized files, content intact") {
+    val fragDir = "/tmp/graft-frag-events"
+    val compDir = "/tmp/graft-comp-events"
+    val ev = Tables.events(spark, Sf001)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+
+    // fragment: 30 shuffle tasks each writing into every type dir
+    ev.repartition(30).write.mode("overwrite")
+      .partitionBy("event_type").parquet(fragDir)
+    val fragCounts = parquetFilesPerDir(fragDir)
+    assert(fragCounts.values.forall(_ >= 20),
+      s"setup must be fragmented, got $fragCounts")
+
+    // ~2000 rows per type, target 1500 per file → ceil = 2 files per dir
+    Sinks.compactPartitioned(
+      spark.read.parquet(fragDir), compDir, Seq("event_type"),
+      targetRowsPerFile = 1500L)
+    val compCounts = parquetFilesPerDir(compDir)
+    assert(compCounts.keySet === fragCounts.keySet, "partition dirs preserved")
+    assert(compCounts.values.forall(n => n >= 1 && n <= 2),
+      s"each dir must compact to ceil(rows/target)=2 files, got $compCounts")
+
+    // content identical, both directions
+    val before = spark.read.parquet(fragDir)
+    val after = spark.read.parquet(compDir).select(before.columns.map(col): _*)
+    assert(after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty)
+    assert(after.count() === 10000L)
+  }
 }
