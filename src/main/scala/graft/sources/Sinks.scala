@@ -42,6 +42,38 @@ object Sinks {
     * `targetRowsPerFile` is the knob because row width is caller-known;
     * byte-based sizing is `targetBytes / avgRowBytes` at the call site.
     */
+  /** Z-order-clustered write over two numeric columns (see
+    * [[graft.functions.ZOrderKernels]] for why ranks + bit interleave).
+    *
+    * One GK-sketch pass fits both columns' quantile boundaries
+    * (`approxQuantile` — sample-free, mergeable, scale-safe), then a
+    * single `repartitionByRange` + in-partition sort on the codegen'd
+    * Morton key lands `nFiles` files whose footer min/max are tight
+    * hyper-rectangles on BOTH columns. ZOrderSpec measures the effect
+    * directly: per-file bounds intersecting a 1-d slice drop from all
+    * files (linear layout) to ~sqrt (curve layout).
+    *
+    * `bins = 1024` → 10-bit ranks, 20-bit keys: finer than any
+    * realistic file count, coarse enough that the boundary arrays
+    * broadcast in the task binaries for free.
+    */
+  def writeZOrdered(
+      df: DataFrame, path: String, colA: String, colB: String,
+      nFiles: Int, bins: Int = 1024): Unit = {
+    import graft.functions.zorder._
+    require(nFiles > 0 && bins > 1 && bins <= (1 << 20))
+    val probs = (1 until bins).map(_.toDouble / bins).toArray
+    val qs = df.stat.approxQuantile(Array(colA, colB), probs, 0.001)
+    val zKey = interleave_bits(
+      quantile_bin(col(colA).cast("double"), qs(0)),
+      quantile_bin(col(colB).cast("double"), qs(1)))
+    df.withColumn("__z", zKey)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   def compactPartitioned(
       df: DataFrame, path: String, partitionCols: Seq[String],
       targetRowsPerFile: Long): Unit = {
