@@ -14,10 +14,15 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * [[org.apache.spark.sql.graft.GraftFunctionRegistry.register]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctionDefs.all.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // auto-rewrite of naive point-in-interval joins to the binned
+    // hash-join form; for an already-built session use
+    // `spark.experimental.extraOptimizations ++= Seq(RangeJoinRule(spark))`
+    ext.injectOptimizerRule(s => graft.plans.RangeJoinRule(s))
+  }
 }
 
 object GraftFunctionDefs {

@@ -54,6 +54,16 @@ class SqlFunctionsSpec extends SparkSpecBase {
       val want = Seq("graft").toDF("t")
         .select(exprs.rolling_hash(col("t"))).as[Long].head()
       assert(got === want)
+      // the extension also injects the range-join rewrite rule: a
+      // keyless inequality join must not nested-loop on this session
+      import s2.implicits._
+      val p = Seq((1L, 100L)).toDF("pid", "t")
+      val iv = Seq((50L, 300L)).toDF("lo", "hi")
+      val rj = p.join(iv, p("t") >= iv("lo") && p("t") <= iv("hi"))
+      assert(rj.collect().length === 1)
+      val plan = rj.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && plan.contains("__graft_bin"),
+        s"injectOptimizerRule route must rewrite range joins:\n$plan")
     } finally {
       SparkSession.setDefaultSession(prev)
       SparkSession.setActiveSession(prev)
