@@ -547,6 +547,56 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // R37: TPC-H Q18 analog (large-volume customers): a having-filtered
+    // fact self-aggregation driving a 3-way join. The quantity sums are
+    // integral doubles summed exactly (≤2^53), cast to long for a
+    // hash-stable output; the big-side agg happens BEFORE the joins so
+    // only qualifying orders (~1%) reach the join graph.
+    "q_tpch_q18" -> ((s, dir) => {
+      val huge = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).cast("long").as("total_qty"))
+        .filter(col("total_qty") > 250L)
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+      val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_name"))
+      huge.join(o, huge("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("order_date"), col("price_cents"), col("total_qty"))
+        .orderBy(col("price_cents").desc, col("o_orderkey").asc)
+        .limit(100)
+    }),
+
+    // R38: TPC-H Q7 analog (volume shipping between two nations): the
+    // symmetric nation-pair filter pushes into BOTH dim joins
+    // (broadcast), so the fact table is filtered by two semi-selective
+    // dims before the (supp_nation, cust_nation, year) rollup.
+    "q_tpch_q7" -> ((s, dir) => {
+      val nations = Seq("NATION_1", "NATION_2")
+      val n1 = Tables.nation(s, dir).filter(col("n_name").isin(nations: _*))
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, dir).filter(col("n_name").isin(nations: _*))
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      val sup = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).as("ship_year"),
+        (round(col("l_extendedprice") * 100).cast("long")
+          * (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev_units"))
+      l.join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+        .join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(cust, o("o_custkey") === cust("c_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("ship_year"))
+        .agg((sum(col("rev_units")) / 10000.0).as("revenue"))
+    }),
+
     // E38: equi+range join (point-in-interval) via time binning —
     // events matched into each user's daily 2-hour activity windows.
     // The naive inequality join is a BroadcastNestedLoopJoin (quadratic);
@@ -1306,6 +1356,37 @@ object SparkEntry {
          |csize AS (SELECT root, CAST(count(*) AS BIGINT) AS size FROM roots GROUP BY root)
          |SELECT size, CAST(count(*) AS BIGINT) AS n_components
          |FROM csize GROUP BY size""".stripMargin,
+
+    "q_tpch_q18" ->
+      """WITH huge AS (
+        |  SELECT l_orderkey, CAST(SUM(l_quantity) AS BIGINT) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING CAST(SUM(l_quantity) AS BIGINT) > 250)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |       CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+        |       total_qty
+        |FROM huge
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY price_cents DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+
+    "q_tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       CAST(year(l_shipdate) AS INT) AS ship_year,
+        |       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE)
+        |         / 10000.0 AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+        |  AND n2.n_name IN ('NATION_1', 'NATION_2')
+        |  AND n1.n_name <> n2.n_name
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     "q_range_join" ->
       """WITH ev AS (
