@@ -547,6 +547,39 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // E49: batch MERGE upsert — base snapshot (orderkey % 3 != 0) merged
+    // with an updates feed (orderkey % 2 == 0, repriced): matched rows
+    // take the update, unmatched base rows survive, new keys insert.
+    // One full-outer shuffle join; presence-flag (not coalesce) winner.
+    "q_merge_upsert" -> ((s, dir) => {
+      val all = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+      val base = all.filter(col("o_orderkey") % 3 =!= 0)
+      val updates = all.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("price_cents", col("price_cents") + 500L)
+        .withColumn("o_orderstatus", lit("U"))
+      graft.ops.Merge.upsert(base, updates, Seq("o_orderkey"))
+    }),
+
+    // E50: SCD2 — per-customer order history as validity intervals:
+    // valid_from = this order's date, valid_to = the next order's date
+    // (open for the current row). One window shuffle on the entity key,
+    // (date, orderkey) tiebreak keeps intervals deterministic.
+    "q_scd2" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderdate"))
+        .withColumn("valid_to_ts", lead(col("o_orderdate"), 1).over(w))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("valid_from"),
+          date_format(col("valid_to_ts"), "yyyy-MM-dd").as("valid_to"),
+          col("valid_to_ts").isNull.as("is_current"))
+    }),
+
     // R37: TPC-H Q18 analog (large-volume customers): a having-filtered
     // fact self-aggregation driving a 3-way join. The quantity sums are
     // integral doubles summed exactly (≤2^53), cast to long for a
@@ -1356,6 +1389,30 @@ object SparkEntry {
          |csize AS (SELECT root, CAST(count(*) AS BIGINT) AS size FROM roots GROUP BY root)
          |SELECT size, CAST(count(*) AS BIGINT) AS n_components
          |FROM csize GROUP BY size""".stripMargin,
+
+    "q_merge_upsert" ->
+      """WITH all_o AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        |  FROM orders),
+        |base AS (SELECT * FROM all_o WHERE o_orderkey % 3 <> 0),
+        |upd AS (SELECT o_orderkey, 'U' AS o_orderstatus,
+        |               price_cents + 500 AS price_cents
+        |        FROM all_o WHERE o_orderkey % 2 = 0)
+        |SELECT coalesce(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |       CASE WHEN u.o_orderkey IS NOT NULL
+        |            THEN u.o_orderstatus ELSE b.o_orderstatus END AS o_orderstatus,
+        |       CASE WHEN u.o_orderkey IS NOT NULL
+        |            THEN u.price_cents ELSE b.price_cents END AS price_cents
+        |FROM base b FULL OUTER JOIN upd u ON b.o_orderkey = u.o_orderkey""".stripMargin,
+
+    "q_scd2" ->
+      """SELECT o_custkey, o_orderkey, o_orderstatus,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+        |       strftime(lead(o_orderdate) OVER w, '%Y-%m-%d') AS valid_to,
+        |       lead(o_orderdate) OVER w IS NULL AS is_current
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
 
     "q_tpch_q18" ->
       """WITH huge AS (
