@@ -920,6 +920,16 @@ object SparkEntry {
           round(col("byte_entropy"), 4).as("byte_entropy"))
     }),
 
+    // E8: video frame sampling — deterministic offsets, 1 media row →
+    // 8 frame rows, per-frame byte reduction (decode stubbed as byte
+    // windows; see Multimodal.sampleFrames)
+    "q_frame_sample" -> ((s, dir) => {
+      val media = Multimodal.mediaFromDocuments(
+        Tables.documents(s, dir)).filter(col("mime") === "video/mp4")
+      Multimodal.sampleFrames(s, media, frameSize = 64, nFrames = 8).toDF()
+        .select(col("media_id"), col("frame_idx"), col("frame_off"), col("byte_sum"))
+    }),
+
     // E9: language-ID heuristic
     "q_lang_id" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -1717,6 +1727,25 @@ object SparkEntry {
       "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
 
     // the FakeDecoder's features are deterministic byte statistics, so
+    // frame offsets are pure integer arithmetic; byte_sum reproduces the
+    // window reduction via per-char codepoints (corpus is ASCII, so
+    // char position == byte offset)
+    "q_frame_sample" ->
+      """WITH media AS (
+        |  SELECT doc_id AS media_id, text, length(text) AS len
+        |  FROM documents WHERE doc_id % 3 = 2 AND length(text) >= 64),
+        |frames AS (
+        |  SELECT media_id, CAST(f.i AS INT) AS frame_idx,
+        |         (f.i * (len - 64)) // 7 AS frame_off, text
+        |  FROM media, (SELECT unnest(range(8)) AS i) f),
+        |chars AS (
+        |  SELECT media_id, frame_idx, frame_off,
+        |         ord(substr(text, CAST(frame_off + p + 1 AS INT), 1)) AS code
+        |  FROM (SELECT *, unnest(range(64)) AS p FROM frames))
+        |SELECT media_id, frame_idx, CAST(frame_off AS BIGINT) AS frame_off,
+        |       CAST(sum(code) AS BIGINT) AS byte_sum
+        |FROM chars GROUP BY 1, 2, 3""".stripMargin,
+
     // the whole multimodal plumbing is oracle-checkable: the ordered
     // entropy sum (ORDER BY code) replicates the decoder's ascending
     // histogram walk bit-for-bit

@@ -76,4 +76,37 @@ object Multimodal {
       it.map(FakeDecoder.decode)
     }
   }
+
+  /** One sampled "frame": a fixed-width byte window at a deterministic
+    * offset (evenly spaced over the payload, endpoints included).
+    */
+  final case class FrameSample(
+      media_id: Long, frame_idx: Int, frame_off: Long, byte_sum: Long)
+
+  /** Video frame sampling over binary payloads — the row-explode stage
+    * of a video pipeline (1 media row → nFrames frame rows), with the
+    * decode again stubbed as byte windows: a real pipeline swaps the
+    * window read for a keyframe decode at the same offsets. Offsets are
+    * pure integer arithmetic (`i·(len−frame)/(n−1)`, floor), so the
+    * sampled set is reproducible across engines — q_frame_sample
+    * oracle-checks the full explode + per-frame reduction in DuckDB.
+    * Payloads shorter than one frame are skipped (the guard a real
+    * sampler needs for truncated files).
+    */
+  def sampleFrames(spark: SparkSession, media: DataFrame,
+      frameSize: Int, nFrames: Int): Dataset[FrameSample] = {
+    import spark.implicits._
+    require(frameSize > 0 && nFrames > 1)
+    media.as[MediaRecord].flatMap { r =>
+      val len = r.payload.length
+      if (len < frameSize) Iterator.empty
+      else (0 until nFrames).iterator.map { i =>
+        val off = i.toLong * (len - frameSize) / (nFrames - 1)
+        var s = 0L
+        var p = 0
+        while (p < frameSize) { s += r.payload(off.toInt + p) & 0xff; p += 1 }
+        FrameSample(r.media_id, i, off, s)
+      }
+    }
+  }
 }
