@@ -547,6 +547,77 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // E54: schema'd JSON extraction from the semi-structured props
+    // column (from_json with an explicit schema — parse once, codegen'd,
+    // no per-row schema inference) + grouped rollup of the parsed field
+    "q_json_extract" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).cast("long").as("k_sum"),
+          min(col("k")).as("k_min"), max(col("k")).as("k_max"))),
+
+    // E55: time-series gap fill — per-user calendar spine (explode of a
+    // date sequence, no driver loop) left-joined to daily activity;
+    // counts zero-fill, values forward-fill via last(ignoreNulls) over
+    // an ordered per-user window. One shuffle on user_id.
+    "q_gap_fill" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, dir)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(round(col("value") * 1000).cast("long")).as("value_milli"))
+      val spine = daily.groupBy(col("user_id"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("user_id"),
+          explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          last(col("value_milli"), ignoreNulls = true).over(w).as("carried_value_milli"))
+    }),
+
+    // E56: snapshot diff — dataset-version observability: one full-outer
+    // join classifies every key as added / removed / changed / unchanged
+    // between two snapshot views of the same table.
+    "q_snapshot_diff" -> ((s, dir) => {
+      val all = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+      val v1 = all.filter(col("o_orderkey") % 5 =!= 0)
+      val v2 = all.filter(col("o_orderkey") % 5 =!= 1)
+        .withColumn("price_cents",
+          when(col("o_orderkey") % 3 === 0, col("price_cents") + 100L)
+            .otherwise(col("price_cents")))
+      val a = v1.alias("a"); val b = v2.alias("b")
+      a.join(b, col("a.o_orderkey") === col("b.o_orderkey"), "full_outer")
+        .select(
+          when(col("a.o_orderkey").isNull, "added")
+            .when(col("b.o_orderkey").isNull, "removed")
+            .when(col("a.price_cents") =!= col("b.price_cents")
+              || col("a.o_orderstatus") =!= col("b.o_orderstatus"), "changed")
+            .otherwise("unchanged").as("status"))
+        .groupBy(col("status")).agg(count(lit(1)).as("n"))
+    }),
+
+    // E57: nested-array analytics via higher-order functions — norm and
+    // max-|x| computed INSIDE the row with aggregate()/transform()
+    // lambdas (codegen'd, no explode shuffle); round(4) because the two
+    // engines accumulate float lists independently.
+    "q_vector_ops" -> ((s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), size(col("embedding")).as("dim"),
+          round(sqrt(aggregate(col("embedding"), lit(0.0d),
+            (acc, x) => acc + x.cast("double") * x.cast("double"))), 4).as("l2_norm"),
+          round(array_max(transform(col("embedding"),
+            x => abs(x.cast("double")))), 4).as("max_abs"))),
+
     // E49: batch MERGE upsert — base snapshot (orderkey % 3 != 0) merged
     // with an updates feed (orderkey % 2 == 0, repriced): matched rows
     // take the update, unmatched base rows survive, new keys insert.
@@ -1399,6 +1470,58 @@ object SparkEntry {
          |csize AS (SELECT root, CAST(count(*) AS BIGINT) AS size FROM roots GROUP BY root)
          |SELECT size, CAST(count(*) AS BIGINT) AS n_components
          |FROM csize GROUP BY size""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(props->>'k' AS INT)) AS BIGINT) AS k_sum,
+        |       min(CAST(props->>'k' AS INT)) AS k_min,
+        |       max(CAST(props->>'k' AS INT)) AS k_max
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |         CAST(count(*) AS BIGINT) AS n_events,
+        |         CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli
+        |  FROM events GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT user_id, unnest(generate_series(min(day), max(day),
+        |                                         INTERVAL 1 DAY))::DATE AS day
+        |  FROM daily GROUP BY user_id)
+        |SELECT s.user_id, strftime(s.day, '%Y-%m-%d') AS day,
+        |       coalesce(d.n_events, 0) AS n_events,
+        |       last_value(d.value_milli IGNORE NULLS) OVER (
+        |         PARTITION BY s.user_id ORDER BY s.day
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried_value_milli
+        |FROM spine s LEFT JOIN daily d
+        |  ON s.user_id = d.user_id AND s.day = d.day""".stripMargin,
+
+    "q_snapshot_diff" ->
+      """WITH all_o AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        |  FROM orders),
+        |v1 AS (SELECT * FROM all_o WHERE o_orderkey % 5 <> 0),
+        |v2 AS (SELECT o_orderkey, o_orderstatus,
+        |              CASE WHEN o_orderkey % 3 = 0 THEN price_cents + 100
+        |                   ELSE price_cents END AS price_cents
+        |       FROM all_o WHERE o_orderkey % 5 <> 1)
+        |SELECT CASE WHEN a.o_orderkey IS NULL THEN 'added'
+        |            WHEN b.o_orderkey IS NULL THEN 'removed'
+        |            WHEN a.price_cents <> b.price_cents
+        |                 OR a.o_orderstatus <> b.o_orderstatus THEN 'changed'
+        |            ELSE 'unchanged' END AS status,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM v1 a FULL OUTER JOIN v2 b ON a.o_orderkey = b.o_orderkey
+        |GROUP BY 1""".stripMargin,
+
+    "q_vector_ops" ->
+      """SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
+        |       round(sqrt(list_aggregate(list_transform(embedding,
+        |                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 4) AS l2_norm,
+        |       round(list_aggregate(list_transform(embedding,
+        |                    x -> abs(CAST(x AS DOUBLE))), 'max'), 4) AS max_abs
+        |FROM embeddings""".stripMargin,
 
     "q_merge_upsert" ->
       """WITH all_o AS (
