@@ -891,6 +891,28 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
     }),
 
+    // E58: top-k per group via the bounded-heap aggregate — the general
+    // form of the ANN ranking path: each map task ships ≤ k entries per
+    // nation (score = price_cents as double, unique orderkey tiebreak
+    // in the id), vs a window sort that shuffles EVERY order. The
+    // oracle is the window formulation — proving the aggregate ==
+    // window equivalence on real data.
+    "q_topk_per_group" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey"), col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+      // id packs the orderkey; score ties broken by SMALLER id = smaller
+      // orderkey, matching the oracle's (price DESC, orderkey ASC)
+      o.groupBy(col("c_nationkey"))
+        .agg(graft.functions.TopKByScore.agg(
+          col("price_cents").cast("double"), col("o_orderkey"), 3).as("top"))
+        .select(col("c_nationkey"), posexplode(col("top")))
+        .select(col("c_nationkey"), (col("pos") + 1).cast("long").as("rank"),
+          col("col.id").as("o_orderkey"), col("col.score").cast("long").as("price_cents"))
+    }),
+
     // E6: exact brute-force cosine top-k
     "q_ann_topk" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -1470,6 +1492,18 @@ object SparkEntry {
          |csize AS (SELECT root, CAST(count(*) AS BIGINT) AS size FROM roots GROUP BY root)
          |SELECT size, CAST(count(*) AS BIGINT) AS n_components
          |FROM csize GROUP BY size""".stripMargin,
+
+    "q_topk_per_group" ->
+      """WITH o AS (
+        |  SELECT c_nationkey, o_orderkey,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY c_nationkey
+        |            ORDER BY price_cents DESC, o_orderkey ASC) AS rank
+        |  FROM o)
+        |SELECT c_nationkey, CAST(rank AS BIGINT) AS rank, o_orderkey, price_cents
+        |FROM r WHERE rank <= 3""".stripMargin,
 
     "q_json_extract" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,

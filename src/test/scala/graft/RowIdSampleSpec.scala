@@ -38,4 +38,31 @@ class RowIdSampleSpec extends SparkSpecBase {
     // Bernoulli(0.3) over 20000 rows: ±6 sigma bound
     assert(s1.size > 5600 && s1.size < 6400, s"sample size ${s1.size} outside bounds")
   }
+
+  test("stratified sampleBy: per-stratum fractions honored, deterministic under seed") {
+    import graft.sources.Tables
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, Sf001).select(col("event_id"), col("event_type"))
+    val fractions = Map("view" -> 0.5, "click" -> 0.1, "purchase" -> 1.0)
+    def draw(seed: Long) =
+      ev.stat.sampleBy("event_type", fractions, seed)
+        .as[(Long, String)].collect()
+
+    val a = draw(42L); val b = draw(42L); val c = draw(7L)
+    assert(a.toSet === b.toSet, "same seed, same stratified sample")
+    assert(a.toSet !== c.toSet, "seed must matter")
+
+    val strata = ev.groupBy("event_type").count().as[(String, Long)].collect().toMap
+    val got = a.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    assert(!got.contains("signup") && !got.contains("error"),
+      "unlisted strata must be excluded entirely")
+    assert(got("purchase") === strata("purchase"), "fraction 1.0 keeps every row")
+    // Bernoulli per stratum, ±6 sigma
+    for ((t, f) <- Seq("view" -> 0.5, "click" -> 0.1)) {
+      val n = strata(t); val mean = f * n
+      val dev = 6 * math.sqrt(n * f * (1 - f))
+      assert(math.abs(got(t) - mean) < dev,
+        s"$t: ${got(t)} outside $mean ± $dev")
+    }
+  }
 }
