@@ -547,6 +547,58 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // R39: RANGE-frame window — 7-DAY trailing revenue per customer
+    // (a time interval, not a row count: gaps in the order history
+    // change the frame, which ROWS BETWEEN cannot express). Exact cents
+    // keep the running sums engine-identical.
+    "q_range_frame" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val day = 86400L
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("epoch_s"))
+        .rangeBetween(-6 * day, Window.currentRow)
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          unix_timestamp(col("o_orderdate")).as("epoch_s"),
+          round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+        .withColumn("trailing_7d_cents", sum(col("price_cents")).over(w))
+        .withColumn("n_in_window", count(lit(1)).over(w))
+        .select(col("o_custkey"), col("o_orderkey"),
+          date_format(to_timestamp(col("epoch_s")), "yyyy-MM-dd").as("order_date"),
+          col("price_cents"), col("trailing_7d_cents"), col("n_in_window"))
+    }),
+
+    // R40: unpivot — wide (one column per measure) back to long
+    // (measure, value) rows; the inverse of q_pivot_wide, one scan,
+    // no shuffle at all
+    "q_unpivot" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice") * 100).cast("long").as("price_cents"),
+          round(col("l_discount") * 100).cast("long").as("discount_pct"),
+          round(col("l_tax") * 100).cast("long").as("tax_pct"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("price_cents"), col("discount_pct"), col("tax_pct")),
+          "measure", "value")),
+
+    // R41: correlated scalar subquery — orders above their own
+    // customer's average (Catalyst decorrelates to an aggregate +
+    // join; the oracle states it in subquery form, proving the
+    // rewrite's semantics). Threshold comparison on exact cents.
+    "q_correlated" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+      o.createOrReplaceTempView("corr_orders")
+      s.sql("""
+        SELECT o_orderkey, o_custkey, price_cents
+        FROM corr_orders o
+        WHERE price_cents > (SELECT avg(price_cents)
+                             FROM corr_orders i
+                             WHERE i.o_custkey = o.o_custkey)""")
+    }),
+
     // E54: schema'd JSON extraction from the semi-structured props
     // column (from_json with an explicit schema — parse once, codegen'd,
     // no per-row schema inference) + grouped rollup of the parsed field
@@ -1492,6 +1544,36 @@ object SparkEntry {
          |csize AS (SELECT root, CAST(count(*) AS BIGINT) AS size FROM roots GROUP BY root)
          |SELECT size, CAST(count(*) AS BIGINT) AS n_components
          |FROM csize GROUP BY size""".stripMargin,
+
+    "q_range_frame" ->
+      """SELECT o_custkey, o_orderkey,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |       CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS BIGINT)
+        |         AS trailing_7d_cents,
+        |       CAST(count(*) OVER w AS BIGINT) AS n_in_window
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+        |             RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q_unpivot" ->
+      """UNPIVOT (SELECT l_orderkey, l_linenumber,
+        |                CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+        |                CAST(round(l_discount * 100) AS BIGINT) AS discount_pct,
+        |                CAST(round(l_tax * 100) AS BIGINT) AS tax_pct
+        |         FROM lineitem)
+        |ON price_cents, discount_pct, tax_pct
+        |INTO NAME measure VALUE value""".stripMargin,
+
+    "q_correlated" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        |  FROM orders)
+        |SELECT o_orderkey, o_custkey, price_cents
+        |FROM o
+        |WHERE price_cents > (SELECT avg(price_cents)
+        |                     FROM o i WHERE i.o_custkey = o.o_custkey)""".stripMargin,
 
     "q_topk_per_group" ->
       """WITH o AS (

@@ -114,6 +114,35 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("stream-static join: live events enriched by a batch dim, broadcast per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    // static dim: user tiers (the dimension a 100 TB stream enriches
+    // against — broadcast into every micro-batch, no stream-side state)
+    val dim = Seq((1L, "gold"), (2L, "basic"), (3L, "basic"))
+      .toDF("user_id", "tier")
+    val stream = MemoryStream[(Timestamp, String, Double, Long)]
+    val streamDf = stream.toDF().toDF("ts", "event_type", "value", "user_id")
+
+    import org.apache.spark.sql.functions.{broadcast, col, count, lit, sum, round}
+    val q = streamDf.join(broadcast(dim), Seq("user_id"), "left")
+      .groupBy(col("tier")).agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 1000).cast("long")).as("vm"))
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("complete").start()
+    try {
+      stream.addData(rows :+ (ts("2024-01-01 12:00:00"), "click", 1.0, 99L))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("enriched")
+      .as[(Option[String], Long, Long)].collect().toSet
+    // rows: u1 ×2 (gold), u2 + u3 (basic), unknown user 99 → null tier
+    assert(got === Set(
+      (Some("gold"), 2L, 5500L),
+      (Some("basic"), 2L, 10500L),
+      (None, 1L, 1000L)))
+  }
+
   test("stream-stream interval join matches only views within the window, per user") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Long, Timestamp, Long)] // (event_id, ts, user_id)
