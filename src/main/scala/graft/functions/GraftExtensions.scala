@@ -68,6 +68,22 @@ object GraftFunctionDefs {
       info("hyperplane_sig", "hyperplane_sig(vec, planes, dim, seed) - sign-LSH bucket"),
       (c: Seq[Expression]) => HyperplaneSig(c.head,
         lit(c(1), "hyperplane_sig").toInt, lit(c(2), "hyperplane_sig").toInt,
-        lit(c(3), "hyperplane_sig")))
+        lit(c(3), "hyperplane_sig"))),
+    // aggregates register like scalars — the analyzer wraps a returned
+    // AggregateFunction in its AggregateExpression
+    ("topk_by_score",
+      info("topk_by_score", "topk_by_score(score, id, k) - bounded-heap per-group top-k"),
+      (c: Seq[Expression]) => TopKByScore(c.head, c(1),
+        lit(c(2), "topk_by_score").toInt)),
+    ("count_min",
+      info("count_min", "count_min(token, depth, width, seed) - count-min sketch table"),
+      (c: Seq[Expression]) => CountMinAgg(c.head,
+        lit(c(1), "count_min").toInt, lit(c(2), "count_min").toInt,
+        lit(c(3), "count_min"))),
+    ("cm_estimate",
+      info("cm_estimate", "cm_estimate(sketch, token, depth, width, seed) - sketch point estimate"),
+      (c: Seq[Expression]) => CMEstimate(c.head, c(1),
+        lit(c(2), "cm_estimate").toInt, lit(c(3), "cm_estimate").toInt,
+        lit(c(4), "cm_estimate")))
   )
 }

@@ -33,6 +33,32 @@ class SinksSpec extends SparkSpecBase {
     assert(unpruned > want, "sanity: other partitions exist")
   }
 
+  test("dynamic partition pruning: a dim-side filter prunes fact partitions at runtime") {
+    val path = "/tmp/graft-dpp-orders"
+    val orders = Tables.orders(spark, Sf001)
+      .withColumn("o_year", year(col("o_orderdate")))
+    Sinks.writePartitioned(orders, path, Seq("o_year"))
+
+    // dim carries the year but the FILTER is on an unrelated column, so
+    // static pruning can't see it — only DPP (subquery built from the
+    // joined dim at runtime) can skip the fact partitions. The dim must
+    // be a real datasource: a local Seq constant-folds its filter away
+    // and DPP sees no selective predicate.
+    val dimPath = "/tmp/graft-dpp-dim"
+    Seq((1995, "old"), (1996, "keep"), (1997, "old"))
+      .toDF("d_year", "d_tag").write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    val fact = spark.read.parquet(path)
+    val joined = fact.join(dim,
+      fact("o_year") === dim("d_year") && dim("d_tag") === "keep")
+
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"fact scan must carry a dynamic pruning filter on o_year:\n$plan")
+    val want = orders.filter(col("o_year") === 1996).count()
+    assert(joined.count() === want)
+  }
+
   private def parquetFilesPerDir(root: String): Map[String, Int] = {
     val rootPath = Paths.get(root)
     val stream = Files.walk(rootPath)

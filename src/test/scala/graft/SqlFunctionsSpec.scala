@@ -70,6 +70,23 @@ class SqlFunctionsSpec extends SparkSpecBase {
     }
   }
 
+  test("aggregate kernels reach SQL: topk_by_score and count_min/cm_estimate") {
+    Seq((1L, 5.0, 10L), (1L, 9.0, 11L), (1L, 7.0, 12L), (2L, 1.0, 20L))
+      .toDF("g", "score", "id").createOrReplaceTempView("sqlfn_agg")
+    val top = spark.sql(
+      """SELECT g, topk_by_score(score, id, 2) AS top
+        |FROM sqlfn_agg GROUP BY g""".stripMargin)
+      .select(col("g"), col("top.id"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(top(1L) === Seq(11L, 12L) && top(2L) === Seq(20L))
+
+    Seq("a", "b", "a", "a").toDF("t").createOrReplaceTempView("sqlfn_cm")
+    val est = spark.sql(
+      """SELECT cm_estimate(count_min(t, 3, 64, 7), 'a', 3, 64, 7) AS e
+        |FROM sqlfn_cm""".stripMargin).as[Long].head()
+    assert(est === 3L, "exact on a collision-free toy sketch")
+  }
+
   test("non-literal shape parameter is rejected with a clear error") {
     Seq(("x", 3)).toDF("t", "n").createOrReplaceTempView("sqlfn_bad")
     val e = intercept[Exception] {
