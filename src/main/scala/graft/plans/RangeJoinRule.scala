@@ -106,10 +106,17 @@ case class RangeJoinRule(session: SparkSession)
             val ptProj = Project(ptSide.output :+ ptBinAlias, ptSide)
 
             val ivBinAttr = AttributeReference(Marker, LongType, nullable = true)()
-            val gen = Explode(Sequence(
-              floorDiv(lo.bound, w), floorDiv(hi.bound, w),
-              Some(Literal(1L)),
-              Some(session.sessionState.conf.sessionLocalTimeZone)))
+            // guard inverted intervals (hi < lo): the naive join matches
+            // nothing there, but Sequence(start > stop, step +1) THROWS —
+            // emit an empty bin array instead (row drops in the inner join)
+            val loBin = floorDiv(lo.bound, w)
+            val hiBin = floorDiv(hi.bound, w)
+            val gen = Explode(If(
+              LessThanOrEqual(loBin, hiBin),
+              Sequence(loBin, hiBin, Some(Literal(1L)),
+                Some(session.sessionState.conf.sessionLocalTimeZone)),
+              Literal.create(Array.empty[Long],
+                org.apache.spark.sql.types.ArrayType(LongType, containsNull = false))))
             val ivGen = Generate(gen, unrequiredChildIndex = Nil, outer = false,
               qualifier = None, generatorOutput = Seq(ivBinAttr), child = ivSide)
 

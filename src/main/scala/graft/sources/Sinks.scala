@@ -79,10 +79,17 @@ object Sinks {
       targetRowsPerFile: Long): Unit = {
     require(targetRowsPerFile > 0)
     val parts: Seq[Column] = partitionCols.map(col)
-    val nFiles = df.groupBy(parts: _*)
+    val nFiles = df.alias("__cd").groupBy(parts: _*)
       .agg(ceil(count(lit(1)) / targetRowsPerFile.toDouble).cast("long").as("__nfiles"))
+      .alias("__cn")
     val dataCols = df.columns.filterNot(partitionCols.contains).map(col)
-    df.join(broadcast(nFiles), partitionCols)
+    // null-SAFE join: partition values can legitimately be NULL (the
+    // default-partition case) — an equi join would silently DROP those
+    // rows from the compacted copy
+    val joinCond = partitionCols
+      .map(k => col(s"__cd.$k") <=> col(s"__cn.$k")).reduce(_ && _)
+    df.alias("__cd").join(broadcast(nFiles), joinCond)
+      .select(df.columns.map(c => col(s"__cd.$c")) :+ col("__cn.__nfiles"): _*)
       .withColumn("__grp", pmod(xxhash64(dataCols: _*), greatest(col("__nfiles"), lit(1L))))
       .repartition((parts :+ col("__grp")): _*)
       .drop("__nfiles", "__grp")

@@ -102,6 +102,17 @@ class RangeJoinRuleSpec extends SparkSpecBase {
     }
   }
 
+  test("inverted intervals (hi < lo) match nothing instead of crashing the sequence") {
+    withRule {
+      val p = Seq((1L, 10L, 100L)).toDF("k", "pid", "t")
+      val iv = Seq((1L, 300L, 50L), (1L, 50L, 300L)).toDF("k", "lo", "hi")
+      val got = p.join(iv,
+          p("k") === iv("k") && p("t") >= iv("lo") && p("t") <= iv("hi"))
+        .select(col("pid"), col("lo")).as[(Long, Long)].collect().toSet
+      assert(got === Set((10L, 50L)), "only the well-formed interval matches")
+    }
+  }
+
   test("strict bounds and negative axis values stay exact") {
     withRule {
       val p = points; val iv = intervals

@@ -100,4 +100,17 @@ class SinksSpec extends SparkSpecBase {
     assert(after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty)
     assert(after.count() === 10000L)
   }
+
+  test("compaction keeps rows whose partition value is NULL (null-safe join)") {
+    import spark.implicits._
+    val src = "/tmp/graft-comp-null-src"
+    val dst = "/tmp/graft-comp-null-dst"
+    Seq((1L, Option("a")), (2L, Option("a")), (3L, Option.empty[String]))
+      .toDF("id", "p").repartition(4)
+      .write.mode("overwrite").partitionBy("p").parquet(src)
+    Sinks.compactPartitioned(spark.read.parquet(src), dst, Seq("p"), 100L)
+    val after = spark.read.parquet(dst)
+    assert(after.count() === 3L, "the null-partition row must survive compaction")
+    assert(after.filter(col("p").isNull).count() === 1L)
+  }
 }
