@@ -90,6 +90,14 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("Join") || p.contains("join"))
   }
 
+  test("window queries: exactly ONE exchange each (sort reused, no double shuffle)") {
+    for (q <- Seq("q_range_frame", "q_scd2")) {
+      val p = plan(q)
+      assert(nOcc(p, "Exchange hashpartitioning") == 1,
+        s"$q must shuffle once on its window key:\n$p")
+    }
+  }
+
   test("q_latest_per_key: one partial-aggregable shuffle, never a window sort") {
     val p = plan("q_latest_per_key")
     assert(!p.contains("Window"), s"max(struct) agg must not plan a Window:\n$p")

@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Consistency of the query surface itself — guards the contract the
+  * driver's correctness gate depends on: every query either carries a
+  * DuckDB oracle or is on the EXPLICIT no-oracle list (each of those is
+  * covered by an exact-reference or bound spec instead), and SURVEY §2
+  * never references a query that doesn't exist.
+  */
+class SurfaceSpec extends AnyFunSuite {
+
+  /** Queries with no cross-engine SQL oracle, each justified in
+    * SURVEY §2: sketches and ANN measure error/recall instead; KMeans
+    * and SimHash bucketing have exact-equivalence specs.
+    */
+  private val noOracleAllowed = Set(
+    "q_ann_ivf", "q_ann_ivf_recall", "q_ann_lsh", "q_ann_lsh_recall",
+    "q_approx_distinct", "q_approx_quantile",
+    "q_dedup_simhash", "q_dedup_simhash_pairs", "q_kmeans_clusters")
+
+  test("every query has an oracle or a documented exemption") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    val orphanOracles = o -- q
+    assert(orphanOracles.isEmpty, s"oracles without a query: $orphanOracles")
+    val missing = q -- o -- noOracleAllowed
+    assert(missing.isEmpty,
+      s"queries with neither oracle nor exemption: $missing")
+    val stale = noOracleAllowed -- (q -- o)
+    assert(stale.isEmpty, s"exemptions no longer needed (add the oracle!): $stale")
+  }
+
+  test("SURVEY §2 references only real queries, and every query is referenced") {
+    val survey = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
+    val referenced = "q_[a-z0-9_]+".r.findAllIn(survey).toSet
+    val q = SparkEntry.queries.keySet
+    val ghosts = referenced -- q
+    assert(ghosts.isEmpty, s"SURVEY names nonexistent queries: $ghosts")
+    val undocumented = q -- referenced
+    assert(undocumented.isEmpty, s"queries missing from SURVEY §2: $undocumented")
+  }
+}
