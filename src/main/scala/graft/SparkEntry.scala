@@ -880,6 +880,26 @@ object SparkEntry {
       Dedup.dropNearDups(Tables.documents(s, dir), "text", "doc_id")
         .select(col("doc_id"), col("source"))),
 
+    // E64: quality-aware dedup — the production policy: within each
+    // near-dup cluster keep the HIGHEST-QUALITY member (min-id only as
+    // the tiebreak), composing the closure labels with the quality
+    // kernel. One max(struct) per component, no window.
+    "q_dedup_keep_best" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val labels = Dedup.componentMinLabels(
+        Dedup.minhashNearDupPairs(docs, "text", "doc_id"))
+      val scored = docs.select(col("doc_id"),
+        round(TextAnalysis.qualityScore(col("text")) * 10000).cast("long").as("q_milli"))
+      scored.join(labels, scored("doc_id") === labels("id"), "left")
+        .select(col("doc_id"), col("q_milli"),
+          coalesce(col("root"), col("doc_id")).as("root"))
+        .groupBy(col("root"))
+        .agg(max(struct(col("q_milli"), (lit(0L) - col("doc_id")).as("neg_id"))).as("best"),
+          count(lit(1)).as("n_members"))
+        .select((lit(0L) - col("best.neg_id")).as("doc_id"),
+          col("best.q_milli").as("quality_milli"), col("n_members"))
+    }),
+
     // E2+E4: the verified near-dup pairs themselves (ids only — the
     // jaccard value is over hashed shingles, the oracle's over string
     // shingles; identical pair SET, bit-identical value not guaranteed)
@@ -1518,6 +1538,54 @@ object SparkEntry {
          |          UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
          |SELECT doc_id, source FROM documents
          |WHERE NOT EXISTS (SELECT 1 FROM reach WHERE s = doc_id AND d < doc_id)""".stripMargin,
+
+    "q_dedup_keep_best" -> {
+      val stops = TextAnalysis.EnglishStopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH RECURSIVE
+         |grams AS (
+         |  SELECT DISTINCT doc_id, substr(text, i, 5) AS g
+         |  FROM (SELECT doc_id, text,
+         |               unnest(range(1, greatest(length(text) - 3, 2))) AS i
+         |        FROM documents)),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+         |          FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |pairs AS (SELECT ia, ib FROM inter
+         |          JOIN sizes sa ON sa.doc_id = ia
+         |          JOIN sizes sb ON sb.doc_id = ib
+         |          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+         |edges AS (SELECT ia AS s, ib AS d FROM pairs
+         |          UNION SELECT ib, ia FROM pairs),
+         |reach AS (SELECT s, d FROM edges
+         |          UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+         |comp AS (SELECT d.doc_id,
+         |                least(d.doc_id, coalesce(min(r.d), d.doc_id)) AS root
+         |         FROM documents d LEFT JOIN reach r ON r.s = d.doc_id
+         |         GROUP BY d.doc_id),
+         |quality AS (
+         |  SELECT doc_id,
+         |         CAST(floor((least(n_tok / 50.0, 1.0) * 0.4
+         |           + least(CASE WHEN n_tok = 0 THEN 0.0 ELSE stop_hits / n_tok END * 5.0, 1.0) * 0.3
+         |           + CASE WHEN n_tok > 0 AND (length(text) - (n_tok - 1.0)) / n_tok >= 3.0
+         |                       AND (length(text) - (n_tok - 1.0)) / n_tok <= 10.0 THEN 1.0 ELSE 0.0 END * 0.3
+         |           - least(CASE WHEN length(text) = 0 THEN 0.0
+         |                        ELSE CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]-]', '', 'g')) AS DOUBLE) / length(text) END * 5.0, 1.0) * 0.2
+         |           ) * 10000.0 + 0.5) AS BIGINT) AS q_milli
+         |  FROM (SELECT doc_id, text,
+         |               CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+         |               CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stops))) AS DOUBLE) AS stop_hits
+         |        FROM documents)),
+         |ranked AS (
+         |  SELECT c.root, c.doc_id, q.q_milli,
+         |         row_number() OVER (PARTITION BY c.root
+         |                            ORDER BY q.q_milli DESC, c.doc_id ASC) AS rn,
+         |         count(*) OVER (PARTITION BY c.root) AS n_members
+         |  FROM comp c JOIN quality q ON q.doc_id = c.doc_id)
+         |SELECT doc_id, q_milli AS quality_milli,
+         |       CAST(n_members AS BIGINT) AS n_members
+         |FROM ranked WHERE rn = 1""".stripMargin
+    },
 
     "q_dup_component_sizes" ->
       s"""WITH RECURSIVE
