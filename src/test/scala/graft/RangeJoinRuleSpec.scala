@@ -113,6 +113,33 @@ class RangeJoinRuleSpec extends SparkSpecBase {
     }
   }
 
+  test("fuzz: random points/intervals, every bin width, rule == no-rule") {
+    val rnd = new scala.util.Random(20240812L)
+    val pts = Seq.fill(300)((rnd.nextInt(4).toLong,
+      rnd.nextLong() % 1000L)).zipWithIndex
+      .map { case ((k, t), i) => (k, i.toLong, t) }
+    val ivs = Seq.fill(60) {
+      val a = rnd.nextLong() % 1000L
+      val b = a + rnd.nextInt(300) - 40 // ~13% inverted on purpose
+      (rnd.nextInt(4).toLong, a, b)
+    }
+    val p = pts.toDF("k", "pid", "t")
+    val iv = ivs.toDF("k", "lo", "hi")
+    def run() = {
+      val q = p.join(iv, p("k") === iv("k") && p("t") >= iv("lo") && p("t") <= iv("hi"))
+        .select(col("pid"), col("lo"), col("hi"))
+      q.as[(Long, Long, Long)].collect().toSet
+    }
+    val expected = run() // no rule
+    assert(expected.nonEmpty, "fuzz setup must produce matches")
+    for (w <- Seq(1L, 7L, 64L, 1000L, 100000L)) {
+      withRule {
+        spark.conf.set("spark.graft.rangeJoin.binWidth", w.toString)
+        assert(run() === expected, s"binWidth=$w")
+      }
+    }
+  }
+
   test("strict bounds and negative axis values stay exact") {
     withRule {
       val p = points; val iv = intervals
