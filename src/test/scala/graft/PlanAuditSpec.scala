@@ -90,6 +90,31 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("Join") || p.contains("join"))
   }
 
+  test("WHOLE SURFACE: no unintentional nested-loop joins, no cartesian products ever") {
+    // the brute-force ANN scans and TF-IDF's corpus-size constant are
+    // DELIBERATE broadcast nested loops: the build side is a bounded
+    // tiny frame (query set / one row), so the "quadratic" is k·N
+    val intentional = Set(
+      "q_ann_topk", "q_ann_ivf_recall", "q_ann_lsh_recall", "q_tfidf")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val p = SparkEntry.queries(name)(spark, Sf0001)
+        .queryExecution.executedPlan.toString
+      val bad = p.contains("CartesianProduct") ||
+        (p.contains("BroadcastNestedLoopJoin") && !intentional(name))
+      if (bad) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"unintentional quadratic join in: $offenders")
+  }
+
+  test("text kernels run inside WholeStageCodegen (no interpreted-eval hot path)") {
+    for (q <- Seq("q_text_quality", "q_lang_id", "q_fingerprint", "q_token_count")) {
+      val p = plan(q, "/root/testdata/sf0.001")
+      assert(p.contains("*("),
+        s"$q must keep its scalar kernels in a codegen span:\n$p")
+    }
+  }
+
   test("window queries: exactly ONE exchange each (sort reused, no double shuffle)") {
     for (q <- Seq("q_range_frame", "q_scd2")) {
       val p = plan(q)
