@@ -1185,6 +1185,22 @@ object SparkEntry {
           length(col("chunk")).cast("long").as("chunk_len"),
           md5(col("chunk")).as("chunk_md5"))),
 
+    // E65: sequence packing — chunks filled into 128-token packs per
+    // source shard by running token total (the window-parallel packing
+    // policy; see Chunking.packByBudget). Output is the per-pack
+    // manifest a trainer consumes.
+    "q_pack_chunks" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val chunks = graft.ops.Chunking.chunkFixed(docs, "text", "doc_id",
+          size = 120, overlap = 20)
+        .join(broadcast(docs.select(col("doc_id"), col("source"))), "doc_id")
+        .withColumn("n_tok", TextAnalysis.tokenCountWs(col("chunk")).cast("long"))
+      graft.ops.Chunking.packByBudget(chunks, "source",
+          Seq("doc_id", "start"), "n_tok", budget = 128L)
+        .groupBy(col("source"), col("pack_id"))
+        .agg(count(lit(1)).as("n_chunks"), sum(col("n_tok")).as("n_tokens"))
+    }),
+
     // E21: PII redaction. The synthetic corpus contains no emails or
     // digit runs, so deterministic PII is injected in-query (same
     // derivation in the oracle) — the redaction path actually redacts.
@@ -2100,6 +2116,26 @@ object SparkEntry {
         |FROM (SELECT doc_id, text,
         |             unnest(generate_series(1, greatest(length(text) - 20, 1), 100)) AS i
         |      FROM documents)""".stripMargin,
+
+    "q_pack_chunks" ->
+      """WITH chunks AS (
+        |  SELECT d.doc_id, d.source, i AS start,
+        |         CAST(CASE WHEN length(substr(d.text, CAST(i AS INT), 120)) = 0 THEN 0
+        |              ELSE len(string_split(substr(d.text, CAST(i AS INT), 120), ' ')) END AS BIGINT) AS n_tok
+        |  FROM (SELECT doc_id, source, text,
+        |               unnest(generate_series(1, greatest(length(text) - 20, 1), 100)) AS i
+        |        FROM documents) d),
+        |packed AS (
+        |  SELECT source,
+        |         CAST(floor((sum(n_tok) OVER (PARTITION BY source
+        |                       ORDER BY doc_id, start
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |                     - n_tok) / 128.0) AS BIGINT) AS pack_id,
+        |         n_tok
+        |  FROM chunks)
+        |SELECT source, pack_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |       CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |FROM packed GROUP BY 1, 2""".stripMargin,
 
     "q_redact_pii" ->
       """SELECT doc_id,

@@ -52,6 +52,33 @@ object Chunking {
   def longNumberCount(text: Column): Column =
     size(regexp_extract_all(text, lit(LongNumberPattern), lit(0)))
 
+  /** Cumulative-budget sequence packing: assign each chunk (in
+    * deterministic `orderCols` order within its shard) to a pack by its
+    * RUNNING token total — `pack_id = floor(tokens_before / budget)`.
+    *
+    * This is the window-expressible packing policy: one shuffle on the
+    * shard key, no sequential driver loop, reproducible under any
+    * partitioning (true greedy first-fit resets its remainder at each
+    * pack close — an inherently sequential fold; cumulative packing
+    * overpacks a pack by at most one chunk, which token-level truncation
+    * absorbs, and in exchange parallelizes perfectly). Shard = the unit
+    * a trainer reads (source/file here), so packs never span shards.
+    */
+  def packByBudget(
+      chunks: DataFrame, shardCol: String, orderCols: Seq[String],
+      tokenCol: String, budget: Long): DataFrame = {
+    require(budget > 0)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(shardCol))
+      .orderBy(orderCols.map(col(_).asc): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    chunks
+      .withColumn("__cum", sum(col(tokenCol)).over(w))
+      .withColumn("pack_id",
+        floor((col("__cum") - col(tokenCol)) / budget).cast("long"))
+      .drop("__cum")
+  }
+
   /** Deterministic train/val/test assignment from a CONTENT hash:
     * bucket = first 16 bits of md5(content) mod 100. Stable across
     * engines, runs, partitionings, and corpus growth (a doc keeps its
