@@ -1138,6 +1138,23 @@ object SparkEntry {
           col("asof_view_event_id"), col("asof_view_value"))
     }),
 
+    // R42: as-of join with a staleness bound — latest view within 30
+    // minutes of each click, else null (the feature-store TTL variant;
+    // same single-shuffle plan as q_asof_join)
+    "q_asof_tolerance" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("view_event_id"))
+      graft.ops.AsOfJoin.leftAsOfWithin(clicks, views, "user_id", "ts",
+          Seq("view_event_id"), withinMs = 30L * 60000L)
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+          col("asof_view_event_id"))
+    }),
+
     // E28: per-label embedding centroids (mean pooling) via exact
     // micro-unit sums — partition-order independent vector averaging
     "q_embed_centroids" -> ((s, dir) =>
@@ -1722,6 +1739,29 @@ object SparkEntry {
         |       round(list_aggregate(list_transform(embedding,
         |                    x -> abs(CAST(x AS DOUBLE))), 'max'), 4) AS max_abs
         |FROM embeddings""".stripMargin,
+
+    // freshness mirrored in the ms domain (epoch_ms both sides) so the
+    // boundary truncation is bit-identical to Spark's unix_millis age
+    "q_asof_tolerance" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts, epoch_ms(ts) AS cms
+        |  FROM events WHERE event_type = 'click'),
+        |views AS (
+        |  SELECT user_id, ts, epoch_ms(ts) AS vms, event_id AS view_event_id
+        |  FROM events WHERE event_type = 'view'),
+        |cand AS (
+        |  SELECT c.event_id, v.view_event_id,
+        |         row_number() OVER (PARTITION BY c.event_id
+        |                            ORDER BY v.ts DESC, v.view_event_id DESC) AS rn
+        |  FROM clicks c JOIN views v
+        |    ON v.user_id = c.user_id AND v.ts <= c.ts
+        |   AND c.cms - v.vms <= 1800000)
+        |SELECT c.event_id, c.user_id,
+        |       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+        |       x.view_event_id AS asof_view_event_id
+        |FROM clicks c
+        |LEFT JOIN (SELECT event_id, view_event_id FROM cand WHERE rn = 1) x
+        |  ON x.event_id = c.event_id""".stripMargin,
 
     "q_merge_upsert" ->
       """WITH all_o AS (

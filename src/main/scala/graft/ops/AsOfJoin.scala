@@ -59,4 +59,48 @@ object AsOfJoin {
       .select(leftCols.map(col) ++
         valueCols.map(c => col(s"__r_last.$c").as(s"asof_$c")): _*)
   }
+
+  /** As-of with a STALENESS BOUND (pandas `merge_asof(tolerance=…)`):
+    * like [[leftAsOf]], but a carried right row older than `withinMs`
+    * is treated as no match (feature stores call this TTL — a
+    * year-old "latest" price is usually worse than none).
+    *
+    * Same single-shuffle union+window plan; the right row's own time
+    * rides inside the carried struct, and the final projection nulls
+    * the `asof_*` columns where the age exceeds the bound — the window
+    * pass itself is unchanged, so the cost is identical to the
+    * unbounded join.
+    */
+  def leftAsOfWithin(
+      left: DataFrame, right: DataFrame,
+      keyCol: String, timeCol: String,
+      valueCols: Seq[String], withinMs: Long): DataFrame = {
+    require(withinMs >= 0)
+    import org.apache.spark.sql.types.TimestampType
+    val leftCols = left.columns.toSeq
+    val rType = StructType(
+      right.schema(timeCol).copy(name = "__rt") +: valueCols.map(right.schema(_)))
+    val taggedLeft = left
+      .withColumn("__is_right", lit(false))
+      .withColumn("__r", lit(null).cast(rType))
+    val taggedRight = right.select(
+      (Seq(col(keyCol), col(timeCol), lit(true).as("__is_right"),
+        struct(col(timeCol).as("__rt") +: valueCols.map(col): _*).as("__r")) ++
+        leftCols.filterNot(c => c == keyCol || c == timeCol)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(timeCol).asc, col("__is_right").desc, col("__r").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withLast = taggedLeft.unionByName(taggedRight)
+      .withColumn("__r_last", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(!col("__is_right"))
+    val age = left.schema(timeCol).dataType match {
+      case TimestampType =>
+        unix_millis(col(timeCol)) - unix_millis(col("__r_last.__rt"))
+      case _ => col(timeCol) - col("__r_last.__rt")
+    }
+    val fresh = col("__r_last").isNotNull && age <= withinMs
+    withLast.select(leftCols.map(col) ++
+      valueCols.map(c => when(fresh, col(s"__r_last.$c")).as(s"asof_$c")): _*)
+  }
 }
