@@ -1218,6 +1218,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_chunks"), sum(col("n_tok")).as("n_tokens"))
     }),
 
+    // E66: per-domain caps (domain mixing) — each source keeps at most
+    // N docs, selected by CONTENT-HASH order: deterministic across
+    // runs/partitionings AND growth-stable (a kept doc stays kept when
+    // new docs arrive unless they hash lower — no reshuffling the whole
+    // mix on every crawl like row-number-by-arrival would).
+    "q_domain_cap" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("h").asc, col("doc_id").asc)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 15)
+        .select(col("source"), col("rn").cast("long").as("rn"), col("doc_id"))
+    }),
+
     // E21: PII redaction. The synthetic corpus contains no emails or
     // digit runs, so deterministic PII is injected in-query (same
     // derivation in the oracle) — the redaction path actually redacts.
@@ -2156,6 +2172,17 @@ object SparkEntry {
         |FROM (SELECT doc_id, text,
         |             unnest(generate_series(1, greatest(length(text) - 20, 1), 100)) AS i
         |      FROM documents)""".stripMargin,
+
+    "q_domain_cap" ->
+      """WITH h AS (
+        |  SELECT doc_id, source, md5(text) AS h FROM documents),
+        |r AS (
+        |  SELECT source, doc_id,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY h ASC, doc_id ASC) AS rn
+        |  FROM h)
+        |SELECT source, CAST(rn AS BIGINT) AS rn, doc_id
+        |FROM r WHERE rn <= 15""".stripMargin,
 
     "q_pack_chunks" ->
       """WITH chunks AS (
