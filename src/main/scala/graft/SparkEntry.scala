@@ -1234,6 +1234,35 @@ object SparkEntry {
         .select(col("source"), col("rn").cast("long").as("rn"), col("doc_id"))
     }),
 
+    // E67: mixture upsampling — the other half of domain mixing: each
+    // source's docs replicated per an integer weight (src id mod 3 + 1
+    // here), with a copy index for downstream shuffling. explode of a
+    // sequence — rows scale by the weight, no shuffle at all.
+    "q_mix_upsample" -> ((s, dir) => {
+      val weight = (substring(col("source"), 4, 10).cast("int") % 3 + 1).cast("int")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), weight.as("w"))
+        .withColumn("copy_idx", explode(sequence(lit(1), col("w"))))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_rows"),
+          count_distinct(col("doc_id")).as("n_docs"),
+          max(col("w")).cast("long").as("weight"))
+    }),
+
+    // E68: order-invariant table checksum — dataset equality in O(1)
+    // output: per-row md5 over a canonical projection, the first 8 hex
+    // chars as a long, SUMMED (commutative ⇒ partition/order invariant;
+    // 2^32 terms × row counts stay far from long overflow). The tool
+    // for verifying a migration/replication copy without sorting
+    // either side.
+    "q_table_checksum" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .select(conv(substring(md5(concat_ws("|",
+            col("o_orderkey"), col("o_orderstatus"),
+            round(col("o_totalprice") * 100).cast("long"))), 1, 8), 16, 10)
+          .cast("long").as("h"))
+        .agg(sum(col("h")).as("checksum"), count(lit(1)).as("n_rows"))),
+
     // E21: PII redaction. The synthetic corpus contains no emails or
     // digit runs, so deterministic PII is injected in-query (same
     // derivation in the oracle) — the redaction path actually redacts.
@@ -2172,6 +2201,26 @@ object SparkEntry {
         |FROM (SELECT doc_id, text,
         |             unnest(generate_series(1, greatest(length(text) - 20, 1), 100)) AS i
         |      FROM documents)""".stripMargin,
+
+    "q_mix_upsample" ->
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |         CAST(CAST(substr(source, 4) AS INT) % 3 + 1 AS INT) AS w
+        |  FROM documents),
+        |rep AS (
+        |  SELECT doc_id, source, w, unnest(range(1, w + 1)) AS copy_idx FROM w)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |       CAST(max(w) AS BIGINT) AS weight
+        |FROM rep GROUP BY source""".stripMargin,
+
+    "q_table_checksum" ->
+      """SELECT CAST(sum(CAST(('0x' || substr(
+        |         md5(o_orderkey || '|' || o_orderstatus || '|'
+        |             || CAST(round(o_totalprice * 100) AS BIGINT)), 1, 8))
+        |         AS BIGINT)) AS BIGINT) AS checksum,
+        |       CAST(count(*) AS BIGINT) AS n_rows
+        |FROM orders""".stripMargin,
 
     "q_domain_cap" ->
       """WITH h AS (
