@@ -157,4 +157,12 @@ class DedupSpec extends SparkSpecBase {
     val j = df.select(exprs.jaccard_sorted(col("a"), col("b"))).as[Double].head()
     assert(math.abs(j - 2.0 / 6.0) < 1e-12)
   }
+
+  test("min-id and best-quality dedup policies keep identical survivor counts") {
+    // same clusters, different representative choice — one survivor per
+    // component either way
+    val minId = SparkEntry.queries("q_dedup_minhash")(spark, Sf0001).count()
+    val best = SparkEntry.queries("q_dedup_keep_best")(spark, Sf0001).count()
+    assert(minId === best)
+  }
 }

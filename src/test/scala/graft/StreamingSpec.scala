@@ -253,6 +253,46 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming upsert state == batch latest-per-key over the same rows (cross-paradigm)") {
+    implicit val sqlCtx = spark.sqlContext
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.{col, max, struct, unix_millis}
+    val state = Files.createTempDirectory("graft-upsert-eq").toString + "/state"
+    val rnd = new scala.util.Random(7L)
+    val all = (1 to 200).map { i =>
+      (rnd.nextInt(30).toLong,
+        new Timestamp(ts("2024-01-01 00:00:00").getTime + rnd.nextInt(86400) * 1000L),
+        i.toDouble)
+    }
+    val stream = MemoryStream[(Long, Timestamp, Double)]
+    val q = stream.toDF().toDF("k", "ts", "v")
+      .writeStream
+      .foreachBatch(EventStream.upsertBatch(state, "k", "ts") _)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-upsert-eq-ckpt").toString)
+      .start()
+    try {
+      all.grouped(70).foreach { chunk =>
+        stream.addData(chunk); q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val streamed = EventStream.readUpsertState(spark, state)
+      .select("k", "v").as[(Long, Double)].collect().toSet
+    // the batch formulation of the same contract — latest (ts, then
+    // value as the sink's own arrival tiebreak is ts-only, so make the
+    // oracle insensitive: no duplicate (k, ts) pairs exist by design
+    val batch = all.toDF("k", "ts", "v")
+      .groupBy(col("k"))
+      .agg(max(struct(unix_millis(col("ts")).as("ms"), col("v"))).as("last"))
+      .select(col("k"), col("last.v"))
+      .as[(Long, Double)].collect().toSet
+    assert(all.map(r => (r._1, r._2)).distinct.length ===
+      all.map(r => (r._1, r._2)).length, "setup: (k, ts) unique")
+    assert(streamed === batch,
+      "the streaming sink and the batch latest-per-key must agree row-for-row")
+  }
+
   test("upsert sink: a 1-key batch rewrites only that key's bucket") {
     import java.nio.file.{Files, Paths}
     val state = Files.createTempDirectory("graft-upsert-prune").toString + "/state"
