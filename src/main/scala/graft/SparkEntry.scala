@@ -1095,6 +1095,25 @@ object SparkEntry {
         .select(col("media_id"), col("frame_idx"), col("frame_off"), col("byte_sum"))
     }),
 
+    // E70: per-source dataset card — the curator's per-crawl report:
+    // volume, quality mass, language mix, exact-dup load, token supply,
+    // ALL in one scan-and-aggregate pass composing five kernels (no
+    // second scan per metric — compare q_profile's per-column story).
+    "q_dataset_card" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("source"), col("n_chars"),
+          round(TextAnalysis.qualityScore(col("text")) * 10000).cast("long").as("qm"),
+          (TextAnalysis.langIdHeuristic(col("text")) === "en").cast("long").as("is_en"),
+          md5(col("text")).as("fp"),
+          TextAnalysis.tokenCountWs(col("text")).cast("long").as("tok"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(col("qm")).as("quality_milli_sum"),
+          sum(col("is_en")).as("n_en"),
+          (count(lit(1)) - count_distinct(col("fp"))).as("n_exact_dup_docs"),
+          sum(col("tok")).as("n_tokens_ws"))),
+
     // E9: language-ID heuristic
     "q_lang_id" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -2090,6 +2109,43 @@ object SparkEntry {
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
         |      FROM scored)
         |WHERE rank <= 10""".stripMargin,
+
+    // same generated lang/quality formulas as q_lang_id / q_text_quality,
+    // composed into the one-pass per-source rollup
+    "q_dataset_card" -> {
+      val cases = TextAnalysis.LangMarkers.map { case (lang, words) =>
+        val set = words.map(w => s"'$w'").mkString(", ")
+        (lang, s"len(list_filter(string_split(text, ' '), t -> t IN ($set)))")
+      }
+      val hitDefs = cases.map { case (l, e) => s"$e AS h_$l" }.mkString(",\n       ")
+      val gmax = cases.map(c => s"h_${c._1}").mkString("greatest(", ", ", ")")
+      val stops = TextAnalysis.EnglishStopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH per_doc AS (
+         |  SELECT source, n_chars,
+         |         CAST(floor((least(n_tok / 50.0, 1.0) * 0.4
+         |           + least(CASE WHEN n_tok = 0 THEN 0.0 ELSE stop_hits / n_tok END * 5.0, 1.0) * 0.3
+         |           + CASE WHEN n_tok > 0 AND (length(text) - (n_tok - 1.0)) / n_tok >= 3.0
+         |                       AND (length(text) - (n_tok - 1.0)) / n_tok <= 10.0 THEN 1.0 ELSE 0.0 END * 0.3
+         |           - least(CASE WHEN length(text) = 0 THEN 0.0
+         |                        ELSE CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]-]', '', 'g')) AS DOUBLE) / length(text) END * 5.0, 1.0) * 0.2
+         |           ) * 10000.0 + 0.5) AS BIGINT) AS qm,
+         |         CASE WHEN h_en = $gmax AND $gmax > 0 THEN 1 ELSE 0 END AS is_en,
+         |         md5(text) AS fp,
+         |         CAST(CASE WHEN length(text) = 0 THEN 0
+         |              ELSE len(string_split(text, ' ')) END AS BIGINT) AS tok
+         |  FROM (SELECT source, n_chars, text,
+         |               CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+         |               CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stops))) AS DOUBLE) AS stop_hits,
+         |               $hitDefs
+         |        FROM documents))
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |       CAST(sum(qm) AS BIGINT) AS quality_milli_sum,
+         |       CAST(sum(is_en) AS BIGINT) AS n_en,
+         |       CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_exact_dup_docs,
+         |       CAST(sum(tok) AS BIGINT) AS n_tokens_ws
+         |FROM per_doc GROUP BY source""".stripMargin
+    },
 
     "q_lang_id" -> {
       val cases = TextAnalysis.LangMarkers.map { case (lang, words) =>
