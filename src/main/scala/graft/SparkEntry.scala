@@ -922,7 +922,22 @@ object SparkEntry {
         shingleN = 8, threshold = 0.8)
     }),
 
-    // E2: dedup observability — near-dup component-size histogram
+    // E71: decontamination ACTION — the flag→remove pair completed:
+    // corpus minus every doc a contamination pair names (left-anti on
+    // the id-only pair frame; eval docs pass through untouched since
+    // they were never corpus rows)
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val evalDocs = docs.filter(col("doc_id") % 20 === 3)
+      val corpus = docs.filter(col("doc_id") % 20 =!= 3)
+      val flagged = Dedup.contaminationPairs(corpus, evalDocs, "text", "doc_id",
+          shingleN = 8, threshold = 0.8)
+        .select(col("corpus_id").as("doc_id"))
+      corpus.join(flagged, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("source"))
+    }),
+
+    // E33: dedup observability — near-dup component-size histogram
     // (how big are the duplicate families?), closure-labels grouped
     // twice; oracle recomputes components with the recursive CTE
     "q_dup_component_sizes" -> ((s, dir) => {
@@ -2059,6 +2074,24 @@ object SparkEntry {
          |JOIN sizes sa ON sa.doc_id = ia
          |JOIN sizes sb ON sb.doc_id = ib
          |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8""".stripMargin,
+
+    "q_decontaminate" ->
+      """WITH g2 AS (
+        |  SELECT DISTINCT doc_id, substr(text, i, 8) AS g
+        |  FROM (SELECT doc_id, text,
+        |               unnest(range(1, greatest(length(text) - 6, 2))) AS i
+        |        FROM documents)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM g2 GROUP BY doc_id),
+        |flagged AS (
+        |  SELECT c.doc_id
+        |  FROM g2 c JOIN g2 e ON c.g = e.g
+        |  JOIN sizes s ON s.doc_id = e.doc_id
+        |  WHERE e.doc_id % 20 = 3 AND c.doc_id % 20 <> 3
+        |  GROUP BY c.doc_id, e.doc_id
+        |  HAVING CAST(count(*) AS DOUBLE) / any_value(s.n) >= 0.8)
+        |SELECT doc_id, source FROM documents
+        |WHERE doc_id % 20 <> 3
+        |  AND NOT EXISTS (SELECT 1 FROM flagged f WHERE f.doc_id = documents.doc_id)""".stripMargin,
 
     // containment via string 5-grams: |eval ∩ corpus| / |eval| — same
     // pair set as the hashed-shingle plan (collision-free on this data)
