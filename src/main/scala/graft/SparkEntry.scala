@@ -547,6 +547,38 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // R43: percent-of-total — each nation's revenue share within its
+    // region (window-sum ratio, the ratio_to_report idiom). Shares are
+    // double divisions of identical exact cent sums → bit-identical.
+    "q_share_of_total" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val rev = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_regionkey"), col("n_name"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev_cents"))
+      rev.withColumn("region_share",
+          col("rev_cents") / sum(col("rev_cents")).over(
+            Window.partitionBy(col("n_regionkey"))))
+        .select(col("n_regionkey"), col("n_name"), col("rev_cents"), col("region_share"))
+    }),
+
+    // E72: event transition matrix — consecutive event-type pairs per
+    // user (lag window, (ts, event_id) total order) counted corpus-wide:
+    // the Markov-chain view of user behavior. One shuffle on user_id,
+    // then a tiny types×types aggregate.
+    "q_transitions" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // R39: RANGE-frame window — 7-DAY trailing revenue per customer
     // (a time interval, not a row count: gaps in the order history
     // change the frame, which ROWS BETWEEN cannot express). Exact cents
@@ -1724,6 +1756,30 @@ object SparkEntry {
          |csize AS (SELECT root, CAST(count(*) AS BIGINT) AS size FROM roots GROUP BY root)
          |SELECT size, CAST(count(*) AS BIGINT) AS n_components
          |FROM csize GROUP BY size""".stripMargin,
+
+    "q_share_of_total" ->
+      """WITH rev AS (
+        |  SELECT n_regionkey, n_name,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2)
+        |SELECT n_regionkey, n_name, rev_cents,
+        |       CAST(rev_cents AS DOUBLE)
+        |         / CAST(sum(rev_cents) OVER (PARTITION BY n_regionkey) AS DOUBLE)
+        |         AS region_share
+        |FROM rev""".stripMargin,
+
+    "q_transitions" ->
+      """WITH seq AS (
+        |  SELECT event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_id) AS prev_type
+        |  FROM events)
+        |SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM seq WHERE prev_type IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
 
     "q_range_frame" ->
       """SELECT o_custkey, o_orderkey,
