@@ -579,6 +579,24 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // E73: DAU/WAU — daily and 7-day-trailing distinct actives. The
+    // rolling DISTINCT cannot ride a window frame (count_distinct isn't
+    // a window function); the scale shape is the explode: each
+    // (day, user) row votes into the 7 windows it belongs to, then one
+    // distinct-agg per window day — shuffle ∝ active-pairs × 7, never
+    // a day×day self-join.
+    "q_active_users" -> ((s, dir) => {
+      val ud = Tables.events(s, dir)
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+      val wau = ud
+        .withColumn("wday", explode(sequence(col("day"), date_add(col("day"), 6))))
+        .groupBy(col("wday")).agg(count_distinct(col("user_id")).as("wau"))
+      dau.join(wau, dau("day") === wau("wday"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("dau"), col("wau"))
+    }),
+
     // R39: RANGE-frame window — 7-DAY trailing revenue per customer
     // (a time interval, not a row count: gaps in the order history
     // change the frame, which ROWS BETWEEN cannot express). Exact cents
@@ -1756,6 +1774,20 @@ object SparkEntry {
          |csize AS (SELECT root, CAST(count(*) AS BIGINT) AS size FROM roots GROUP BY root)
          |SELECT size, CAST(count(*) AS BIGINT) AS n_components
          |FROM csize GROUP BY size""".stripMargin,
+
+    "q_active_users" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1),
+        |w AS (
+        |  SELECT CAST(unnest(generate_series(day, day + INTERVAL 6 DAY,
+        |                                     INTERVAL 1 DAY)) AS DATE) AS wday,
+        |         user_id
+        |  FROM ud),
+        |wau AS (SELECT wday, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        |        FROM w GROUP BY 1)
+        |SELECT strftime(d.day, '%Y-%m-%d') AS day, d.dau, wau.wau
+        |FROM dau d JOIN wau ON wau.wday = d.day""".stripMargin,
 
     "q_share_of_total" ->
       """WITH rev AS (
