@@ -579,6 +579,29 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // E74: per-group z-score outliers — orders priced > 2σ from their
+    // own customer's mean. Mean and stddev come from EXACT integer
+    // sums (the q_stats_exact discipline, not Spark's order-dependent
+    // streaming moments), so z and the > 2 cut are bit-identical
+    // across engines and partitionings.
+    "q_outliers" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice") * 100).cast("long").as("pc"))
+      val stats = o.groupBy(col("o_custkey").as("ck"))
+        .agg(count(lit(1)).as("n"), sum(col("pc")).as("s"),
+          sum(col("pc") * col("pc")).as("sq"))
+        .filter(col("n") >= 3)
+      o.join(stats, col("o_custkey") === col("ck"))
+        .withColumn("mean", col("s").cast("double") / col("n"))
+        .withColumn("sd", sqrt((col("n") * col("sq") - col("s") * col("s")).cast("double")
+          / (col("n") * (col("n") - lit(1L))).cast("double")))
+        .withColumn("z", (col("pc").cast("double") - col("mean")) / col("sd"))
+        .filter(abs(col("z")) > 2.0)
+        .select(col("o_orderkey"), col("o_custkey"), col("pc").as("price_cents"),
+          col("z"))
+    }),
+
     // E73: DAU/WAU — daily and 7-day-trailing distinct actives. The
     // rolling DISTINCT cannot ride a window frame (count_distinct isn't
     // a window function); the scale shape is the explode: each
@@ -1774,6 +1797,24 @@ object SparkEntry {
          |csize AS (SELECT root, CAST(count(*) AS BIGINT) AS size FROM roots GROUP BY root)
          |SELECT size, CAST(count(*) AS BIGINT) AS n_components
          |FROM csize GROUP BY size""".stripMargin,
+
+    "q_outliers" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS pc
+        |  FROM orders),
+        |stats AS (
+        |  SELECT o_custkey AS ck, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(pc) AS BIGINT) AS s, CAST(sum(pc * pc) AS BIGINT) AS sq
+        |  FROM o GROUP BY 1 HAVING count(*) >= 3)
+        |SELECT o_orderkey, o_custkey, pc AS price_cents,
+        |       (CAST(pc AS DOUBLE) - CAST(s AS DOUBLE) / n)
+        |         / sqrt(CAST(n * sq - s * s AS DOUBLE)
+        |                / CAST(n * (n - 1) AS DOUBLE)) AS z
+        |FROM o JOIN stats ON o_custkey = ck
+        |WHERE abs((CAST(pc AS DOUBLE) - CAST(s AS DOUBLE) / n)
+        |         / sqrt(CAST(n * sq - s * s AS DOUBLE)
+        |                / CAST(n * (n - 1) AS DOUBLE))) > 2.0""".stripMargin,
 
     "q_active_users" ->
       """WITH ud AS (
