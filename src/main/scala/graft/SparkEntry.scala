@@ -579,6 +579,38 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // E75: market-basket co-occurrence — part pairs bought in the same
+    // order, ranked by support. The pair join is keyed by l_orderkey
+    // (self-join within order groups): per-order quadratic is bounded
+    // by basket size, the shuffle is order-keyed — never a global
+    // cross join. Deterministic top-20 with full tiebreaks.
+    "q_copurchase" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey")).distinct()
+      val a = li.select(col("ok"), col("l_partkey").as("part_a"))
+      val b = li.select(col("ok").as("ok2"), col("l_partkey").as("part_b"))
+      a.join(b, col("ok") === col("ok2") && col("part_a") < col("part_b"))
+        .groupBy(col("part_a"), col("part_b"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("n_orders").desc, col("part_a").asc, col("part_b").asc)
+        .limit(20)
+    }),
+
+    // E76: new-vs-returning daily split — each day's events divided by
+    // whether the user's FIRST-seen day is that day. First-seen is a
+    // user-keyed min-agg joined back on the same key (partitioning
+    // reused, q_funnel-style).
+    "q_new_vs_returning" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val first = ev.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+      ev.join(first, "user_id")
+        .groupBy(date_format(col("day"), "yyyy-MM-dd").as("day"))
+        .agg(sum(when(col("day") === col("first_day"), 1L).otherwise(0L)).as("n_new"),
+          sum(when(col("day") =!= col("first_day"), 1L).otherwise(0L)).as("n_returning"),
+          count_distinct(when(col("day") === col("first_day"), col("user_id"))).as("u_new"))
+    }),
+
     // E74: per-group z-score outliers — orders priced > 2σ from their
     // own customer's mean. Mean and stddev come from EXACT integer
     // sums (the q_stats_exact discipline, not Spark's order-dependent
@@ -1797,6 +1829,29 @@ object SparkEntry {
          |csize AS (SELECT root, CAST(count(*) AS BIGINT) AS size FROM roots GROUP BY root)
          |SELECT size, CAST(count(*) AS BIGINT) AS n_components
          |FROM csize GROUP BY size""".stripMargin,
+
+    "q_copurchase" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey FROM lineitem)
+        |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |       CAST(count(*) AS BIGINT) AS n_orders
+        |FROM li a JOIN li b ON a.ok = b.ok AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2
+        |ORDER BY n_orders DESC, part_a ASC, part_b ASC
+        |LIMIT 20""".stripMargin,
+
+    "q_new_vs_returning" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |first AS (
+        |  SELECT user_id, min(day) AS first_day FROM ev GROUP BY 1)
+        |SELECT strftime(e.day, '%Y-%m-%d') AS day,
+        |       CAST(sum(CASE WHEN e.day = f.first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |       CAST(sum(CASE WHEN e.day <> f.first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_returning,
+        |       CAST(count(DISTINCT CASE WHEN e.day = f.first_day
+        |                                THEN e.user_id END) AS BIGINT) AS u_new
+        |FROM ev e JOIN first f ON e.user_id = f.user_id
+        |GROUP BY e.day""".stripMargin,
 
     "q_outliers" ->
       """WITH o AS (
