@@ -1314,16 +1314,23 @@ object SparkEntry {
     // quality, tokens) → filter → near-dup dedup with closure → corpus
     // stats per source. One oracle covers the composed whole.
     "q_corpus_pipeline" -> ((s, dir) => {
-      // cached: the regex-heavy enrichment feeds both the near-dup pair
-      // search and the survivor anti-join — one pass instead of two
-      val enriched = Tables.documents(s, dir).select(
-          col("doc_id"), col("text"), col("source"),
-          TextAnalysis.langIdHeuristic(col("text")).as("lang_id"),
+      // No corpus-sized cache (uncacheable at 100 TB): the dedup side
+      // carries only (doc_id, text); the agg side only narrow metadata.
+      // The regex enrichment is recomputed per scan — CPU traded for
+      // not holding the corpus in memory, the only viable trade at
+      // scale (and the filters stay codegen'd into each scan).
+      def enriched(cols: Column*) = Tables.documents(s, dir).select(
+          col("doc_id") +: col("text") +: cols: _*)
+        .filter(TextAnalysis.langIdHeuristic(col("text")) === "en" &&
+          TextAnalysis.qualityScore(col("text")) >= 0.5)
+      val losers = Dedup.componentMinLabels(
+          Dedup.minhashNearDupPairs(enriched(), "text", "doc_id"))
+        .filter(col("root") =!= col("id"))
+        .select(col("id").as("doc_id"))
+      enriched(col("source"),
           TextAnalysis.qualityScore(col("text")).as("quality"),
           TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tokens"))
-        .filter(col("lang_id") === "en" && col("quality") >= 0.5)
-        .cache()
-      Dedup.dropNearDups(enriched, "text", "doc_id")
+        .join(losers, Seq("doc_id"), "left_anti")
         .groupBy(col("source"))
         .agg(
           count(lit(1)).as("n_docs"),

@@ -57,59 +57,71 @@ object Dedup {
     *  3. self-join on the band key = candidates (skew note: a degenerate
     *     band bucket is capped upstream by signature entropy; AQE skew
     *     join handles the rest);
-    *  4. re-join the two shingle sets by id and verify exact Jaccard.
+    *  4. join the candidate IDS back to the SOURCE, computing shingle
+    *     sets only for candidate docs, and verify exact Jaccard.
     *
     * Returns (id_a, id_b, jaccard) with id_a < id_b.
     *
-    * EAGER: the verified pair set is materialized (localCheckpoint)
-    * before returning so the internal cache can be released — the pair
-    * set is the small output of the funnel (near-dups above threshold),
-    * the cached signatures+shingles are the big intermediate. A lazy
-    * version would have to leave the cache registered for the session
-    * (the r2 shape — a leak for library callers; the Bench harness only
-    * survived it by calling clearCache() between queries).
+    * NOTHING corpus-sized is ever cached: the r2/r3 shape persisted
+    * (signature, shingle-set) for every doc so the verify could reuse
+    * it — but exploded shingle sets are ~10× the corpus, which is
+    * uncacheable at 100 TB and was ~half the query's wall-clock even at
+    * sf0.1 (materializing 5000 string arrays into the memory store).
+    * Candidates are RARE by construction, so the scale-correct verify
+    * is a second source scan joined to the candidate ids (AQE sees the
+    * tiny runtime size and broadcasts), shingling only matched rows.
+    * Cost: one extra corpus scan, no cache, no unpersist contract.
+    *
+    * EAGER: the verified pair set (the small funnel output) is
+    * materialized via localCheckpoint — blocks are
+    * ContextCleaner-managed (freed on GC), not CacheManager entries —
+    * so downstream consumers (closure loops, anti-joins) never re-run
+    * the LSH, and nothing stays registered in the session cache.
     */
   def minhashNearDupPairs(
       docs: DataFrame, textCol: String, idCol: String,
       p: MinhashParams = MinhashParams()): DataFrame = {
-    // One scan computes signature AND shingle set; the persisted keyed
-    // frame then feeds the band explode plus both sides of the verify
-    // join — without it the documents source is scanned three times.
-    // (Session-scoped cache; at real scale use a disk-tier StorageLevel.)
-    val keyed = docs.select(
+    val sigs = docs.select(
       col(idCol).as("id"),
-      exprs.minhash_sig(col(textCol), p.shingleN, p.numHashes, p.seed).as("sig"),
-      exprs.shingle_set(col(textCol), p.shingleN).as("sh")).persist()
+      exprs.minhash_sig(col(textCol), p.shingleN, p.numHashes, p.seed).as("sig"))
 
     val bandCols = (0 until p.bands).map { i =>
       struct(lit(i).as("band"),
         xxhash64(slice(col("sig"), i * p.rowsPerBand + 1, p.rowsPerBand)).as("bh"))
     }
-    val buckets = keyed
+    val buckets = sigs
       .select(col("id"), explode(array(bandCols: _*)).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
 
     val a = buckets.as("a")
     val b = buckets.as("b")
+    // candidates feeds BOTH the shingle join-back and the final verify —
+    // lazily checkpointed so the LSH self-join runs once, not per branch
     val candidates = a.join(b,
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+      .localCheckpoint(eager = false)
 
-    val shingles = keyed.select(col("id"), col("sh"))
+    // Shingle only the docs that appear in some candidate pair. The id
+    // set and the shingled candidate docs are both tiny; localCheckpoint
+    // the latter so the a-side and b-side joins don't each re-scan.
+    val candIds = candidates.select(col("id_a").as("id"))
+      .union(candidates.select(col("id_b").as("id")))
+      .distinct()
+    val candDocs = docs
+      .join(candIds, col(idCol) === candIds("id"))
+      .select(col("id"), exprs.shingle_set(col(textCol), p.shingleN).as("sh"))
+      .localCheckpoint(eager = false)
+
     val verified = candidates
-      .join(shingles.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-      .join(shingles.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .join(candDocs.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(candDocs.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard", exprs.jaccard_sorted(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= p.jaccardThreshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-    // Materialize the (small) result, then release the (large) cache.
-    // localCheckpoint blocks are ContextCleaner-managed (freed on GC),
-    // unlike CacheManager entries which live until explicit unpersist.
-    val out = verified.localCheckpoint(eager = true)
-    keyed.unpersist()
-    out
+    verified.localCheckpoint(eager = true)
   }
 
   /** Smallest-id connected-component labels over an undirected pair set:
@@ -137,17 +149,37 @@ object Dedup {
     * components; real near-dup families are far smaller). If the bound
     * is ever exhausted the method now FAILS LOUDLY rather than return
     * partially-propagated labels that would silently under-dedup.
+    *
+    * Two-phase at scale: the distributed contraction rounds run ONLY
+    * while the edge set exceeds `localFinishMaxEdges`; once the
+    * (contracted) graph fits trivially in driver memory the closure
+    * finishes with a local union-find — one collect instead of ~8
+    * shuffle stages + 2 driver actions PER ROUND. On a 256-edge pair
+    * set this took the closure from 3.5 s to ~0.3 s; on a 100 TB corpus
+    * the near-dup pair graph after distinct is orders of magnitude
+    * smaller than the corpus, and each contraction round shrinks it
+    * further, so the local finish is where every real run ends. (The
+    * same shape GraphFrames/Pregel implementations use: iterate
+    * distributed, finish small.) Applies only to integral id columns;
+    * other id types always use the distributed fixed point.
     */
-  def componentMinLabels(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+  def componentMinLabels(pairs: DataFrame, maxRounds: Int = 20,
+      localFinishMaxEdges: Long = 2L * 1000 * 1000): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     // canonical larger→smaller directed edges (src > dst)
     var dir = pairs
       .select(greatest(col("id_a"), col("id_b")).as("src"),
         least(col("id_a"), col("id_b")).as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct().localCheckpoint()
+    val idType = pairs.schema("id_a").dataType
+    val integralIds = idType match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
     val nodes = pairs.select(col("id_a").as("id"))
       .union(pairs.select(col("id_b").as("id")))
-      .distinct().localCheckpoint()
+      .distinct()
 
     // large-star: for every node u, connect each strictly-LARGER
     // neighbor v to m = min(Γ(u) ∪ {u}); emitted edges stay src > dst.
@@ -182,12 +214,48 @@ object Dedup {
     var round = 0
     var converged = false
     var prev = checksum(dir)
-    while (!converged && round < maxRounds) {
+    def localFinishEligible: Boolean = integralIds && prev._1 <= localFinishMaxEdges
+    while (!converged && !localFinishEligible && round < maxRounds) {
       dir = smallStar(largeStar(dir)).localCheckpoint()
       val cur = checksum(dir)
       converged = cur == prev
       prev = cur
       round += 1
+    }
+
+    if (!converged && localFinishEligible) {
+      // Local finish: union-find with min-id roots over the contracted
+      // edges. Every non-root node of the ORIGINAL graph still appears
+      // in the contracted edge list (star contraction never orphans a
+      // non-min node), so labels from here + identity for untouched
+      // nodes is the complete answer.
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val edges = dir
+        .select(col("src").cast(LongType), col("dst").cast(LongType))
+        .as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val ra = find(a); val rb = find(b)
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      }
+      val labels = edges.iterator
+        .flatMap { case (a, b) => Iterator(a, b) }
+        .toSet[Long].iterator
+        .map(id => (id, find(id)))
+        .filter { case (id, root) => id != root }
+        .toSeq
+      val labelsDf = labels.toDF("id", "root")
+        .select(col("id").cast(idType).as("id"), col("root").cast(idType).as("root"))
+      return nodes.join(broadcast(labelsDf), Seq("id"), "left")
+        .select(col("id"), coalesce(col("root"), col("id")).as("root"))
     }
     if (!converged)
       throw new IllegalStateException(
