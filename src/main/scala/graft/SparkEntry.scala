@@ -1193,6 +1193,41 @@ object SparkEntry {
           (coalesce(col("n_hit"), lit(0L)) / 5.0).as("recall"))
     }),
 
+    // E78: product-quantization ANN — corpus scanned as m-byte PQ codes
+    // (32× smaller than the vectors), ADC table-lookup scoring, exact
+    // re-rank of the bounded-heap shortlist only. Recall measured in
+    // q_ann_pq_recall and asserted in SimilaritySpec.
+    "q_ann_pq" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val queries = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.pqTopK(e, "vec_id", "embedding", queries, "qid", "qv",
+          k = 5, m = 8, codebookSize = 16, rerank = 64)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("cosine"))
+    }),
+
+    // E78: measured PQ recall vs brute force on the sf embeddings
+    // (isotropic — the hard case; the exact re-rank of the ADC
+    // shortlist is what keeps recall high despite 32× compression)
+    "q_ann_pq_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val queries = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val exact = Similarity.bruteForceTopK(
+          e, "vec_id", "embedding", queries, "qid", "qv", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = Similarity.pqTopK(e, "vec_id", "embedding", queries, "qid", "qv",
+          k = 5, m = 8, codebookSize = 16, rerank = 64)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "leftsemi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+      exact.select("query_id").distinct()
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          (coalesce(col("n_hit"), lit(0L)) / 5.0).as("recall"))
+    }),
+
     // E8: multimodal plumbing — batched feature extraction over payloads
     "q_multimodal_meta" -> ((s, dir) => {
       val media = Multimodal.mediaFromDocuments(Tables.documents(s, dir))
@@ -1294,6 +1329,41 @@ object SparkEntry {
           col("asof_view_event_id"))
     }),
 
+    // R44: FORWARD as-of — each click joined to the user's NEXT view at
+    // or after it (same single-shuffle union+window plan, time order
+    // reversed); oracle is a DuckDB LATERAL next-row lookup
+    "q_asof_forward" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("view_event_id"), col("value").as("view_value"))
+      graft.ops.AsOfJoin.leftAsOfForward(clicks, views, "user_id", "ts",
+          Seq("view_event_id", "view_value"))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+          col("asof_view_event_id"), col("asof_view_value"))
+    }),
+
+    // R45: NEAREST as-of — closer of the two directions, exact ties
+    // prefer backward (pandas merge_asof semantics); distances compared
+    // in FLOORED MILLISECONDS on both engines so a sub-ms gap can never
+    // flip the winner between Spark and the oracle
+    "q_asof_nearest" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("view_event_id"), col("value").as("view_value"))
+      graft.ops.AsOfJoin.leftAsOfNearest(clicks, views, "user_id", "ts",
+          Seq("view_event_id", "view_value"))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+          col("asof_view_event_id"), col("asof_view_value"))
+    }),
+
     // E28: per-label embedding centroids (mean pooling) via exact
     // micro-unit sums — partition-order independent vector averaging
     "q_embed_centroids" -> ((s, dir) =>
@@ -1314,23 +1384,26 @@ object SparkEntry {
     // quality, tokens) → filter → near-dup dedup with closure → corpus
     // stats per source. One oracle covers the composed whole.
     "q_corpus_pipeline" -> ((s, dir) => {
-      // No corpus-sized cache (uncacheable at 100 TB): the dedup side
-      // carries only (doc_id, text); the agg side only narrow metadata.
-      // The regex enrichment is recomputed per scan — CPU traded for
-      // not holding the corpus in memory, the only viable trade at
-      // scale (and the filters stay codegen'd into each scan).
-      def enriched(cols: Column*) = Tables.documents(s, dir).select(
-          col("doc_id") +: col("text") +: cols: _*)
-        .filter(TextAnalysis.langIdHeuristic(col("text")) === "en" &&
-          TextAnalysis.qualityScore(col("text")) >= 0.5)
-      val losers = Dedup.componentMinLabels(
-          Dedup.minhashNearDupPairs(enriched(), "text", "doc_id"))
-        .filter(col("root") =!= col("id"))
-        .select(col("id").as("doc_id"))
-      enriched(col("source"),
+      // The regex-heavy enrichment runs in ONE pass, staged via
+      // localCheckpoint — disk-backed, ContextCleaner-managed blocks
+      // (freed on GC), NOT a session-lifetime cache entry like the r3
+      // .cache() shape. At 100 TB this is the standard staging-table
+      // move: materialize the filtered corpus once to executor-local
+      // storage, then let the dedup scans and the survivor agg read it
+      // instead of re-running three regex passes over the source.
+      val enriched = Tables.documents(s, dir).select(
+          col("doc_id"), col("text"), col("source"),
           TextAnalysis.qualityScore(col("text")).as("quality"),
           TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tokens"))
-        .join(losers, Seq("doc_id"), "left_anti")
+        .filter(TextAnalysis.langIdHeuristic(col("text")) === "en" &&
+          col("quality") >= 0.5)
+        .localCheckpoint(eager = false)
+      val losers = Dedup.componentMinLabels(
+          Dedup.minhashNearDupPairs(
+            enriched.select(col("doc_id"), col("text")), "text", "doc_id"))
+        .filter(col("root") =!= col("id"))
+        .select(col("id").as("doc_id"))
+      enriched.join(losers, Seq("doc_id"), "left_anti")
         .groupBy(col("source"))
         .agg(
           count(lit(1)).as("n_docs"),
@@ -1362,6 +1435,24 @@ object SparkEntry {
           Seq("doc_id", "start"), "n_tok", budget = 128L)
         .groupBy(col("source"), col("pack_id"))
         .agg(count(lit(1)).as("n_chunks"), sum(col("n_tok")).as("n_tokens"))
+    }),
+
+    // E77: GLOBAL-order packing — one total order across every shard
+    // (packs span sources; n_sources > 1 in the output proves it),
+    // decomposed into per-bucket windows + a tiny bucket-offset prefix
+    // so no row-level single-partition window ever forms. The oracle is
+    // the non-scalable formulation: one global window in DuckDB.
+    "q_pack_global" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val chunks = graft.ops.Chunking.chunkFixed(docs, "text", "doc_id",
+          size = 120, overlap = 20)
+        .join(broadcast(docs.select(col("doc_id"), col("source"))), "doc_id")
+        .withColumn("n_tok", TextAnalysis.tokenCountWs(col("chunk")).cast("long"))
+      graft.ops.Chunking.packByBudgetGlobal(chunks,
+          floor(col("doc_id") / 50), Seq("doc_id", "start"), "n_tok", budget = 128L)
+        .groupBy(col("pack_id"))
+        .agg(count(lit(1)).as("n_chunks"), sum(col("n_tok")).as("n_tokens"),
+          count_distinct(col("source")).as("n_sources"))
     }),
 
     // E66: per-domain caps (domain mixing) — each source keeps at most
@@ -2533,6 +2624,28 @@ object SparkEntry {
         |       CAST(sum(n_tok) AS BIGINT) AS n_tokens
         |FROM packed GROUP BY 1, 2""".stripMargin,
 
+    // global packing oracle: the straightforward single global window —
+    // exactly what the two-phase bucket decomposition must reproduce
+    "q_pack_global" ->
+      """WITH chunks AS (
+        |  SELECT d.doc_id, d.source, i AS start,
+        |         CAST(CASE WHEN length(substr(d.text, CAST(i AS INT), 120)) = 0 THEN 0
+        |              ELSE len(string_split(substr(d.text, CAST(i AS INT), 120), ' ')) END AS BIGINT) AS n_tok
+        |  FROM (SELECT doc_id, source, text,
+        |               unnest(generate_series(1, greatest(length(text) - 20, 1), 100)) AS i
+        |        FROM documents) d),
+        |packed AS (
+        |  SELECT source,
+        |         CAST(floor((sum(n_tok) OVER (ORDER BY doc_id, start
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |                     - n_tok) / 128.0) AS BIGINT) AS pack_id,
+        |         n_tok
+        |  FROM chunks)
+        |SELECT pack_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |       CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+        |FROM packed GROUP BY 1""".stripMargin,
+
     "q_redact_pii" ->
       """SELECT doc_id,
         |       CAST(len(regexp_extract_all(t, '[A-Za-z0-9_.]+@[A-Za-z0-9.]+')) AS BIGINT) AS n_emails,
@@ -2600,6 +2713,37 @@ object SparkEntry {
         |FROM (SELECT * FROM events WHERE event_type = 'click') l
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
         |ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+
+    // forward as-of: earliest view at or after each click; tiebreak at
+    // equal view timestamps = greatest (event_id) — the same
+    // "lexicographically greatest right struct" rule as the Spark side
+    "q_asof_forward" ->
+      """SELECT l.event_id, l.user_id,
+        |       strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+        |       r.asof_view_event_id, r.asof_view_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') l
+        |LEFT JOIN LATERAL (
+        |  SELECT v.event_id AS asof_view_event_id, v.value AS asof_view_value
+        |  FROM events v
+        |  WHERE v.event_type = 'view' AND v.user_id = l.user_id AND v.ts >= l.ts
+        |  ORDER BY v.ts ASC, v.event_id DESC
+        |  LIMIT 1) r ON TRUE""".stripMargin,
+
+    // nearest as-of: min |gap| in floored milliseconds, ties prefer the
+    // backward (at-or-before) match, then greatest event_id
+    "q_asof_nearest" ->
+      """SELECT l.event_id, l.user_id,
+        |       strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+        |       r.asof_view_event_id, r.asof_view_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') l
+        |LEFT JOIN LATERAL (
+        |  SELECT v.event_id AS asof_view_event_id, v.value AS asof_view_value
+        |  FROM events v
+        |  WHERE v.event_type = 'view' AND v.user_id = l.user_id
+        |  ORDER BY abs(epoch_ms(v.ts) - epoch_ms(l.ts)) ASC,
+        |           CASE WHEN v.ts <= l.ts THEN 0 ELSE 1 END ASC,
+        |           v.event_id DESC
+        |  LIMIT 1) r ON TRUE""".stripMargin,
 
     "q_corpus_pipeline" -> {
       val stops = TextAnalysis.EnglishStopwords.map(w => s"'$w'").mkString(", ")

@@ -241,6 +241,89 @@ object HashKernels extends Serializable {
     }
     sig
   }
+
+  // ------------------------------------------------ product quantization
+
+  /** PQ encode: L2-normalize the vector, split it into `m` subvectors,
+    * and emit per subspace the index of the nearest codeword (L2).
+    * Codebook layout: flat row-major `[(s*k + j)*dsub + d]` over
+    * subspace s, codeword j, component d, trained on NORMALIZED
+    * vectors (see [[graft.ops.Similarity.pqTrainCodebook]]).
+    * Output: m small ints — the 32×-compressed stored form of the
+    * vector (8 codes vs 64 floats at the default geometry).
+    */
+  def pqEncode(v: ArrayData, cb: Array[Double], m: Int, k: Int): ArrayData = {
+    val dim = v.numElements()
+    val dsub = cb.length / (m * k)
+    val nrm = normF(v)
+    val inv = if (nrm == 0.0) 0.0 else 1.0 / nrm
+    val codes = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      var best = 0
+      var bestDist = Double.MaxValue
+      var j = 0
+      while (j < k) {
+        val off = (s * k + j) * dsub
+        var dist = 0.0
+        var d = 0
+        while (d < dsub) {
+          val idx = s * dsub + d
+          val x = if (idx < dim) v.getFloat(idx).toDouble * inv else 0.0
+          val diff = x - cb(off + d)
+          dist += diff * diff
+          d += 1
+        }
+        if (dist < bestDist) { bestDist = dist; best = j }
+        j += 1
+      }
+      codes(s) = best
+      s += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  /** PQ asymmetric-distance table for one query: `table[s*k + j]` is the
+    * inner product of the NORMALIZED query's subvector s with codeword
+    * (s, j). ADC score = Σ_s table[s*k + codes[s]] ≈ cosine(q, x).
+    */
+  def pqTable(q: ArrayData, cb: Array[Double], m: Int, k: Int): ArrayData = {
+    val dim = q.numElements()
+    val dsub = cb.length / (m * k)
+    val nrm = normF(q)
+    val inv = if (nrm == 0.0) 0.0 else 1.0 / nrm
+    val out = new Array[Float](m * k)
+    var s = 0
+    while (s < m) {
+      var j = 0
+      while (j < k) {
+        val off = (s * k + j) * dsub
+        var acc = 0.0
+        var d = 0
+        while (d < dsub) {
+          val idx = s * dsub + d
+          val x = if (idx < dim) q.getFloat(idx).toDouble * inv else 0.0
+          acc += x * cb(off + d)
+          d += 1
+        }
+        out(s * k + j) = acc.toFloat
+        j += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** ADC score: m table lookups + adds — dim/m× fewer flops than the
+    * exact cosine, over an 8-byte code instead of a 256-byte vector.
+    */
+  def pqAdcScore(codes: ArrayData, table: ArrayData, k: Int): Double = {
+    val m = codes.numElements()
+    var acc = 0.0
+    var s = 0
+    while (s < m) { acc += table.getFloat(s * k + codes.getInt(s)).toDouble; s += 1 }
+    acc
+  }
 }
 
 /** `rolling_hash(text)`: 64-bit content fingerprint. A cross-engine-stable
@@ -365,6 +448,55 @@ case class HyperplaneSig(child: Expression, numPlanes: Int, dim: Int, seed: Long
   override protected def withNewChildInternal(c: Expression): HyperplaneSig = copy(child = c)
 }
 
+/** `pq_encode(vec)`: product-quantization codes for a float vector. The
+  * trained codebook rides inside the expression (shipped to executors
+  * via `addReferenceObj` — the codegen analog of a broadcast literal);
+  * geometry (m subspaces × k codewords) is compile-time constant so the
+  * generated loop bounds are literals.
+  */
+case class PqEncode(child: Expression, codebook: Array[Double], m: Int, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.pqEncode(v.asInstanceOf[ArrayData], codebook, m, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebook", codebook, "double[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashKernels.pqEncode($c, $cbRef, $m, $k)")
+  }
+  override protected def withNewChildInternal(c: Expression): PqEncode = copy(child = c)
+}
+
+/** `pq_table(vec)`: per-query ADC lookup table (m×k inner products). */
+case class PqTable(child: Expression, codebook: Array[Double], m: Int, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "pq_table"
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.pqTable(v.asInstanceOf[ArrayData], codebook, m, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebook", codebook, "double[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashKernels.pqTable($c, $cbRef, $m, $k)")
+  }
+  override protected def withNewChildInternal(c: Expression): PqTable = copy(child = c)
+}
+
+/** `pq_adc_score(codes, table)`: approximate cosine via m table lookups. */
+case class PqAdcScore(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc_score"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashKernels.pqAdcScore(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.HashKernels.pqAdcScore($a, $b, $k)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdcScore =
+    copy(left = l, right = r)
+}
+
 /** Column-facing wrappers. */
 object exprs {
   private def expr(c: Column): Expression = ColumnBridge.expression(c)
@@ -385,4 +517,10 @@ object exprs {
     ColumnBridge.column(HyperplaneSig(expr(c), numPlanes, dim, seed))
   def rand_proj_sketch(c: Column, sketchDim: Int, dim: Int, seed: Long): Column =
     ColumnBridge.column(RandProjSketch(expr(c), sketchDim, dim, seed))
+  def pq_encode(c: Column, codebook: Array[Double], m: Int, k: Int): Column =
+    ColumnBridge.column(PqEncode(expr(c), codebook, m, k))
+  def pq_table(c: Column, codebook: Array[Double], m: Int, k: Int): Column =
+    ColumnBridge.column(PqTable(expr(c), codebook, m, k))
+  def pq_adc_score(codes: Column, table: Column, k: Int): Column =
+    ColumnBridge.column(PqAdcScore(expr(codes), expr(table), k))
 }

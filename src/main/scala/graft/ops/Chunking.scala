@@ -79,6 +79,45 @@ object Chunking {
       .drop("__cum")
   }
 
+  /** GLOBAL cumulative-budget packing: ONE total order across the whole
+    * dataset (packs may span shards) without ever forming a
+    * single-partition window over the data.
+    *
+    * `coarseBucket` must be MONOTONE in the global `orderCols` order —
+    * every row of bucket b precedes every row of bucket b+1 (e.g.
+    * `floor(doc_id / K)` when ordering by (doc_id, start)). Then the
+    * global running sum decomposes exactly: phase 1 computes per-bucket
+    * running sums with an ordinary partitioned window (parallel across
+    * buckets); phase 2 prefix-sums the per-bucket GRAND TOTALS — a
+    * window over the tiny bucket-totals frame (one row per bucket, the
+    * only single-partition step, O(#buckets) not O(rows)) — and
+    * broadcast-joins each bucket's offset back. offset + local running
+    * sum == global running sum, exactly, so `pack_id` is identical to
+    * what a (non-scalable) global window would produce.
+    */
+  def packByBudgetGlobal(
+      chunks: DataFrame, coarseBucket: Column, orderCols: Seq[String],
+      tokenCol: String, budget: Long): DataFrame = {
+    require(budget > 0)
+    import org.apache.spark.sql.expressions.Window
+    val withBk = chunks.withColumn("__bk", coarseBucket)
+    val wLocal = Window.partitionBy(col("__bk"))
+      .orderBy(orderCols.map(col(_).asc): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wBuckets = Window.orderBy(col("__bk").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = withBk.groupBy(col("__bk"))
+      .agg(sum(col(tokenCol)).as("__tot"))
+      .withColumn("__off", sum(col("__tot")).over(wBuckets) - col("__tot"))
+      .select(col("__bk"), col("__off"))
+    withBk
+      .withColumn("__cum", sum(col(tokenCol)).over(wLocal))
+      .join(broadcast(offsets), "__bk")
+      .withColumn("pack_id",
+        floor((col("__off") + col("__cum") - col(tokenCol)) / budget).cast("long"))
+      .drop("__bk", "__cum", "__off")
+  }
+
   /** Deterministic train/val/test assignment from a CONTENT hash:
     * bucket = first 16 bits of md5(content) mod 100. Stable across
     * engines, runs, partitionings, and corpus growth (a doc keeps its

@@ -214,6 +214,136 @@ object Similarity {
     }
   }
 
+  /** Deterministic driver-side PQ codebook training: per subspace, Lloyd
+    * iterations over the L2-NORMALIZED sample subvectors. Seeded index
+    * selection for the initial codewords and a fixed iteration count
+    * make the codebook — and so every code and every ADC score —
+    * reproducible across runs and partitionings.
+    *
+    * Driver-bounded by design (like the IVF coarse-quantizer fit): PQ
+    * codebooks are trained on a small sample even at 100 TB (Faiss
+    * trains on ~100k–1M vectors regardless of corpus size); the caller
+    * controls the sample via `fitFraction` in [[pqTopK]].
+    *
+    * Returns the flat row-major codebook `[(s*k + j)*dsub + d]`.
+    */
+  def pqTrainCodebook(
+      samples: Array[Array[Float]], m: Int, k: Int,
+      iters: Int = 15, seed: Long = 42L): Array[Double] = {
+    require(samples.nonEmpty, "PQ training needs a non-empty sample")
+    val dim = samples.head.length
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val dsub = dim / m
+    // normalize once
+    val normed = samples.map { v =>
+      val n = math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+      val inv = if (n == 0.0) 0.0 else 1.0 / n
+      v.map(x => x.toDouble * inv)
+    }
+    val cb = new Array[Double](m * k * dsub)
+    val rnd = new java.util.Random(seed)
+    var s = 0
+    while (s < m) {
+      // seeded distinct start indices (with replacement is fine for k << n)
+      val cent = Array.fill(k, dsub)(0.0)
+      var j = 0
+      while (j < k) {
+        val pick = normed(rnd.nextInt(normed.length))
+        var d = 0
+        while (d < dsub) { cent(j)(d) = pick(s * dsub + d); d += 1 }
+        j += 1
+      }
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(k, dsub)(0.0)
+        val counts = new Array[Int](k)
+        normed.foreach { v =>
+          var best = 0; var bestDist = Double.MaxValue
+          var jj = 0
+          while (jj < k) {
+            var dist = 0.0; var d = 0
+            while (d < dsub) {
+              val diff = v(s * dsub + d) - cent(jj)(d); dist += diff * diff; d += 1
+            }
+            if (dist < bestDist) { bestDist = dist; best = jj }
+            jj += 1
+          }
+          counts(best) += 1
+          var d = 0
+          while (d < dsub) { sums(best)(d) += v(s * dsub + d); d += 1 }
+        }
+        var jj = 0
+        while (jj < k) {
+          if (counts(jj) > 0) {
+            var d = 0
+            while (d < dsub) { cent(jj)(d) = sums(jj)(d) / counts(jj); d += 1 }
+          } // empty cluster: keep previous codeword
+          jj += 1
+        }
+        it += 1
+      }
+      var jj = 0
+      while (jj < k) {
+        var d = 0
+        while (d < dsub) { cb((s * k + jj) * dsub + d) = cent(jj)(d); d += 1 }
+        jj += 1
+      }
+      s += 1
+    }
+    cb
+  }
+
+  /** Product-quantization ANN: corpus vectors stored as m-byte PQ codes
+    * (32× smaller than the float vectors at the default geometry), ADC
+    * scoring (m table lookups per candidate instead of dim multiplies),
+    * bounded-heap shortlist, exact cosine re-rank of the shortlist only.
+    *
+    * This is the compressed-domain scan of a Faiss-style IndexPQ: at
+    * 100 TB the dominant costs are (a) bytes read and (b) flops/row,
+    * and PQ cuts both — the scan reads 8-byte codes, scores with 8
+    * adds/row, and only queries×`rerank` rows ever touch a real vector
+    * again. The codebook fit is deterministic, driver-bounded, and
+    * sampled via `fitFraction` (hash-selected — content-stable, not
+    * partition-dependent). Recall is measured in SimilaritySpec and
+    * published by q_ann_pq_recall, per the repo's "an ANN ships with
+    * its recall number" rule.
+    */
+  def pqTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, m: Int = 8, codebookSize: Int = 16, seed: Long = 42L,
+      fitFraction: Double = 1.0, rerank: Int = 64): DataFrame = {
+    require(rerank >= k, "re-rank shortlist must be at least k")
+    // deterministic hash-based fit sample: stable under repartitioning
+    // and corpus growth, unlike .sample() whose RNG is partition-seeded
+    val fitRows = corpus
+      .filter(pmod(xxhash64(col(corpusId)), lit(10000)) < lit((fitFraction * 10000).toInt))
+      .select(col(corpusVec))
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+    val cb = pqTrainCodebook(fitRows, m, codebookSize, seed = seed)
+
+    val codes = corpus.select(col(corpusId).as("neighbor_id"),
+      exprs.pq_encode(col(corpusVec), cb, m, codebookSize).as("codes"))
+    val qTables = queries.select(col(queryId).as("query_id"),
+      exprs.pq_table(col(queryVec), cb, m, codebookSize).as("qt"))
+
+    val pre = codes.crossJoin(broadcast(qTables))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(exprs.pq_adc_score(col("codes"), col("qt"), codebookSize), 9).as("cosine"))
+    val shortlist = topKPerQuery(pre, rerank)
+      .select(col("query_id"), col("neighbor_id"))
+    val scored = shortlist
+      .join(corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("cv")),
+        "neighbor_id")
+      .join(broadcast(queries.select(col(queryId).as("query_id"), col(queryVec).as("qv"))),
+        "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(exprs.cosine_f(col("cv"), col("qv")), 9).as("cosine"))
+    topKPerQuery(scored, k)
+  }
+
   /** Per-group mean pooling of an embedding column — the centroid
     * computation behind class prototypes, cluster summaries and
     * multi-vector document pooling.

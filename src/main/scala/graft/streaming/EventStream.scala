@@ -260,6 +260,32 @@ object EventStream {
         col("view_ts") <= col("click_ts"))
   }
 
+  /** One stateful operator's state-store footprint at a point in time.
+    * `rowsTotal` is the live state size — the number THE WATERMARK must
+    * keep bounded; `rowsRemoved` counts evictions in that batch.
+    */
+  final case class StateOpStats(
+      operatorName: String, batchId: Long,
+      rowsTotal: Long, rowsUpdated: Long, rowsRemoved: Long,
+      memoryUsedBytes: Long)
+
+  /** State-store telemetry across a streaming query's retained progress
+    * history: one row per (micro-batch, stateful operator). This is the
+    * operational signal for "is my watermark actually bounding state" —
+    * on an unbounded feed, `rowsTotal` plateauing (and `rowsRemoved`
+    * firing as windows close) is the difference between a healthy job
+    * and one that OOMs an executor a week in. Pure read of the
+    * driver-side progress objects: zero cost to the stream itself.
+    */
+  def stateTelemetry(
+      q: org.apache.spark.sql.streaming.StreamingQuery): Seq[StateOpStats] =
+    q.recentProgress.toSeq.flatMap { p =>
+      p.stateOperators.toSeq.map { so =>
+        StateOpStats(so.operatorName, p.batchId, so.numRowsTotal,
+          so.numRowsUpdated, so.numRowsRemoved, so.memoryUsedBytes)
+      }
+    }
+
   /** Per-user session stats with a session-window (gap-based) —
     * the streaming-native sessionization the reference's batch world has
     * no equivalent for.

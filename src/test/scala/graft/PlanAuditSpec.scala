@@ -91,11 +91,13 @@ class PlanAuditSpec extends SparkSpecBase {
   }
 
   test("WHOLE SURFACE: no unintentional nested-loop joins, no cartesian products ever") {
-    // the brute-force ANN scans and TF-IDF's corpus-size constant are
-    // DELIBERATE broadcast nested loops: the build side is a bounded
-    // tiny frame (query set / one row), so the "quadratic" is k·N
+    // the brute-force ANN scans (incl. PQ's compressed-domain ADC scan)
+    // and TF-IDF's corpus-size constant are DELIBERATE broadcast nested
+    // loops: the build side is a bounded tiny frame (query set / one
+    // row), so the "quadratic" is k·N
     val intentional = Set(
-      "q_ann_topk", "q_ann_ivf_recall", "q_ann_lsh_recall", "q_tfidf")
+      "q_ann_topk", "q_ann_ivf_recall", "q_ann_lsh_recall", "q_tfidf",
+      "q_ann_pq", "q_ann_pq_recall")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = SparkEntry.queries(name)(spark, Sf0001)
         .queryExecution.executedPlan.toString

@@ -76,6 +76,54 @@ class SimilaritySpec extends SparkSpecBase {
     assert(recall >= 0.8)
   }
 
+  test("pqTopK recall vs brute force at sf0.01 with q_ann_pq parameters") {
+    val e = graft.sources.Tables.embeddings(spark, Sf001)
+    val queries = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val exact = ops.Similarity.bruteForceTopK(
+        e, "vec_id", "embedding", queries, "qid", "qv", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = ops.Similarity.pqTopK(
+        e, "vec_id", "embedding", queries, "qid", "qv",
+        k = 5, m = 8, codebookSize = 16, rerank = 64)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(f"PQ recall@5 over 20 queries: $recall%.3f")
+    assert(exact.size === 100)
+    assert(recall >= 0.8)
+  }
+
+  test("pq codes round-trip: ADC score approximates cosine and codebook is deterministic") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 300L).map { i =>
+      (i, Array.fill(16)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val sample = vecs.select("embedding").as[Array[Float]].collect()
+    val cb1 = ops.Similarity.pqTrainCodebook(sample, m = 4, k = 8, seed = 5L)
+    val cb2 = ops.Similarity.pqTrainCodebook(sample, m = 4, k = 8, seed = 5L)
+    assert(cb1 === cb2, "codebook training must be deterministic")
+    import graft.functions.exprs
+    val scored = vecs
+      .crossJoin(broadcast(vecs.filter(col("vec_id") === 0L)
+        .select(exprs.pq_table(col("embedding"), cb1, 4, 8).as("qt"),
+          col("embedding").as("qv"))))
+      .select(
+        exprs.pq_adc_score(exprs.pq_encode(col("embedding"), cb1, 4, 8), col("qt"), 8).as("adc"),
+        exprs.cosine_f(col("embedding"), col("qv")).as("cos"))
+      .as[(Double, Double)].collect()
+    // ADC is an approximation: on 16-dim gaussian data with 4x8 codes it
+    // must correlate strongly with the true cosine (quantization noise,
+    // not garbage). Pearson r over 300 pairs:
+    val n = scored.length.toDouble
+    val (xs, ys) = (scored.map(_._1), scored.map(_._2))
+    val (mx, my) = (xs.sum / n, ys.sum / n)
+    val cov = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+    val r = cov / math.sqrt(
+      xs.map(x => (x - mx) * (x - mx)).sum * ys.map(y => (y - my) * (y - my)).sum)
+    info(f"ADC-vs-cosine correlation: $r%.3f")
+    assert(r >= 0.7, s"ADC score barely tracks cosine: r=$r")
+  }
+
   test("ivfTopK recall >= 0.9 on blob-structured embeddings (its design target)") {
     val rnd = new scala.util.Random(11)
     val dim = 16

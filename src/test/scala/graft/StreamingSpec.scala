@@ -407,4 +407,39 @@ class StreamingSpec extends SparkSpecBase {
       .select("user_id", "n_events").as[(Long, Long)].collect().sorted
     assert(got === Array((1L, 1L), (1L, 2L), (2L, 1L)))
   }
+
+  test("state telemetry: watermark eviction is visible and state stays bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String, Double, Long)]
+    val q = EventStream.windowedAggStreaming(
+        stream.toDF().toDF("ts", "event_type", "value", "user_id"),
+        "1 hour", "30 minutes")
+      .writeStream.format("memory").queryName("state_telemetry")
+      .outputMode("append").start()
+    try {
+      // batch 1: two open hourly windows
+      stream.addData(Seq(
+        (ts("2024-01-01 10:05:00"), "click", 1.0, 1L),
+        (ts("2024-01-01 11:05:00"), "click", 1.0, 1L)))
+      q.processAllAvailable()
+      // batch 2: event time jumps 6 hours — watermark passes both
+      // earlier windows, so their state rows must be EVICTED
+      stream.addData(Seq((ts("2024-01-01 17:00:00"), "click", 1.0, 1L)))
+      q.processAllAvailable()
+      stream.addData(Seq((ts("2024-01-01 17:10:00"), "view", 1.0, 2L)))
+      q.processAllAvailable()
+
+      val tel = EventStream.stateTelemetry(q)
+      assert(tel.nonEmpty, "no state operators reported")
+      val agg = tel.filter(_.operatorName == "stateStoreSave")
+      assert(agg.nonEmpty, s"no stateStoreSave rows in ${tel.map(_.operatorName).distinct}")
+      // eviction observed somewhere in the run...
+      assert(agg.map(_.rowsRemoved).sum >= 2,
+        s"expected the two closed windows evicted, got $agg")
+      // ...and the final state holds only the still-open windows (17:00
+      // click + 17:00 view), not everything ever seen
+      val lastTotal = agg.maxBy(_.batchId).rowsTotal
+      assert(lastTotal <= 2, s"state not bounded: $lastTotal live rows ($agg)")
+    } finally q.stop()
+  }
 }

@@ -16,6 +16,7 @@ class SurfaceSpec extends AnyFunSuite {
     */
   private val noOracleAllowed = Set(
     "q_ann_ivf", "q_ann_ivf_recall", "q_ann_lsh", "q_ann_lsh_recall",
+    "q_ann_pq", "q_ann_pq_recall",
     "q_approx_distinct", "q_approx_quantile",
     "q_dedup_simhash", "q_dedup_simhash_pairs", "q_kmeans_clusters")
 
