@@ -831,6 +831,103 @@ object SparkEntry {
         .limit(100)
     }),
 
+    // R46: TPC-H Q4 analog (order priority checking) — EXISTS over a
+    // correlated fact condition, planned as a LEFT SEMI join on the
+    // order key with the lateness predicate as the join residual (the
+    // schema has no commit/receipt dates; "late" = shipped > 90 days
+    // after the order date)
+    "q_tpch_q4" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_shipdate"))
+      o.join(li,
+          o("o_orderkey") === li("l_orderkey") &&
+            li("l_shipdate") > o("o_orderdate") + expr("INTERVAL 90 DAYS"),
+          "leftsemi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    }),
+
+    // R47: TPC-H Q12 analog (shipping-mode priority split) — CASE
+    // conditional aggregation over a fact-fact join (l_returnflag
+    // stands in for l_shipmode, absent from this schema)
+    "q_tpch_q12" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_returnflag"))
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))
+    }),
+
+    // R48: TPC-H Q17 analog (small-quantity-order revenue) — the
+    // correlated per-part average DECORRELATED by hand into a grouped
+    // stats join; the 0.2·avg cut is evaluated in exact integers
+    // (5·qty·cnt < Σqty ⟺ qty < 0.2·avg) so no float division ever
+    // decides a row's membership
+    "q_tpch_q17" -> ((s, dir) => {
+      val p = Tables.part(s, dir)
+        .filter(col("p_brand") === "Brand#12").select(col("p_partkey"))
+      val liP = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      val stats = liP.groupBy(col("l_partkey"))
+        .agg(sum(col("qty")).as("sum_qty"), count(lit(1)).as("cnt"))
+      liP.join(stats, "l_partkey")
+        .filter(col("qty") * 5 * col("cnt") < col("sum_qty"))
+        .agg((sum(col("cents")).cast("double") / 100.0 / 7.0).as("avg_yearly"))
+    }),
+
+    // R49: TPC-H Q19 analog (discounted revenue, OR-of-ANDs) — the
+    // classic disjunctive join residual: three brand/size/quantity
+    // bands OR'd together over one part join, exact-unit revenue
+    "q_tpch_q19" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_quantity"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"),
+          round(col("l_discount") * 100).cast("long").as("dc"))
+      val p = Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      val band = (brand: String, sizeHi: Int, qLo: Int, qHi: Int) =>
+        col("p_brand") === brand && col("p_size").between(1, sizeHi) &&
+          col("l_quantity").between(qLo, qHi)
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .filter(band("Brand#12", 15, 1, 21) ||
+          band("Brand#23", 30, 10, 30) ||
+          band("Brand#34", 45, 20, 40))
+        .agg((sum(col("cents") * (lit(100L) - col("dc"))) / 10000.0).as("revenue"))
+    }),
+
+    // R50: TPC-H Q22 analog (global-sales-opportunity) — scalar
+    // subquery (global positive-balance average, a 1-row broadcast) +
+    // NOT EXISTS anti-join, grouped by nation instead of the absent
+    // phone country code. "No orders" becomes "no orders since 2000"
+    // (every synthetic customer has SOME order — dormancy is the
+    // analog that leaves a non-trivial answer set)
+    "q_tpch_q22" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"),
+          round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+      val thr = c.filter(col("bal_cents") > 0L)
+        .agg((sum(col("bal_cents")).cast("double") / count(lit(1))).as("avg_bal"))
+      val recent = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      c.crossJoin(broadcast(thr))
+        .filter(col("bal_cents").cast("double") > col("avg_bal"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"), sum(col("bal_cents")).as("totacctbal_cents"))
+    }),
+
     // R38: TPC-H Q7 analog (volume shipping between two nations): the
     // symmetric nation-pair filter pushes into BOTH dim joins
     // (broadcast), so the fact table is filtered by two semi-selective
@@ -2161,6 +2258,66 @@ object SparkEntry {
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY price_cents DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1997-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY 1""".stripMargin,
+
+    "q_tpch_q12" ->
+      """SELECT l_returnflag,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        |  AND l_shipdate < TIMESTAMP '1999-01-01'
+        |GROUP BY 1""".stripMargin,
+
+    "q_tpch_q17" ->
+      """WITH lip AS (
+        |  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#12'),
+        |stats AS (
+        |  SELECT l_partkey, sum(qty) AS sum_qty, count(*) AS cnt
+        |  FROM lip GROUP BY 1)
+        |SELECT CAST(sum(cents) AS DOUBLE) / 100.0 / 7.0 AS avg_yearly
+        |FROM lip JOIN stats USING (l_partkey)
+        |WHERE qty * 5 * cnt < sum_qty""".stripMargin,
+
+    "q_tpch_q19" ->
+      """SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |           * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0
+        |         AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 21)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 30
+        |       AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 45
+        |       AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
+
+    "q_tpch_q22" ->
+      """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+        |       CAST(sum(bal_cents) AS BIGINT) AS totacctbal_cents
+        |FROM (SELECT c_custkey, c_nationkey,
+        |             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |      FROM customer) c
+        |WHERE CAST(bal_cents AS DOUBLE) >
+        |      (SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+        |              / count(*)
+        |       FROM customer WHERE round(c_acctbal * 100) > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |                  AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY 1""".stripMargin,
 
     "q_tpch_q7" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
