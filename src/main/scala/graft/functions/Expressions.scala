@@ -252,10 +252,18 @@ object HashKernels extends Serializable {
     * Output: m small ints — the 32×-compressed stored form of the
     * vector (8 codes vs 64 floats at the default geometry).
     */
-  def pqEncode(v: ArrayData, cb: Array[Double], m: Int, k: Int): ArrayData = {
+  def pqEncode(v: ArrayData, cb: Array[Double], m: Int, k: Int): ArrayData =
+    pqEncodeOpt(v, cb, m, k, normalize = true)
+
+  /** m=1 + normalize=false degenerates to a plain nearest-centroid cell
+    * assignment — the IVF coarse quantizer reuses this kernel.
+    */
+  def pqEncodeOpt(
+      v: ArrayData, cb: Array[Double], m: Int, k: Int,
+      normalize: Boolean): ArrayData = {
     val dim = v.numElements()
     val dsub = cb.length / (m * k)
-    val nrm = normF(v)
+    val nrm = if (normalize) normF(v) else 1.0
     val inv = if (nrm == 0.0) 0.0 else 1.0 / nrm
     val codes = new Array[Int](m)
     var s = 0
@@ -454,16 +462,17 @@ case class HyperplaneSig(child: Expression, numPlanes: Int, dim: Int, seed: Long
   * geometry (m subspaces × k codewords) is compile-time constant so the
   * generated loop bounds are literals.
   */
-case class PqEncode(child: Expression, codebook: Array[Double], m: Int, k: Int)
+case class PqEncode(child: Expression, codebook: Array[Double], m: Int, k: Int,
+    normalize: Boolean = true)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "pq_encode"
   override def nullSafeEval(v: Any): Any =
-    HashKernels.pqEncode(v.asInstanceOf[ArrayData], codebook, m, k)
+    HashKernels.pqEncodeOpt(v.asInstanceOf[ArrayData], codebook, m, k, normalize)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cbRef = ctx.addReferenceObj("pqCodebook", codebook, "double[]")
     defineCodeGen(ctx, ev,
-      c => s"graft.functions.HashKernels.pqEncode($c, $cbRef, $m, $k)")
+      c => s"graft.functions.HashKernels.pqEncodeOpt($c, $cbRef, $m, $k, $normalize)")
   }
   override protected def withNewChildInternal(c: Expression): PqEncode = copy(child = c)
 }
@@ -517,8 +526,9 @@ object exprs {
     ColumnBridge.column(HyperplaneSig(expr(c), numPlanes, dim, seed))
   def rand_proj_sketch(c: Column, sketchDim: Int, dim: Int, seed: Long): Column =
     ColumnBridge.column(RandProjSketch(expr(c), sketchDim, dim, seed))
-  def pq_encode(c: Column, codebook: Array[Double], m: Int, k: Int): Column =
-    ColumnBridge.column(PqEncode(expr(c), codebook, m, k))
+  def pq_encode(c: Column, codebook: Array[Double], m: Int, k: Int,
+      normalize: Boolean = true): Column =
+    ColumnBridge.column(PqEncode(expr(c), codebook, m, k, normalize))
   def pq_table(c: Column, codebook: Array[Double], m: Int, k: Int): Column =
     ColumnBridge.column(PqTable(expr(c), codebook, m, k))
   def pq_adc_score(codes: Column, table: Column, k: Int): Column =

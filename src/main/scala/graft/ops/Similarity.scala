@@ -140,38 +140,33 @@ object Similarity {
       fitFraction: Double = 1.0,
       rerankShortlist: Int = 0, sketchDim: Int = 16, dim: Int = 64,
       fitMaxIter: Int = 10): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-
     val vecs = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("cv"))
-      .withColumn("features", array_to_vector(col("cv")))
-    // cache + right-size the fit input: every Lloyd iteration is a job
-    // over it, and near-empty partitions make the fit scheduler-bound
-    // (same fix as Clustering.fitPredict)
+    // Coarse-quantizer fit: driver-local Lloyd over the collected
+    // sample (deterministic, fitMaxIter iterations — a coarse quantizer
+    // doesn't need convergence; nProbe probing absorbs boundary error).
+    // The r3 shape ran Spark ML KMeans here, which costs a scheduler
+    // round-trip PER Lloyd ITERATION — ~5 s of job overhead at sf0.1 to
+    // cluster a 1600-row sample. A quantizer fit is bounded-sample by
+    // design at any corpus size (Faiss trains on ~100k-1M vectors for
+    // billion-vector indexes), so the caller bounds `fitFraction`
+    // accordingly and the fit becomes one collect + in-memory Lloyd.
     val sampled =
       if (fitFraction < 1.0) vecs.sample(withReplacement = false, fitFraction, seed)
       else vecs
-    val fitInput = sampled.cache()
-    val n = fitInput.count()
-    val targetParts = math.max(1L, math.min(
-      fitInput.rdd.getNumPartitions.toLong, n / 500000L + 1L)).toInt
-    val fitReady =
-      if (targetParts < fitInput.rdd.getNumPartitions) fitInput.coalesce(targetParts)
-      else fitInput
-    // a coarse quantizer doesn't need full Lloyd convergence — cell
-    // BOUNDARIES move little after the first few iterations and nProbe
-    // probing absorbs boundary error (the standard IVF training
-    // shortcut); default 10 iterations, recall re-measured in specs
-    val model =
-      try new KMeans().setK(numCells).setSeed(seed).setMaxIter(fitMaxIter)
-        .setFeaturesCol("features").setPredictionCol("cell").fit(fitReady)
-      finally fitInput.unpersist()
-    val cells = model.transform(vecs).select(col("neighbor_id"), col("cv"), col("cell"))
+    val fitRows = sampled.select(col("cv")).collect().map(_.getSeq[Float](0).toArray)
+    val cb = pqTrainCodebook(fitRows, m = 1, k = numCells,
+      iters = fitMaxIter, seed = seed, normalize = false)
+    val dimA = fitRows.head.length
+    // cell assignment is the m=1 degenerate of the PQ encode kernel —
+    // codegen'd nearest-centroid argmin, one corpus pass, no ML stage
+    val cells = vecs.withColumn("cell",
+      element_at(exprs.pq_encode(col("cv"), cb, 1, numCells, normalize = false), 1))
 
     // centroids are tiny — ship them as a literal array and rank cells
     // per query by exact squared distance
-    val centArr = array(model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      struct(lit(i).as("cell"), array(c.toArray.map(lit): _*).as("cent"))
+    val centArr = array((0 until numCells).map { i =>
+      struct(lit(i).as("cell"),
+        array((0 until dimA).map(d => lit(cb(i * dimA + d))): _*).as("cent"))
     }: _*)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("dist").asc, col("cell").asc)
@@ -229,14 +224,17 @@ object Similarity {
     */
   def pqTrainCodebook(
       samples: Array[Array[Float]], m: Int, k: Int,
-      iters: Int = 15, seed: Long = 42L): Array[Double] = {
+      iters: Int = 15, seed: Long = 42L, normalize: Boolean = true): Array[Double] = {
     require(samples.nonEmpty, "PQ training needs a non-empty sample")
     val dim = samples.head.length
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val dsub = dim / m
-    // normalize once
+    // normalize once (PQ trains on the unit sphere for cosine; the IVF
+    // coarse quantizer trains raw for L2 cell geometry)
     val normed = samples.map { v =>
-      val n = math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+      val n =
+        if (normalize) math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+        else 1.0
       val inv = if (n == 0.0) 0.0 else 1.0 / n
       v.map(x => x.toDouble * inv)
     }
@@ -244,13 +242,42 @@ object Similarity {
     val rnd = new java.util.Random(seed)
     var s = 0
     while (s < m) {
-      // seeded distinct start indices (with replacement is fine for k << n)
+      // deterministic k-means++ (D²) seeding: each next center drawn
+      // with probability ∝ squared distance to the nearest chosen one —
+      // random seeding on isotropic data cost 0.2 recall vs this
       val cent = Array.fill(k, dsub)(0.0)
-      var j = 0
-      while (j < k) {
-        val pick = normed(rnd.nextInt(normed.length))
+      def sub(v: Array[Double]): Array[Double] = {
+        val out = new Array[Double](dsub)
         var d = 0
-        while (d < dsub) { cent(j)(d) = pick(s * dsub + d); d += 1 }
+        while (d < dsub) { out(d) = v(s * dsub + d); d += 1 }
+        out
+      }
+      def d2(a: Array[Double], b: Array[Double]): Double = {
+        var acc = 0.0; var d = 0
+        while (d < dsub) { val t = a(d) - b(d); acc += t * t; d += 1 }
+        acc
+      }
+      val first = sub(normed(rnd.nextInt(normed.length)))
+      System.arraycopy(first, 0, cent(0), 0, dsub)
+      val minD = normed.map(v => d2(sub(v), first))
+      var j = 1
+      while (j < k) {
+        val total = minD.sum
+        var pick = 0
+        if (total > 0.0) {
+          var r = rnd.nextDouble() * total
+          var i = 0
+          while (i < normed.length - 1 && r >= minD(i)) { r -= minD(i); i += 1 }
+          pick = i
+        } else pick = rnd.nextInt(normed.length)
+        val c = sub(normed(pick))
+        System.arraycopy(c, 0, cent(j), 0, dsub)
+        var i = 0
+        while (i < normed.length) {
+          val dd = d2(sub(normed(i)), c)
+          if (dd < minD(i)) minD(i) = dd
+          i += 1
+        }
         j += 1
       }
       var it = 0
