@@ -906,6 +906,64 @@ object SparkEntry {
         .agg((sum(col("cents") * (lit(100L) - col("dc"))) / 10000.0).as("revenue"))
     }),
 
+    // E80: PageRank over the part co-purchase graph — the iterative
+    // graph computation pattern (rank mass flows along edges, fixed
+    // damping, 3 unrolled iterations). All arithmetic is exact 64-bit
+    // integer micro-units with explicit integer division (`div` /
+    // DuckDB `//`), so the cross-engine hash match is exact despite
+    // double-free iteration — float rank vectors would drift with
+    // Spark's aggregation order. Each iteration is one join + one
+    // partial-aggregated shuffle; on a cluster, `edges` would be
+    // checkpointed and co-partitioned by src across iterations.
+    "q_pagerank" -> ((s, dir) => {
+      // one ship-year of co-purchases: the graph stays meaningful and
+      // the filter pushes to both scans of the self-join
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val a = li.as("a"); val b = li.as("b")
+      val edges = a.join(b,
+          col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+        .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+        .distinct()
+        .localCheckpoint(eager = false) // reused by 3 iterations + outdeg
+      val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+        .localCheckpoint(eager = false)
+      val nodes = edges.select(col("src").as("node")).distinct()
+        .localCheckpoint(eager = false)
+      var ranks = nodes.withColumn("rank", lit(1000000L))
+      for (_ <- 1 to 3) {
+        // per-src contribution is NODE-sized — joining it to the
+        // EDGE-sized list once (AQE broadcasts it) instead of dragging
+        // rank and outdeg through two edge-wide joins
+        val srcC = ranks.withColumnRenamed("node", "src")
+          .join(outdeg, "src")
+          .select(col("src"), expr("rank div outdeg").as("c"))
+        val contrib = edges.join(srcC, "src")
+          .groupBy(col("dst")).agg(sum(col("c")).as("in_sum"))
+          .withColumnRenamed("dst", "node")
+        ranks = nodes.join(contrib, Seq("node"), "left")
+          .select(col("node"),
+            (lit(150000L) +
+              expr("(coalesce(in_sum, CAST(0 AS BIGINT)) * 85) div 100"))
+              .cast("long").as("rank"))
+      }
+      ranks.orderBy(col("rank").desc, col("node").asc).limit(20)
+    }),
+
+    // R51: per-group mode (most frequent value) via max(struct(cnt,
+    // value)) — a partial-aggregable shuffle, never a per-group window
+    // sort; tiebreak = greatest value, mirrored exactly in the oracle
+    "q_mode" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("source"))
+        .agg(max(struct(col("cnt"), col("lang"))).as("m"))
+        .select(col("source"), col("m.lang").as("modal_lang"),
+          col("m.cnt").as("modal_cnt"))),
+
     // R50: TPC-H Q22 analog (global-sales-opportunity) — scalar
     // subquery (global positive-balance average, a 1-row broadcast) +
     // NOT EXISTS anti-join, grouped by nation instead of the absent
@@ -2309,6 +2367,49 @@ object SparkEntry {
         |       AND l_quantity BETWEEN 10 AND 30)
         |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 45
         |       AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
+
+    "q_pagerank" ->
+      """WITH edges AS (
+        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM (SELECT * FROM lineitem
+        |        WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        |          AND l_shipdate < TIMESTAMP '1999-01-01') a
+        |  JOIN (SELECT * FROM lineitem
+        |        WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        |          AND l_shipdate < TIMESTAMP '1999-01-01') b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        |outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+        |i1 AS (SELECT e.dst AS node, sum(r.rank // o.outdeg) AS in_sum
+        |       FROM edges e JOIN r0 r ON e.src = r.node
+        |       JOIN outdeg o ON e.src = o.src GROUP BY 1),
+        |r1 AS (SELECT n.node,
+        |              CAST(150000 + (coalesce(i.in_sum, 0) * 85) // 100 AS BIGINT) AS rank
+        |       FROM nodes n LEFT JOIN i1 i ON n.node = i.node),
+        |i2 AS (SELECT e.dst AS node, sum(r.rank // o.outdeg) AS in_sum
+        |       FROM edges e JOIN r1 r ON e.src = r.node
+        |       JOIN outdeg o ON e.src = o.src GROUP BY 1),
+        |r2 AS (SELECT n.node,
+        |              CAST(150000 + (coalesce(i.in_sum, 0) * 85) // 100 AS BIGINT) AS rank
+        |       FROM nodes n LEFT JOIN i2 i ON n.node = i.node),
+        |i3 AS (SELECT e.dst AS node, sum(r.rank // o.outdeg) AS in_sum
+        |       FROM edges e JOIN r2 r ON e.src = r.node
+        |       JOIN outdeg o ON e.src = o.src GROUP BY 1),
+        |r3 AS (SELECT n.node,
+        |              CAST(150000 + (coalesce(i.in_sum, 0) * 85) // 100 AS BIGINT) AS rank
+        |       FROM nodes n LEFT JOIN i3 i ON n.node = i.node)
+        |SELECT node, rank FROM r3
+        |ORDER BY rank DESC, node ASC LIMIT 20""".stripMargin,
+
+    "q_mode" ->
+      """WITH c AS (
+        |  SELECT source, lang, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT source, lang AS modal_lang, cnt AS modal_cnt
+        |FROM (SELECT *, row_number() OVER (PARTITION BY source
+        |                 ORDER BY cnt DESC, lang DESC) AS rn FROM c)
+        |WHERE rn = 1""".stripMargin,
 
     "q_tpch_q22" ->
       """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
