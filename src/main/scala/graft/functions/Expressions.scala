@@ -124,7 +124,11 @@ object HashKernels extends Serializable {
   def shingleSet(s: UTF8String, n: Int): ArrayData = {
     val bytes = s.getBytes
     val len = bytes.length
-    val out = new java.util.TreeSet[Integer]()
+    // primitive collect + sort + in-place dedup — the boxed-TreeSet
+    // version spent the kernel's time on Integer allocation and
+    // red-black rebalancing (~len insertions per document)
+    val buf = new Array[Int](math.max(len, 1))
+    var m = 0
     var bPowN = 1L
     var j = 0
     while (j < n) { bPowN *= 1000003L; j += 1 }
@@ -134,15 +138,19 @@ object HashKernels extends Serializable {
       h = h * 1000003L + (bytes(i) & 0xffL)
       if (i >= n) h -= (bytes(i - n) & 0xffL) * bPowN
       if (i >= n - 1 || i == len - 1) {
-        out.add((mix64(h) & 0x7fffffffL).toInt)
+        buf(m) = (mix64(h) & 0x7fffffffL).toInt
+        m += 1
       }
       i += 1
     }
-    val arr = new Array[Int](out.size)
-    val it = out.iterator()
-    var p = 0
-    while (it.hasNext) { arr(p) = it.next(); p += 1 }
-    new GenericArrayData(arr)
+    java.util.Arrays.sort(buf, 0, m)
+    var w = 0
+    var r = 0
+    while (r < m) {
+      if (w == 0 || buf(r) != buf(w - 1)) { buf(w) = buf(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOfRange(buf, 0, w))
   }
 
   /** Jaccard similarity of two sorted-distinct int arrays via a merge
