@@ -245,9 +245,20 @@ object EventStream {
     * unbounded inputs (without the time bound the state would grow
     * forever — Spark rejects such joins in append mode).
     */
+  /** @param joinType "inner" (default) or "left_outer". LEFT OUTER is
+    *                  the attribution-with-nulls variant: a click with
+    *                  no in-window view still emits, with null view
+    *                  columns — but only once the watermark passes the
+    *                  click's join window, because until then a
+    *                  matching view could still arrive. (That delayed
+    *                  null emission is THE semantic difference between
+    *                  outer stream-stream joins and batch outer joins —
+    *                  proven in StreamingSpec.)
+    */
   def clickViewIntervalJoin(
       clicks: DataFrame, views: DataFrame,
-      withinMinutes: Int = 30, watermark: String = "1 hour"): DataFrame = {
+      withinMinutes: Int = 30, watermark: String = "1 hour",
+      joinType: String = "inner"): DataFrame = {
     val c = clicks.withWatermark("ts", watermark)
       .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
         col("event_id").as("click_id"))
@@ -257,7 +268,8 @@ object EventStream {
     c.join(v,
       col("c_user") === col("v_user") &&
         col("view_ts") >= col("click_ts") - expr(s"INTERVAL $withinMinutes MINUTES") &&
-        col("view_ts") <= col("click_ts"))
+        col("view_ts") <= col("click_ts"),
+      joinType)
   }
 
   /** One stateful operator's state-store footprint at a point in time.

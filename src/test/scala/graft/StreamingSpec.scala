@@ -172,6 +172,48 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("LEFT OUTER stream-stream join: unmatched click emits nulls only after watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val views = MemoryStream[(Long, Timestamp, Long)]
+    def df(s: MemoryStream[(Long, Timestamp, Long)]) =
+      s.toDF().toDF("event_id", "ts", "user_id")
+    val q = EventStream.clickViewIntervalJoin(
+        df(clicks), df(views), withinMinutes = 30, joinType = "left_outer")
+      .select("click_id", "view_id")
+      .writeStream.format("memory").queryName("ss_outer")
+      .outputMode("append").start()
+    try {
+      // click 1 has a view; click 2 has NONE
+      views.addData(Seq((100L, ts("2024-01-01 10:00:00"), 1L)))
+      clicks.addData(Seq(
+        (1L, ts("2024-01-01 10:20:00"), 1L),
+        (2L, ts("2024-01-01 10:20:00"), 2L)))
+      q.processAllAvailable()
+      val early = spark.table("ss_outer")
+        .as[(Long, Option[Long])].collect().toSet
+      // the unmatched click must NOT have emitted yet — a matching view
+      // could still arrive until the watermark passes its window
+      assert(!early.exists(_._1 == 2L),
+        s"unmatched click emitted before watermark closed its window: $early")
+
+      // advance both watermarks far past the window
+      views.addData(Seq((199L, ts("2024-01-01 15:00:00"), 9L)))
+      clicks.addData(Seq((99L, ts("2024-01-01 15:00:00"), 9L)))
+      q.processAllAvailable()
+      // one more nudge: outer-join null emission happens when the
+      // watermark ADVANCES, which Spark evaluates on the next batch
+      views.addData(Seq((198L, ts("2024-01-01 16:00:00"), 9L)))
+      clicks.addData(Seq((98L, ts("2024-01-01 16:00:00"), 9L)))
+      q.processAllAvailable()
+
+      val got = spark.table("ss_outer").as[(Long, Option[Long])].collect().toSet
+      assert(got.contains((1L, Some(100L))), s"matched pair missing: $got")
+      assert(got.contains((2L, None)),
+        s"unmatched click must emit with null view after watermark: $got")
+    } finally q.stop()
+  }
+
   test("checkpointed file sink: restart resumes exactly-once (no re-emitted batches)") {
     implicit val sqlCtx = spark.sqlContext
     import java.nio.file.Files
