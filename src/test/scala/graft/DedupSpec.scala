@@ -81,29 +81,50 @@ class DedupSpec extends SparkSpecBase {
     assert(kept === Set(1L, 9L))
   }
 
-  test("star contraction: 120-node chain collapses in O(log n) rounds") {
+  test("star contraction (DISTRIBUTED path): 120-node chain collapses in O(log n) rounds") {
     // A pathological dup CHAIN (scraped-boilerplate family): 1~2~3~…~120,
     // diameter 119. Min-label propagation needs one round per hop; star
     // contraction must finish within 10 rounds (~log₂ n + slack) — the
     // call would throw on exhaustion, so passing IS the round bound.
+    // localFinishMaxEdges = 0 forces the distributed rounds the default
+    // would short-circuit for a graph this small.
     val pairs = (1L until 120L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val labels = Dedup.componentMinLabels(pairs, maxRounds = 10)
+    val labels = Dedup.componentMinLabels(pairs, maxRounds = 10,
+        localFinishMaxEdges = 0L)
       .as[(Long, Long)].collect()
     assert(labels.length === 120)
     assert(labels.forall(_._2 == 1L), "every chain node must label to the min id 1")
   }
 
-  test("star contraction: mixed component shapes and sizes all label to component min") {
+  test("star contraction: mixed component shapes, distributed and local paths agree") {
     // three components: a 50-chain offset by 1000, a hub-and-spoke with
     // the hub as LARGEST id, and one isolated pair
     val chain = (1000L until 1049L).map(i => (i, i + 1))
     val hub = (1L to 9L).map(i => (i, 99L)) // spokes 1..9 all link only to hub 99
     val pair = Seq((500L, 501L))
-    val labels = Dedup.componentMinLabels((chain ++ hub ++ pair).toDF("id_a", "id_b"))
+    val df = (chain ++ hub ++ pair).toDF("id_a", "id_b")
+    val local = Dedup.componentMinLabels(df)
       .as[(Long, Long)].collect().toMap
-    assert((1000L to 1049L).forall(labels(_) == 1000L))
-    assert(((1L to 9L) :+ 99L).forall(i => labels(i) == 1L))
-    assert(labels(500L) === 500L && labels(501L) === 500L)
+    val distributed = Dedup.componentMinLabels(df, localFinishMaxEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(local === distributed,
+      "local union-find finish must produce the distributed fixed point exactly")
+    assert((1000L to 1049L).forall(local(_) == 1000L))
+    assert(((1L to 9L) :+ 99L).forall(i => local(i) == 1L))
+    assert(local(500L) === 500L && local(501L) === 500L)
+  }
+
+  test("closure hybrid: distributed rounds hand off to local finish mid-contraction") {
+    // force ONE distributed round before the local finish picks up: a
+    // 200-edge chain with the threshold between the contracted (~halved
+    // height) and original edge counts — exercises the "non-root nodes
+    // survive contraction" invariant the handoff depends on
+    val pairs = (1L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.componentMinLabels(pairs, localFinishMaxEdges = 150L)
+      .as[(Long, Long)].collect()
+    assert(labels.length === 200)
+    assert(labels.forall(_._2 == 1L),
+      "handoff from distributed rounds to local finish lost nodes or labels")
   }
 
   test("minhashNearDupPairs releases its internal cache (library hygiene)") {
