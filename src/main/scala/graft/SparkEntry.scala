@@ -1362,7 +1362,7 @@ object SparkEntry {
       val queries = e.filter(col("vec_id") < 20)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       Similarity.pqTopK(e, "vec_id", "embedding", queries, "qid", "qv",
-          k = 5, m = 8, codebookSize = 16, rerank = 96)
+          k = 5, m = 8, codebookSize = 16, rerank = 96, fitFraction = 0.5)
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("neighbor_id"), col("cosine"))
     }),
@@ -1378,7 +1378,7 @@ object SparkEntry {
           e, "vec_id", "embedding", queries, "qid", "qv", k = 5)
         .select(col("query_id"), col("neighbor_id"))
       val approx = Similarity.pqTopK(e, "vec_id", "embedding", queries, "qid", "qv",
-          k = 5, m = 8, codebookSize = 16, rerank = 96)
+          k = 5, m = 8, codebookSize = 16, rerank = 96, fitFraction = 0.5)
         .select(col("query_id"), col("neighbor_id"))
       val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "leftsemi")
         .groupBy("query_id").agg(count(lit(1)).as("n_hit"))

@@ -85,7 +85,7 @@ class SimilaritySpec extends SparkSpecBase {
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val approx = ops.Similarity.pqTopK(
         e, "vec_id", "embedding", queries, "qid", "qv",
-        k = 5, m = 8, codebookSize = 16, rerank = 96)
+        k = 5, m = 8, codebookSize = 16, rerank = 96, fitFraction = 0.5)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = (exact & approx).size.toDouble / exact.size
     info(f"PQ recall@5 over 20 queries: $recall%.3f")
