@@ -1178,7 +1178,7 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       val evalDocs = docs.filter(col("doc_id") % 20 === 3)
       val corpus = docs.filter(col("doc_id") % 20 =!= 3)
-      Dedup.contaminationPairs(corpus, evalDocs, "text", "doc_id",
+      Dedup.contaminationPairsFused(corpus, evalDocs, "text", "doc_id",
         shingleN = 8, threshold = 0.8)
     }),
 
@@ -1190,7 +1190,7 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       val evalDocs = docs.filter(col("doc_id") % 20 === 3)
       val corpus = docs.filter(col("doc_id") % 20 =!= 3)
-      val flagged = Dedup.contaminationPairs(corpus, evalDocs, "text", "doc_id",
+      val flagged = Dedup.contaminationPairsFused(corpus, evalDocs, "text", "doc_id",
           shingleN = 8, threshold = 0.8)
         .select(col("corpus_id").as("doc_id"))
       corpus.join(flagged, Seq("doc_id"), "left_anti")

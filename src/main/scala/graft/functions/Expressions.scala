@@ -250,6 +250,34 @@ object HashKernels extends Serializable {
     sig
   }
 
+  /** Intersection sizes of one document's shingle set against a fixed
+    * family of (small) eval shingle sets — the fused kernel behind
+    * benchmark decontamination. One pass computes the doc's sorted
+    * shingle array, then one sorted-merge walk per eval set. Compared
+    * to explode-shingles + broadcast-join, nothing corpus×shingles ever
+    * materializes: the scan emits ONE row per document.
+    */
+  def containmentCounts(
+      s: UTF8String, n: Int, evalSets: Array[Array[Int]]): ArrayData = {
+    val doc = shingleSet(s, n)
+    val nd = doc.numElements()
+    val out = new Array[Int](evalSets.length)
+    var e = 0
+    while (e < evalSets.length) {
+      val ev = evalSets(e)
+      var i = 0; var j = 0; var inter = 0
+      while (i < nd && j < ev.length) {
+        val x = doc.getInt(i); val y = ev(j)
+        if (x == y) { inter += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
+      out(e) = inter
+      e += 1
+    }
+    new GenericArrayData(out)
+  }
+
   // ------------------------------------------------ product quantization
 
   /** PQ encode: L2-normalize the vector, split it into `m` subvectors,
@@ -464,6 +492,28 @@ case class HyperplaneSig(child: Expression, numPlanes: Int, dim: Int, seed: Long
   override protected def withNewChildInternal(c: Expression): HyperplaneSig = copy(child = c)
 }
 
+/** `containment_counts(text)`: per-document intersection sizes against a
+  * fixed family of eval shingle sets. The eval sets ride inside the
+  * expression as a reference object (same technique as the PQ codebook)
+  * — the corpus scan emits one int-array row per document instead of
+  * one row per (document, shingle), so the fused plan never shuffles or
+  * joins anything corpus-sized.
+  */
+case class ContainmentCounts(child: Expression, n: Int, evalSets: Array[Array[Int]])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "containment_counts"
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.containmentCounts(v.asInstanceOf[UTF8String], n, evalSets)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("evalShingleSets", evalSets, "int[][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashKernels.containmentCounts($c, $n, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): ContainmentCounts =
+    copy(child = c)
+}
+
 /** `pq_encode(vec)`: product-quantization codes for a float vector. The
   * trained codebook rides inside the expression (shipped to executors
   * via `addReferenceObj` — the codegen analog of a broadcast literal);
@@ -534,6 +584,8 @@ object exprs {
     ColumnBridge.column(HyperplaneSig(expr(c), numPlanes, dim, seed))
   def rand_proj_sketch(c: Column, sketchDim: Int, dim: Int, seed: Long): Column =
     ColumnBridge.column(RandProjSketch(expr(c), sketchDim, dim, seed))
+  def containment_counts(c: Column, n: Int, evalSets: Array[Array[Int]]): Column =
+    ColumnBridge.column(ContainmentCounts(expr(c), n, evalSets))
   def pq_encode(c: Column, codebook: Array[Double], m: Int, k: Int,
       normalize: Boolean = true): Column =
     ColumnBridge.column(PqEncode(expr(c), codebook, m, k, normalize))

@@ -321,6 +321,48 @@ object Dedup {
       .select(col("corpus_id"), col("eval_id"), col("containment"))
   }
 
+  /** [[contaminationPairs]] fused into one corpus-scan kernel: the eval
+    * shingle sets (small by premise — benchmark suites) are collected at
+    * the driver and ride inside a codegen'd expression as a reference
+    * object, so the corpus scan emits ONE row per document — an array of
+    * per-eval-doc intersection counts — instead of one row per
+    * (document, shingle). Nothing corpus×shingles ever materializes and
+    * the only join is the posexploded nonzero counts against a tiny
+    * broadcast eval-metadata frame. Identical output to the join form
+    * (asserted in DedupSpec); the driver-side collect is bounded by the
+    * eval suite, exactly like the ANN quantizer fits.
+    */
+  def contaminationPairsFused(
+      corpus: DataFrame, evalDocs: DataFrame,
+      textCol: String, idCol: String,
+      shingleN: Int = 5, threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    val spark = corpus.sparkSession
+    val evalRows = evalDocs
+      .select(col(idCol), exprs.shingle_set(col(textCol), shingleN))
+      .collect()
+    val sets: Array[Array[Int]] = evalRows.map(_.getSeq[Int](1).toArray)
+    val metaSchema = StructType(Seq(
+      StructField("__pos", IntegerType, nullable = false),
+      StructField("eval_id", evalDocs.schema(idCol).dataType),
+      StructField("n_eval", IntegerType, nullable = false)))
+    val metaRows: Seq[Row] = evalRows.toSeq.zipWithIndex.map { case (r, i) =>
+      Row(i, r.get(0), sets(i).length)
+    }
+    val meta = spark.createDataFrame(
+      spark.sparkContext.parallelize(metaRows, 1), metaSchema)
+    corpus
+      .select(col(idCol).as("corpus_id"),
+        posexplode(exprs.containment_counts(col(textCol), shingleN, sets))
+          .as(Seq("__pos", "n_common")))
+      .filter(col("n_common") > 0) // most docs touch no eval set — drop before the join
+      .join(broadcast(meta), "__pos")
+      .withColumn("containment", col("n_common").cast("double") / col("n_eval"))
+      .filter(col("containment") >= threshold)
+      .select(col("corpus_id"), col("eval_id"), col("containment"))
+  }
+
   // -------------------------------------------------------------- SimHash
 
   /** Near-dup pairs via 64-bit SimHash: candidates share at least one of

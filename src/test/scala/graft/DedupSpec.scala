@@ -161,6 +161,26 @@ class DedupSpec extends SparkSpecBase {
     assert(bucketed === brute)
   }
 
+  test("fused contamination kernel equals the explode-join form on sf0.01") {
+    // Same split and parameters as q_contamination; the fused reference-
+    // object kernel must reproduce the join plan's (pair, containment)
+    // set exactly — both compute exact set intersections, so even the
+    // double division is bit-identical.
+    val docs = graft.sources.Tables.documents(spark, Sf001)
+    val evalDocs = docs.filter(col("doc_id") % 20 === 3)
+    val corpus = docs.filter(col("doc_id") % 20 =!= 3)
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double)].collect().toSet
+    // threshold 0.3 so background-containment rows participate too —
+    // the equality is over a nontrivial row set, not just the planted hits
+    val joined = collect(Dedup.contaminationPairs(
+      corpus, evalDocs, "text", "doc_id", shingleN = 8, threshold = 0.3))
+    val fused = collect(Dedup.contaminationPairsFused(
+      corpus, evalDocs, "text", "doc_id", shingleN = 8, threshold = 0.3))
+    assert(joined.nonEmpty)
+    assert(fused === joined)
+  }
+
   test("embedding near-dup finds identical vectors via LSH buckets") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
