@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ml.Clustering
-import graft.ops.{Dedup, Multimodal, PeriodChange, Preprocess, Similarity, TextAnalysis}
+import graft.ops.{Dedup, FuzzyJoin, Multimodal, PeriodChange, Preprocess, Similarity, TextAnalysis}
 import graft.sources.Tables
 import graft.streaming.EventStream
 
@@ -986,6 +986,102 @@ object SparkEntry {
         .agg(count(lit(1)).as("numcust"), sum(col("bal_cents")).as("totacctbal_cents"))
     }),
 
+    // R52: TPC-H Q15 analog (top supplier by quarterly revenue) — the
+    // revenue "view" is a grouped agg reused twice; the global max is a
+    // 1-row broadcast joined back by EQUALITY, so ties surface (the
+    // spec's HAVING total = max(total)) with no window sort. Revenue in
+    // exact 10^-4-dollar units; only the final display division is float.
+    "q_tpch_q15" -> ((s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-04-01").cast("timestamp"))
+        .select(col("l_suppkey"),
+          (round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("u"))
+        .groupBy(col("l_suppkey")).agg(sum(col("u")).as("rev_u"))
+      val mx = rev.agg(max(col("rev_u")).as("mx"))
+      Tables.supplier(s, dir)
+        .join(rev, col("s_suppkey") === col("l_suppkey"))
+        .crossJoin(broadcast(mx))
+        .filter(col("rev_u") === col("mx"))
+        .select(col("s_suppkey"), col("s_name"),
+          (col("rev_u") / 10000.0).as("total_rev"))
+    }),
+
+    // R53: TPC-H Q16 analog (supplier breadth per part segment) —
+    // count-DISTINCT suppliers per (brand, type, size) via the lineitem
+    // part↔supplier linkage (no partsupp table in this schema); the
+    // spec's complaint-supplier NOT IN becomes a broadcast anti-join
+    // (negative balance stands in for the complaint regex)
+    "q_tpch_q16" -> ((s, dir) => {
+      val bad = Tables.supplier(s, dir).filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey"))
+      val p = Tables.part(s, dir)
+        .filter(col("p_brand") =!= "Brand#45" && col("p_type") =!= "MEDIUM" &&
+          col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 49))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+      Tables.lineitem(s, dir).select(col("l_partkey"), col("l_suppkey"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    }),
+
+    // R54: TPC-H Q20 analog (suppliers with concentrated shipments) —
+    // the nested semi-join chain: parts by name prefix → per-(part,
+    // supplier) shipment profile → suppliers whose 1998 volume exceeds
+    // half their all-time volume for such a part (the 0.5·availqty cut
+    // re-expressed self-relatively — no partsupp table — in exact
+    // integers: 2·q98 > qall) → supplier directory semi-join
+    "q_tpch_q20" -> ((s, dir) => {
+      val redParts = Tables.part(s, dir)
+        .filter(col("p_name").startsWith("red")).select(col("p_partkey"))
+      val prof = Tables.lineitem(s, dir)
+        .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(
+          sum(when(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+                col("l_shipdate") < lit("1999-01-01").cast("timestamp"),
+              col("l_quantity").cast("long")).otherwise(0L)).as("q98"),
+          sum(col("l_quantity").cast("long")).as("qall"))
+      val qualified = prof.filter(col("q98") * 2 > col("qall"))
+        .select(col("l_suppkey")).distinct()
+      Tables.supplier(s, dir)
+        .join(qualified, col("s_suppkey") === col("l_suppkey"), "leftsemi")
+        .select(col("s_suppkey"), col("s_name"))
+    }),
+
+    // R55: TPC-H Q21 analog (suppliers who kept orders waiting) — the
+    // EXISTS + NOT EXISTS pair over the SAME fact: supplier s shipped
+    // >60 days after the order date in a finished multi-supplier order
+    // where no OTHER supplier was late. Both the late frame and the
+    // participant frame are (order, supplier)-distinct before the
+    // semi/anti joins, so order width never multiplies the probe.
+    "q_tpch_q21" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val late = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"),
+          col("l_shipdate"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      val others = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2")).distinct()
+      val lateOthers = late
+        .select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3"))
+      late
+        .join(others,
+          col("l_orderkey") === col("ok2") && col("l_suppkey") =!= col("sk2"),
+          "leftsemi")
+        .join(lateOthers,
+          col("l_orderkey") === col("ok3") && col("l_suppkey") =!= col("sk3"),
+          "left_anti")
+        .groupBy(col("l_suppkey")).agg(count(lit(1)).as("numwait"))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_name"), col("numwait"))
+        .orderBy(col("numwait").desc, col("s_name").asc).limit(20)
+    }),
+
     // R38: TPC-H Q7 analog (volume shipping between two nations): the
     // symmetric nation-pair filter pushes into BOTH dim joins
     // (broadcast), so the fact table is filtered by two semi-selective
@@ -1539,6 +1635,19 @@ object SparkEntry {
     // E13/E14: event-time tumbling windows (same transform as streaming)
     "q_event_windows" -> ((s, dir) =>
       EventStream.windowedAgg(Tables.events(s, dir), "1 hour")),
+
+    // E81: sliding (hopping) windows — 1h length / 30min slide, every
+    // event in exactly 2 windows; overlap costs map-side expansion only,
+    // the exchange still carries (window, type) partials
+    "q_event_sliding" -> ((s, dir) =>
+      EventStream.slidingWindowAgg(Tables.events(s, dir), "1 hour", "30 minutes")),
+
+    // E82: edit-distance fuzzy self-join via deletion-neighborhood
+    // (FastSS) blocking + exact levenshtein verify — entity resolution
+    // over supplier names without the O(n²) crossJoin the oracle runs
+    "q_fuzzy_join" -> ((s, dir) =>
+      FuzzyJoin.nearKeyPairs(Tables.supplier(s, dir), "s_name", "s_suppkey")
+        .select(col("id_a"), col("id_b"), col("dist"))),
 
     // E15: the training-data pipeline END TO END — enrich (lang-id,
     // quality, tokens) → filter → near-dup dedup with closure → corpus
@@ -2425,6 +2534,58 @@ object SparkEntry {
         |                  AND o.o_orderdate >= TIMESTAMP '2000-01-01')
         |GROUP BY 1""".stripMargin,
 
+    "q_tpch_q15" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         SUM(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |             (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev_u
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, rev_u / 10000.0 AS total_rev
+        |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        |WHERE rev_u = (SELECT max(rev_u) FROM rev)""".stripMargin,
+
+    "q_tpch_q16" ->
+      """SELECT p_brand, p_type, p_size,
+        |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#45' AND p_type <> 'MEDIUM'
+        |  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 49)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q_tpch_q20" ->
+      """WITH prof AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         SUM(CASE WHEN l_shipdate >= TIMESTAMP '1998-01-01'
+        |                   AND l_shipdate < TIMESTAMP '1999-01-01'
+        |                  THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS q98,
+        |         SUM(CAST(l_quantity AS BIGINT)) AS qall
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE 'red%'
+        |  GROUP BY 1, 2)
+        |SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM prof WHERE q98 * 2 > qall)""".stripMargin,
+
+    "q_tpch_q21" ->
+      """WITH late AS (
+        |  SELECT DISTINCT l_orderkey, l_suppkey
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |    AND l_shipdate > o_orderdate + INTERVAL 60 DAY),
+        |anyline AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+        |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM late l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM anyline l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey)
+        |GROUP BY 1 ORDER BY numwait DESC, s_name ASC LIMIT 20""".stripMargin,
+
     "q_tpch_q7" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |       CAST(year(l_shipdate) AS INT) AS ship_year,
@@ -2821,6 +2982,21 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n_events,
         |       CAST(SUM(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_event_sliding" ->
+      """SELECT strftime(time_bucket(INTERVAL '30 minutes', ts)
+        |                  - to_minutes(30 * k), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |       event_type,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(SUM(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli
+        |FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) ks
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_fuzzy_join" ->
+      """SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+        |       CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist
+        |FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+        |WHERE levenshtein(a.s_name, b.s_name) <= 1""".stripMargin,
 
     "q_top_ngrams" ->
       """SELECT token, CAST(count(*) AS BIGINT) AS n

@@ -32,6 +32,26 @@ object EventStream {
         date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n_events"), col("value_milli"))
 
+  /** Sliding (hopping) windows: length/slide overlapping windows, each
+    * event voting into length÷slide of them. Spark's `window(ts, len,
+    * slide)` generator expands the memberships at the scan — the shuffle
+    * then carries (window, type) partial aggregates only, so overlap
+    * multiplies map-side work, never exchange volume. Same schema as the
+    * tumbling [[windowedAgg]]; works identically under `readStream` with
+    * a watermark.
+    */
+  def slidingWindowAgg(
+      events: DataFrame, windowLength: String = "1 hour",
+      slide: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowLength, slide).as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(round(col("value") * 1000).cast("long")).as("value_milli"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n_events"), col("value_milli"))
+
   /** Streaming variant: bounded state via watermark. */
   def windowedAggStreaming(
       events: DataFrame, windowLength: String = "1 hour",
