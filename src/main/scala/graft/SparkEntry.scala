@@ -952,6 +952,46 @@ object SparkEntry {
       ranks.orderBy(col("rank").desc, col("node").asc).limit(20)
     }),
 
+    // E83: exact triangle count over the 1998 co-purchase graph —
+    // degree-oriented wedge join (compact-forward): wedge volume is
+    // quadratic in oriented out-degree only, so hubs don't detonate it;
+    // the oracle recounts with the canonical u<v<w 3-way join
+    "q_triangles" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val a = li.as("a"); val b = li.as("b")
+      val edges = a.join(b, col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      graft.ops.Graph.triangleCount(edges)
+    }),
+
+    // E84: 2-D Pareto frontier (cheapest-and-smallest parts) — binned
+    // two-level prefix minima, no global-order window; the oracle runs
+    // the quadratic NOT EXISTS definition
+    "q_skyline" -> ((s, dir) => {
+      val p = Tables.part(s, dir).select(col("p_partkey"),
+        round(col("p_retailprice") * 100).cast("long").as("price_cents"),
+        col("p_size"))
+      graft.ops.Skyline.pareto2d(p, "price_cents", "p_size", binWidth = 1000L)
+        .select(col("p_partkey"), col("price_cents"), col("p_size"))
+    }),
+
+    // E85: null-safe equality join semantics pin — NULL keys match via
+    // <=> (regular equi-joins silently drop them; compaction/merge
+    // already rely on this). The nullable key is derived
+    // deterministically so both engines see identical NULL rows.
+    "q_nullsafe_join" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          expr("nullif(o_orderpriority, '3-MEDIUM')").as("pr"))
+      val dim = o.select(col("pr").as("pr_d")).distinct()
+        .withColumn("pr_label", coalesce(col("pr_d"), lit("UNSPECIFIED")))
+      o.join(broadcast(dim), col("pr") <=> col("pr_d"))
+        .groupBy(col("pr_label")).agg(count(lit(1)).as("n_orders"))
+    }),
+
     // R51: per-group mode (most frequent value) via max(struct(cnt,
     // value)) — a partial-aggregable shuffle, never a per-group window
     // sort; tiebreak = greatest value, mirrored exactly in the oracle
@@ -2532,6 +2572,35 @@ object SparkEntry {
         |       FROM customer WHERE round(c_acctbal * 100) > 0)
         |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
         |                  AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY 1""".stripMargin,
+
+    "q_triangles" ->
+      """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |            WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        |              AND l_shipdate < TIMESTAMP '1999-01-01'),
+        |e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+        |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk)
+        |SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+        |          JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v""".stripMargin,
+
+    "q_skyline" ->
+      """WITH p AS (SELECT p_partkey,
+        |                  CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+        |                  p_size
+        |           FROM part)
+        |SELECT p_partkey, price_cents, p_size FROM p s
+        |WHERE NOT EXISTS (SELECT 1 FROM p q
+        |  WHERE q.price_cents <= s.price_cents AND q.p_size <= s.p_size
+        |    AND (q.price_cents < s.price_cents OR q.p_size < s.p_size))""".stripMargin,
+
+    "q_nullsafe_join" ->
+      """WITH o AS (SELECT o_orderkey, nullif(o_orderpriority, '3-MEDIUM') AS pr
+        |           FROM orders),
+        |dim AS (SELECT DISTINCT pr AS pr_d FROM o)
+        |SELECT coalesce(pr_d, 'UNSPECIFIED') AS pr_label,
+        |       CAST(count(*) AS BIGINT) AS n_orders
+        |FROM o JOIN dim ON o.pr IS NOT DISTINCT FROM dim.pr_d
         |GROUP BY 1""".stripMargin,
 
     "q_tpch_q15" ->
