@@ -992,6 +992,71 @@ object SparkEntry {
         .groupBy(col("pr_label")).agg(count(lit(1)).as("n_orders"))
     }),
 
+    // R56: per-nation least-squares revenue trend — the reference's
+    // per-country change analysis generalized from a 2-point delta to an
+    // OLS slope over all years. Moments (n, Σx, Σy, Σxy, Σx²) are exact
+    // integers (x = year offset, y = cents); only the final slope
+    // combination is float, per the exact-stats convention — so both
+    // engines divide the SAME two integers.
+    "q_ols_trend" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+      val yearly = Tables.orders(s, dir)
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"),
+          (year(col("o_orderdate")) - lit(1995)).cast("long").as("x"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("y"))
+      yearly.groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_years"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+        .select(col("c_nationkey"), col("n_years"),
+          ((col("n_years") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n_years") * col("sxx") - col("sx") * col("sx")).cast("double"))
+            .as("slope_cents_per_year"))
+    }),
+
+    // R57: chi-square independence test (status × priority) — all
+    // contingency counts exact integers; the per-cell float terms are
+    // summed in EXPLICIT (status, priority) order on both engines
+    // (sort_array + aggregate fold here, sum(ORDER BY) there), so the
+    // statistic is bit-identical despite float accumulation.
+    "q_chi_square" -> ((s, dir) => {
+      val cells = Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus").as("st"), col("o_orderpriority").as("pr"))
+        .agg(count(lit(1)).as("obs"))
+      val rt = cells.groupBy(col("st")).agg(sum(col("obs")).as("rt"))
+      val ct = cells.groupBy(col("pr")).agg(sum(col("obs")).as("ct"))
+      val tot = cells.agg(sum(col("obs")).as("n"),
+        count_distinct(col("st")).as("nr"), count_distinct(col("pr")).as("nc"))
+      val terms = cells
+        .join(broadcast(rt), "st").join(broadcast(ct), "pr")
+        .crossJoin(broadcast(tot))
+        .withColumn("exp",
+          col("rt").cast("double") * col("ct").cast("double") / col("n").cast("double"))
+        .withColumn("term",
+          (col("obs").cast("double") - col("exp")) *
+            (col("obs").cast("double") - col("exp")) / col("exp"))
+      terms
+        .groupBy(col("n"), col("nr"), col("nc"))
+        .agg(sort_array(collect_list(struct(col("st"), col("pr"), col("term"))))
+          .as("a"))
+        .select(
+          aggregate(col("a"), lit(0.0), (acc, x) => acc + x("term")).as("chi2"),
+          ((col("nr") - 1) * (col("nc") - 1)).as("dof"), col("n"))
+    }),
+
+    // E86: normalization-insensitive exact dedup — case/whitespace/
+    // punctuation folded before the fingerprint-first grouping, catching
+    // the trivial reformat copies plain exact dedup misses; same
+    // hash-shuffles-not-text scale shape as q_dedup_exact
+    "q_dedup_normalized" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("nt",
+          trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))
+        .groupBy(md5(col("nt")).as("fp"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+        .select(col("doc_id"), col("n_copies"))),
+
     // R51: per-group mode (most frequent value) via max(struct(cnt,
     // value)) — a partial-aggregable shuffle, never a per-group window
     // sort; tiebreak = greatest value, mirrored exactly in the oracle
@@ -2573,6 +2638,50 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
         |                  AND o.o_orderdate >= TIMESTAMP '2000-01-01')
         |GROUP BY 1""".stripMargin,
+
+    "q_ols_trend" ->
+      """WITH yearly AS (
+        |  SELECT c_nationkey, CAST(year(o_orderdate) - 1995 AS BIGINT) AS x,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |m AS (SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_years,
+        |             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |             CAST(sum(x * y) AS BIGINT) AS sxy,
+        |             CAST(sum(x * x) AS BIGINT) AS sxx
+        |      FROM yearly GROUP BY 1)
+        |SELECT c_nationkey, n_years,
+        |       CAST(n_years * sxy - sx * sy AS DOUBLE) /
+        |       CAST(n_years * sxx - sx * sx AS DOUBLE) AS slope_cents_per_year
+        |FROM m""".stripMargin,
+
+    "q_chi_square" ->
+      """WITH cells AS (SELECT o_orderstatus AS st, o_orderpriority AS pr,
+        |                      CAST(count(*) AS BIGINT) AS obs
+        |               FROM orders GROUP BY 1, 2),
+        |rt AS (SELECT st, CAST(sum(obs) AS BIGINT) AS rt FROM cells GROUP BY 1),
+        |ct AS (SELECT pr, CAST(sum(obs) AS BIGINT) AS ct FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(sum(obs) AS BIGINT) AS n,
+        |               CAST(count(DISTINCT st) AS BIGINT) AS nr,
+        |               CAST(count(DISTINCT pr) AS BIGINT) AS nc
+        |        FROM cells),
+        |terms AS (
+        |  SELECT st, pr, n, nr, nc,
+        |         (CAST(obs AS DOUBLE) - exp) * (CAST(obs AS DOUBLE) - exp) / exp AS term
+        |  FROM (SELECT st, pr, obs, n, nr, nc,
+        |               CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE) AS exp
+        |        FROM cells JOIN rt USING (st) JOIN ct USING (pr) CROSS JOIN tot))
+        |SELECT sum(term ORDER BY st, pr) AS chi2,
+        |       CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof, n
+        |FROM terms GROUP BY nr, nc, n""".stripMargin,
+
+    "q_dedup_normalized" ->
+      """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_copies
+        |FROM (SELECT doc_id,
+        |             md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+        |      FROM documents)
+        |GROUP BY fp""".stripMargin,
 
     "q_triangles" ->
       """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem

@@ -81,7 +81,8 @@ object Dedup {
   def minhashNearDupPairs(
       docs: DataFrame, textCol: String, idCol: String,
       p: MinhashParams = MinhashParams()): DataFrame = {
-    val sigs = docs.select(
+    // spread: the signature kernel must not serialize on a one-split scan
+    val sigs = graft.sources.Tables.spreadForKernel(docs).select(
       col(idCol).as("id"),
       exprs.minhash_sig(col(textCol), p.shingleN, p.numHashes, p.seed).as("sig"))
 
@@ -352,7 +353,7 @@ object Dedup {
     }
     val meta = spark.createDataFrame(
       spark.sparkContext.parallelize(metaRows, 1), metaSchema)
-    corpus
+    graft.sources.Tables.spreadForKernel(corpus)
       .select(col(idCol).as("corpus_id"),
         posexplode(exprs.containment_counts(col(textCol), shingleN, sets))
           .as(Seq("__pos", "n_common")))
@@ -372,7 +373,7 @@ object Dedup {
   def simhashNearDupPairs(
       docs: DataFrame, textCol: String, idCol: String,
       shingleN: Int = 3, maxHamming: Int = 3): DataFrame = {
-    val hashed = docs.select(
+    val hashed = graft.sources.Tables.spreadForKernel(docs).select(
       col(idCol).as("id"), exprs.simhash64(col(textCol), shingleN).as("sh"))
 
     val chunkCols = (0 until 4).map { i =>

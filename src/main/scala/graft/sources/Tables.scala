@@ -20,6 +20,21 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Right-size partitioning ahead of a CPU-heavy per-row kernel. A
+    * single-file single-row-group table scans as ONE task, so the
+    * kernel — not I/O — serializes the stage: a few MB of text can pin
+    * a 32-core session to one core for seconds (measured: the fused
+    * containment kernel at sf0.1). When the incoming split count is
+    * below the session parallelism, round-robin the rows once; on a
+    * real multi-file table (the 100 TB case, thousands of natural
+    * splits) the condition is false and this is a no-op — the spread
+    * never adds a shuffle where the source already parallelizes.
+    */
+  def spreadForKernel(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
