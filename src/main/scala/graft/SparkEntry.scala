@@ -1673,6 +1673,25 @@ object SparkEntry {
           col("asof_view_event_id"), col("asof_view_value"))
     }),
 
+    // E87: the SAME as-of semantics through the custom physical operator
+    // (AsOfJoinNode → AsOfJoinStrategy → AsOfJoinExec merge walk) — rung
+    // (c) of the extension ladder; hash-matches the identical DuckDB
+    // native ASOF oracle as q_asof_join, so the two implementations are
+    // pinned equal by the gate itself
+    "q_asof_exec" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("view_event_id"), col("value").as("view_value"))
+      graft.plans.AsOfJoinPhysical.leftAsOf(clicks, views, "user_id", "ts",
+          Seq("view_event_id", "view_value"))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+          col("asof_view_event_id"), col("asof_view_value"))
+    }),
+
     // R42: as-of join with a staleness bound — latest view within 30
     // minutes of each click, else null (the feature-store TTL variant;
     // same single-shuffle plan as q_asof_join)
@@ -3323,6 +3342,15 @@ object SparkEntry {
         |GROUP BY label, pos""".stripMargin,
 
     "q_asof_join" ->
+      """SELECT l.event_id, l.user_id,
+        |       strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+        |       r.event_id AS asof_view_event_id,
+        |       r.value AS asof_view_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+        |ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+
+    "q_asof_exec" ->
       """SELECT l.event_id, l.user_id,
         |       strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
         |       r.event_id AS asof_view_event_id,

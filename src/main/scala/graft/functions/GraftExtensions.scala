@@ -22,6 +22,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // hash-join form; for an already-built session use
     // `spark.experimental.extraOptimizations ++= Seq(RangeJoinRule(spark))`
     ext.injectOptimizerRule(s => graft.plans.RangeJoinRule(s))
+    // physical as-of join (AsOfJoinNode → AsOfJoinExec); live-session
+    // route: graft.plans.AsOfJoinPhysical.ensure(spark)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy())
   }
 }
 
