@@ -1091,6 +1091,123 @@ object SparkEntry {
         .agg(count(lit(1)).as("numcust"), sum(col("bal_cents")).as("totacctbal_cents"))
     }),
 
+    // R58: TPC-H Q2 analog (min-cost supplier per part in a region) —
+    // the correlated-min + join-back (argmin) pattern: per-(part,
+    // supplier) shipped value stands in for ps_supplycost (no partsupp
+    // table); within EUROPE, each size-15 part picks its minimum-value
+    // supplier via ONE min(struct) partial agg — no window, ties to the
+    // smallest suppkey by struct order
+    "q_tpch_q2" -> ((s, dir) => {
+      val euroNations = Tables.nation(s, dir)
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val sup = Tables.supplier(s, dir)
+        .join(broadcast(euroNations), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      val p = Tables.part(s, dir).filter(col("p_size") === 15)
+        .select(col("p_partkey"), col("p_type"))
+      val perPS = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_suppkey"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("p_partkey"), col("p_type"), col("s_suppkey"),
+          col("s_name"), col("n_name"))
+        .agg(sum(col("cents")).as("cost_cents"))
+      perPS.groupBy(col("p_partkey"), col("p_type"))
+        .agg(min(struct(col("cost_cents"), col("s_suppkey"),
+          col("s_name"), col("n_name"))).as("m"))
+        .select(col("p_partkey"), col("p_type"),
+          col("m.cost_cents").as("cost_cents"), col("m.s_suppkey").as("s_suppkey"),
+          col("m.s_name").as("s_name"), col("m.n_name").as("nation"))
+    }),
+
+    // R59: TPC-H Q8 analog (national market share): NATION_7 suppliers'
+    // share of ASIA-customer order revenue per year — two independent
+    // dim chains onto one fact; numerator and denominator exact units,
+    // only the share division is float
+    "q_tpch_q8" -> ((s, dir) => {
+      val asiaCust = Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)
+            .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+              col("n_regionkey") === col("r_regionkey"))
+            .select(col("n_nationkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"))
+      val o = Tables.orders(s, dir)
+        .join(asiaCust, col("o_custkey") === col("c_custkey"), "leftsemi")
+        .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("u"))
+      val supN = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("o_year"))
+        .agg(sum(when(col("s_nationkey") === 7, col("u")).otherwise(0L)).as("nation_u"),
+          sum(col("u")).as("total_u"))
+        .select(col("o_year"),
+          (col("nation_u").cast("double") / col("total_u").cast("double"))
+            .as("mkt_share"))
+    }),
+
+    // R60: TPC-H Q9 analog (product-line profit by nation and order
+    // year): part-name filter + supplier-nation dim + order-year join,
+    // exact-unit profit summed per (nation, year)
+    "q_tpch_q9" -> ((s, dir) => {
+      val redParts = Tables.part(s, dir)
+        .filter(col("p_name").contains("red")).select(col("p_partkey"))
+      val supNation = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)
+          .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          (round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("u"))
+        .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name"), col("o_year"))
+        .agg((sum(col("u")) / 10000.0).as("profit"))
+    }),
+
+    // R61: TPC-H Q11 analog (important stock): per-part shipped value
+    // by NATION_3's suppliers, keeping parts above 0.1% of the nation
+    // total — the grouped-agg + scalar-subquery-threshold pattern, the
+    // 1-row threshold broadcast
+    "q_tpch_q11" -> ((s, dir) => {
+      val n3sup = Tables.supplier(s, dir)
+        .filter(col("s_nationkey") === 3).select(col("s_suppkey"))
+      val vals = Tables.lineitem(s, dir)
+        .select(col("l_suppkey"), col("l_partkey"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+        .join(broadcast(n3sup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey")).agg(sum(col("cents")).as("value_cents"))
+      val thr = vals.agg((sum(col("value_cents")) / 1000.0).as("thr"))
+      vals.crossJoin(broadcast(thr))
+        .filter(col("value_cents").cast("double") > col("thr"))
+        .select(col("l_partkey"), col("value_cents"))
+    }),
+
+    // R62: TPC-H Q13 analog (order-count distribution): customers LEFT
+    // joined to their filtered orders so zero-order customers keep a
+    // 0-count row, then the count-of-counts histogram
+    "q_tpch_q13" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+        .select(col("o_custkey"))
+      Tables.customer(s, dir).select(col("c_custkey"))
+        .join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey")).agg(count(col("o_custkey")).as("c_count"))
+        .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+    }),
+
     // R52: TPC-H Q15 analog (top supplier by quarterly revenue) — the
     // revenue "view" is a grouped agg reused twice; the global max is a
     // 1-row broadcast joined back by EQUALITY, so ties surface (the
@@ -2729,6 +2846,73 @@ object SparkEntry {
         |SELECT coalesce(pr_d, 'UNSPECIFIED') AS pr_label,
         |       CAST(count(*) AS BIGINT) AS n_orders
         |FROM o JOIN dim ON o.pr IS NOT DISTINCT FROM dim.pr_d
+        |GROUP BY 1""".stripMargin,
+
+    "q_tpch_q2" ->
+      """WITH sup AS (SELECT s_suppkey, s_name, n_name FROM supplier
+        |             JOIN nation ON s_nationkey = n_nationkey
+        |             JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'),
+        |p AS (SELECT p_partkey, p_type FROM part WHERE p_size = 15),
+        |perps AS (SELECT p_partkey, p_type, s_suppkey, s_name, n_name,
+        |                 CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |                   AS cost_cents
+        |          FROM lineitem JOIN p ON l_partkey = p_partkey
+        |                        JOIN sup ON l_suppkey = s_suppkey
+        |          GROUP BY 1, 2, 3, 4, 5)
+        |SELECT p_partkey, p_type, cost_cents, s_suppkey, s_name, n_name AS nation
+        |FROM perps
+        |QUALIFY row_number() OVER (PARTITION BY p_partkey
+        |                           ORDER BY cost_cents, s_suppkey) = 1""".stripMargin,
+
+    "q_tpch_q8" ->
+      """WITH asia_cust AS (SELECT c_custkey FROM customer
+        |                   JOIN nation ON c_nationkey = n_nationkey
+        |                   JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'),
+        |o AS (SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS o_year FROM orders
+        |      WHERE o_custkey IN (SELECT c_custkey FROM asia_cust)),
+        |li AS (SELECT l_orderkey, l_suppkey,
+        |              CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |              (100 - CAST(round(l_discount * 100) AS BIGINT)) AS u
+        |       FROM lineitem)
+        |SELECT o_year,
+        |       CAST(sum(CASE WHEN s_nationkey = 7 THEN u ELSE 0 END) AS DOUBLE) /
+        |       CAST(sum(u) AS DOUBLE) AS mkt_share
+        |FROM li JOIN o ON l_orderkey = o_orderkey
+        |        JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1""".stripMargin,
+
+    "q_tpch_q9" ->
+      """SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |                (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+        |         / 10000.0 AS profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_tpch_q11" ->
+      """WITH vals AS (
+        |  SELECT l_partkey,
+        |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |           AS value_cents
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  WHERE s_nationkey = 3
+        |  GROUP BY 1)
+        |SELECT l_partkey, value_cents FROM vals
+        |WHERE CAST(value_cents AS DOUBLE) >
+        |      (SELECT CAST(sum(value_cents) AS BIGINT) / 1000.0 FROM vals)""".stripMargin,
+
+    "q_tpch_q13" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM (SELECT c_custkey, CAST(count(o_custkey) AS BIGINT) AS c_count
+        |      FROM customer LEFT JOIN
+        |           (SELECT o_custkey FROM orders
+        |            WHERE o_orderpriority <> '4-NOT SPECIFIED') o
+        |           ON c_custkey = o_custkey
+        |      GROUP BY 1)
         |GROUP BY 1""".stripMargin,
 
     "q_tpch_q15" ->

@@ -98,10 +98,10 @@ class PlanAuditSpec extends SparkSpecBase {
     val intentional = Set(
       "q_ann_topk", "q_ann_ivf_recall", "q_ann_lsh_recall", "q_tfidf",
       "q_ann_pq", "q_ann_pq_recall",
-      // Q22's global-average threshold and the chi-square grand-total
-      // frame are 1-row broadcasts (the same scalar-subquery shape as
-      // q_tfidf's corpus-size constant)
-      "q_tpch_q22", "q_chi_square")
+      // Q22's global-average / Q11's nation-total thresholds and the
+      // chi-square grand-total frame are 1-row broadcasts (the same
+      // scalar-subquery shape as q_tfidf's corpus-size constant)
+      "q_tpch_q22", "q_tpch_q11", "q_chi_square")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = SparkEntry.queries(name)(spark, Sf0001)
         .queryExecution.executedPlan.toString
