@@ -1463,7 +1463,9 @@ object SparkEntry {
     // the tiebreak), composing the closure labels with the quality
     // kernel. One max(struct) per component, no window.
     "q_dedup_keep_best" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
+      // spread: the quality kernel and the LSH signatures both run at
+      // the scan otherwise — one task on a single-row-group file
+      val docs = Tables.spreadForKernel(Tables.documents(s, dir))
       val labels = Dedup.componentMinLabels(
         Dedup.minhashNearDupPairs(docs, "text", "doc_id"))
       val scored = docs.select(col("doc_id"),
@@ -1901,7 +1903,9 @@ object SparkEntry {
       // move: materialize the filtered corpus once to executor-local
       // storage, then let the dedup scans and the survivor agg read it
       // instead of re-running three regex passes over the source.
-      val enriched = Tables.documents(s, dir).select(
+      // (spread first: the three regex kernels otherwise run in the
+      // one-task scan of a single-row-group file)
+      val enriched = Tables.spreadForKernel(Tables.documents(s, dir)).select(
           col("doc_id"), col("text"), col("source"),
           TextAnalysis.qualityScore(col("text")).as("quality"),
           TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tokens"))
