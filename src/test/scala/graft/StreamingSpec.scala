@@ -39,6 +39,30 @@ class StreamingSpec extends SparkSpecBase {
     assert(batch.contains(("2024-01-01 10:00:00", "click", 2L, 4000L)))
   }
 
+  test("sliding windows stream: every event lands in both overlapping windows, stream == batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String, Double, Long)]
+    stream.addData(rows)
+    val streamDf = stream.toDF().toDF("ts", "event_type", "value", "user_id")
+
+    val q = EventStream.slidingWindowAgg(
+        streamDf.withWatermark("ts", "2 hours"), "1 hour", "30 minutes")
+      .writeStream.format("memory").queryName("slide_agg")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("slide_agg")
+      .as[(String, String, Long, Long)].collect().toSet
+    val batch = EventStream.slidingWindowAgg(
+        rows.toDF("ts", "event_type", "value", "user_id"), "1 hour", "30 minutes")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(streamed === batch)
+    // 10:45 click is a member of BOTH the 10:00 and 10:30 hour-long
+    // windows (the 10:30 one also picks up the 11:20 click)
+    assert(batch.contains(("2024-01-01 10:00:00", "click", 2L, 4000L)))
+    assert(batch.contains(("2024-01-01 10:30:00", "click", 2L, 10500L)))
+  }
+
   test("append mode: watermark finalizes windows and DROPS late events (bounded state)") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Timestamp, String, Double, Long)]
