@@ -2125,7 +2125,163 @@ object SparkEntry {
     "q_approx_distinct" -> ((s, dir) =>
       Tables.orders(s, dir).agg(
         approx_count_distinct(col("o_custkey"), rsd = 0.02).as("approx_customers"),
-        count(lit(1)).as("n_orders")))
+        count(lit(1)).as("n_orders"))),
+
+    // E88: gaps-and-islands interval merge — each event opens a
+    // VARIABLE-LENGTH busy interval ([ts, ts + value minutes)); merge
+    // overlaps per user into maximal islands. Running-max-of-end
+    // formulation (not lag) so nested intervals merge correctly; all
+    // integer micros ⇒ hash-exact. One shuffle, no self-join.
+    "q_interval_merge" -> ((s, dir) => {
+      val iv = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("start_us"),
+          (unix_micros(col("ts"))
+            + round(col("value") * 60).cast("long") * 1000000L).as("end_us"))
+      graft.ops.Intervals
+        .mergeIntervals(iv, "user_id", "start_us", "end_us", col("event_id"))
+        .select(col("user_id"), col("island"), col("island_start"),
+          col("island_end"), col("n_intervals"))
+    }),
+
+    // E89: robust outliers via median absolute deviation — the
+    // median/MAD cut survives the heavy tails that wreck z-scores
+    // (q_outliers' mean/σ are dragged by the very outliers they hunt).
+    // percentile() interpolation over exact integer cents yields only
+    // .0/.5/.25 fractions — exactly representable doubles, so med, MAD
+    // and the 3·MAD cut are bit-identical across engines. Two grouped
+    // aggs + one broadcast join back; never a global sort.
+    "q_mad_outliers" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_returnflag").as("flag"),
+          round(col("l_extendedprice") * 100).cast("long").as("pc"))
+      val med = li.groupBy(col("flag"))
+        .agg(expr("percentile(pc, 0.5)").as("med"))
+      val withDev = li.join(broadcast(med), "flag")
+        .withColumn("dev", abs(col("pc").cast("double") - col("med")))
+      val mad = withDev.groupBy(col("flag").as("f2"))
+        .agg(expr("percentile(dev, 0.5)").as("mad"))
+      withDev.join(broadcast(mad), col("flag") === col("f2"))
+        .groupBy(col("flag"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("dev") > lit(3.0) * col("mad"), 1L).otherwise(0L))
+            .as("n_outliers"),
+          first(col("med")).as("med_cents"),
+          first(col("mad")).as("mad_cents"))
+    }),
+
+    // E90: BM25 relevance scoring — the retrieval-grade upgrade of
+    // q_tfidf: saturating tf (k1), doc-length normalization (b, dl /
+    // avgdl), RSJ idf. avgdl is a double division of two exact longs
+    // (bit-identical); ln() rounded to 6 dp per the repo's round()
+    // rule; ranking uses the ROUNDED score + term tiebreak so both
+    // engines select identical rows. Same scale shape as tfidf: two
+    // grouped counts + a broadcast of the 1-row corpus stats.
+    "q_bm25" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val k1 = 1.2; val b = 0.75
+      val docs = Tables.documents(s, dir)
+      val tokens = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .filter(length(col("term")) > 0)
+      val dl = tokens.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val tf = tokens.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tokens.select(col("doc_id"), col("term")).distinct()
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val corpus = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("bm25").desc, col("term").asc)
+      tf.join(df, "term").join(dl, "doc_id")
+        .crossJoin(broadcast(corpus))
+        .withColumn("avgdl",
+          col("tot_dl").cast("double") / col("n_docs").cast("double"))
+        .withColumn("idf",
+          log((col("n_docs").cast("double") - col("df") + 0.5)
+            / (col("df").cast("double") + 0.5) + 1.0))
+        .withColumn("bm25",
+          round(col("idf") * (col("tf") * (k1 + 1.0))
+            / (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))), 6))
+        .filter(col("doc_id") < 20)
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("doc_id"), col("rnk").cast("long").as("rnk"),
+          col("term"), col("bm25"))
+    }),
+
+    // E91: deterministic weighted sampling — systematic selection by
+    // cumulative weight (every STEP-th character of corpus mass keeps
+    // one document). Integer cumsum per source partition ⇒ exact,
+    // reproducible, and growth-stable: appending documents with higher
+    // ids never changes earlier picks — the q_domain_cap discipline
+    // extended to weighted selection. One partitioned window, zero
+    // joins; sampling rate self-adjusts to each doc's weight.
+    "q_weighted_sample" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val step = 10000L
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"), col("n_chars").cast("long").as("wt"))
+        .withColumn("cum", sum(col("wt")).over(w))
+        .filter(expr(s"cum div $step") > expr(s"(cum - wt) div $step"))
+        .select(col("source"), col("doc_id"), col("wt"), col("cum"))
+    }),
+
+    // E92: seed-set k-hop expansion — distinct parts reachable in ≤ 2
+    // hops from each seed part over the co-purchase graph. The wedge
+    // join fans out by mid-node degree, so the frontier is kept
+    // ID-only and the seed set bounds the left side (the unbounded
+    // all-pairs variant is q_triangles' compact-forward territory);
+    // this is the "expand a contamination/dup seed list" pipeline op.
+    "q_khop" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val a = li.select(col("ok"), col("pk").as("src"))
+      val bSide = li.select(col("ok").as("ok2"), col("pk").as("dst"))
+      val edges = a.join(bSide, col("ok") === col("ok2") && col("src") =!= col("dst"))
+        .select(col("src"), col("dst")).distinct()
+      val seeds = edges.filter(col("src") < 50)
+      val h1 = seeds.select(col("src"), col("dst"))
+      val e2 = edges.select(col("src").as("mid"), col("dst").as("dst2"))
+      val h2 = h1.join(e2, col("dst") === col("mid"))
+        .select(col("src"), col("dst2").as("dst"))
+        .filter(col("dst") =!= col("src"))
+      val reach = h1.union(h2).distinct()
+        .groupBy(col("src")).agg(count(lit(1)).as("n_reach2"))
+      val direct = h1.groupBy(col("src")).agg(count(lit(1)).as("n_1hop"))
+      direct.join(reach, "src")
+        .select(col("src").as("seed_part"), col("n_1hop"), col("n_reach2"))
+    }),
+
+    // E93: per-source token entropy — Shannon H and its normalized form
+    // over each source's term distribution: the curator's diversity /
+    // degeneracy signal (a collapsing generator or boilerplate-heavy
+    // source shows up as H ≪ ln(vocab)). p = ct/n is an IEEE-exact
+    // division of exact longs; the ln-term sum uses the chi-square
+    // ordered-fold discipline (sort_array → aggregate) so the float
+    // fold order is identical everywhere, then round(6) absorbs libm
+    // ulps. collect_list is bounded by VOCAB per source, not corpus.
+    "q_source_entropy" -> ((s, dir) => {
+      val tokens = Tables.documents(s, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("term"))
+        .filter(length(col("term")) > 0)
+      val ct = tokens.groupBy(col("source"), col("term"))
+        .agg(count(lit(1)).as("ct"))
+      val tot = ct.groupBy(col("source"))
+        .agg(sum(col("ct")).as("n"), count(lit(1)).as("vocab"))
+      ct.join(broadcast(tot), "source")
+        .withColumn("p", col("ct").cast("double") / col("n").cast("double"))
+        .withColumn("h_term", -col("p") * log(col("p")))
+        .groupBy(col("source"), col("n"), col("vocab"))
+        .agg(sort_array(collect_list(struct(col("term"), col("h_term"))))
+          .as("a"))
+        .select(col("source"), col("n").as("n_tokens"), col("vocab"),
+          round(aggregate(col("a"), lit(0.0), (acc, x) => acc + x("h_term")), 6)
+            .as("entropy"),
+          round(aggregate(col("a"), lit(0.0), (acc, x) => acc + x("h_term"))
+            / log(col("vocab").cast("double")), 6).as("entropy_norm"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3623,6 +3779,118 @@ object SparkEntry {
          |FROM kept
          |WHERE NOT EXISTS (SELECT 1 FROM reach WHERE s = doc_id AND d < doc_id)
          |GROUP BY source""".stripMargin
-    }
+    },
+
+    "q_interval_merge" ->
+      """WITH iv AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS start_us,
+        |         epoch_us(ts) + CAST(round(value * 60) AS BIGINT) * 1000000 AS end_us
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, start_us, end_us,
+        |         CASE WHEN max(end_us) OVER (PARTITION BY user_id
+        |                ORDER BY start_us, end_us, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL THEN 1
+        |              WHEN start_us > max(end_us) OVER (PARTITION BY user_id
+        |                ORDER BY start_us, end_us, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) THEN 1
+        |              ELSE 0 END AS opens,
+        |         event_id
+        |  FROM iv),
+        |islands AS (
+        |  SELECT user_id, start_us, end_us,
+        |         CAST(sum(opens) OVER (PARTITION BY user_id
+        |           ORDER BY start_us, end_us, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
+        |  FROM flagged)
+        |SELECT user_id, island, min(start_us) AS island_start,
+        |       max(end_us) AS island_end, CAST(count(*) AS BIGINT) AS n_intervals
+        |FROM islands GROUP BY user_id, island""".stripMargin,
+
+    "q_mad_outliers" ->
+      """WITH pc AS (
+        |  SELECT l_returnflag AS flag,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+        |  FROM lineitem),
+        |med AS (SELECT flag, quantile_cont(pc, 0.5) AS med FROM pc GROUP BY flag),
+        |dev AS (SELECT pc.flag, pc.pc, med.med, abs(pc.pc - med.med) AS dev
+        |        FROM pc JOIN med ON pc.flag = med.flag),
+        |mad AS (SELECT flag, quantile_cont(dev, 0.5) AS mad FROM dev GROUP BY flag)
+        |SELECT dev.flag, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CASE WHEN dev.dev > 3.0 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |       any_value(dev.med) AS med_cents, any_value(mad.mad) AS mad_cents
+        |FROM dev JOIN mad ON dev.flag = mad.flag
+        |GROUP BY dev.flag""".stripMargin,
+
+    "q_bm25" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tok2 AS (SELECT doc_id, term FROM tok WHERE length(term) > 0),
+        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok2 GROUP BY doc_id),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM tok2 GROUP BY doc_id, term),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        |       FROM (SELECT DISTINCT doc_id, term FROM tok2) GROUP BY term),
+        |corpus AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |                  CAST(sum(dl) AS DOUBLE) AS tot_dl FROM dl),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |         round(ln((c.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+        |               * (tf.tf * 2.2)
+        |               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / (c.tot_dl / c.n_docs))), 6) AS bm25
+        |  FROM tf JOIN df ON tf.term = df.term
+        |          JOIN dl ON tf.doc_id = dl.doc_id
+        |          CROSS JOIN corpus c
+        |  WHERE tf.doc_id < 20)
+        |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term, bm25
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                 ORDER BY bm25 DESC, term ASC) AS rnk
+        |      FROM scored)
+        |WHERE rnk <= 5""".stripMargin,
+
+    "q_weighted_sample" ->
+      """WITH cum AS (
+        |  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS wt,
+        |         CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM documents)
+        |SELECT source, doc_id, wt, cum FROM cum
+        |WHERE cum // 10000 > (cum - wt) // 10000""".stripMargin,
+
+    "q_khop" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |edges AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+        |          FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+        |h1 AS (SELECT src, dst FROM edges WHERE src < 50),
+        |h2 AS (SELECT h1.src, e2.dst FROM h1 JOIN edges e2 ON h1.dst = e2.src
+        |       WHERE e2.dst <> h1.src),
+        |reach AS (SELECT src, CAST(count(*) AS BIGINT) AS n_reach2
+        |          FROM (SELECT src, dst FROM h1 UNION SELECT src, dst FROM h2)
+        |          GROUP BY src),
+        |direct AS (SELECT src, CAST(count(*) AS BIGINT) AS n_1hop FROM h1 GROUP BY src)
+        |SELECT direct.src AS seed_part, n_1hop, n_reach2
+        |FROM direct JOIN reach ON direct.src = reach.src""".stripMargin,
+
+    "q_source_entropy" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tok2 AS (SELECT source, term FROM tok WHERE length(term) > 0),
+        |ct AS (SELECT source, term, CAST(count(*) AS BIGINT) AS ct
+        |       FROM tok2 GROUP BY source, term),
+        |tot AS (SELECT source, CAST(sum(ct) AS BIGINT) AS n,
+        |               CAST(count(*) AS BIGINT) AS vocab
+        |        FROM ct GROUP BY source),
+        |terms AS (
+        |  SELECT ct.source, tot.n, tot.vocab, ct.term,
+        |         -(CAST(ct.ct AS DOUBLE) / tot.n) * ln(CAST(ct.ct AS DOUBLE) / tot.n) AS h_term
+        |  FROM ct JOIN tot ON ct.source = tot.source),
+        |folded AS (
+        |  SELECT source, n, vocab,
+        |         sum(h_term ORDER BY term) AS h
+        |  FROM terms GROUP BY source, n, vocab)
+        |SELECT source, n AS n_tokens, vocab,
+        |       round(h, 6) AS entropy,
+        |       round(h / ln(CAST(vocab AS DOUBLE)), 6) AS entropy_norm
+        |FROM folded""".stripMargin
   )
 }
