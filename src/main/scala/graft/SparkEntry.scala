@@ -2281,7 +2281,77 @@ object SparkEntry {
             .as("entropy"),
           round(aggregate(col("a"), lit(0.0), (acc, x) => acc + x("h_term"))
             / log(col("vocab").cast("double")), 6).as("entropy_norm"))
-    })
+    }),
+
+    // E94: incremental (delta-vs-corpus) near-dup audit — the standing
+    // MinHash index probed by each ingest batch: per delta doc, is it a
+    // verified near-dup of the existing corpus (reject signal) and how
+    // many within-batch partners does it have (within-batch keep-one
+    // feed). Cost scales with |delta|·bands, never corpus×corpus.
+    // Delta = doc_id % 5 == 4 (scale-invariant split, straddles the
+    // planted dup families).
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val existing = docs.filter(col("doc_id") % 5 =!= 4)
+      val delta = docs.filter(col("doc_id") % 5 === 4)
+      graft.ops.Dedup.incrementalNearDups(existing, delta, "text", "doc_id")
+        .select(col("doc_id"), col("dup_of_existing"), col("n_delta_dups"))
+    }),
+
+    // R63: index rebasing — each nation's monthly revenue expressed
+    // relative to its own first month (= 100). The OLAP "rebase to
+    // base period" idiom: exact-cents monthly sums, first_value over an
+    // ordered per-nation window, one double division rounded to 6 dp.
+    "q_rebase_index" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables.orders(s, dir)
+        .select(col("o_custkey"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+      val n = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
+      val monthly = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("month"))
+        .agg(sum(col("cents")).as("cents"))
+      val w = Window.partitionBy(col("n_name")).orderBy(col("month").asc)
+      monthly
+        .withColumn("base", first(col("cents")).over(w))
+        .select(col("n_name"), col("month"),
+          (col("cents").cast("double") / 100.0).as("revenue"),
+          round(lit(100.0) * col("cents") / col("base"), 6).as("index"))
+    }),
+
+    // E95: bounded-window event dedup — first event per (user, type,
+    // hour), batch analog of the streaming dropDuplicatesWithinWatermark
+    // (E34): the hour bucket IS the watermark bound. min(struct) partial
+    // agg — never a per-bucket window sort; ties impossible (event_id
+    // unique) but the struct tiebreak is total anyway.
+    "q_event_dedup_hourly" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00").as("hour"),
+          struct(unix_micros(col("ts")).as("us"), col("event_id").as("eid")).as("pick"))
+        .groupBy(col("user_id"), col("event_type"), col("hour"))
+        .agg(min(col("pick")).as("m"), count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("event_type"), col("hour"),
+          col("m.eid").as("first_event_id"), col("n_events"))),
+
+    // E96: NATIVE session_window sessionization — the same 30-minute-gap
+    // sessions as q_sessionize but through Spark's built-in
+    // session_window aggregation (merging-window state machine, usable
+    // unchanged under Structured Streaming) instead of the hand-rolled
+    // lag+cumsum windows; session_end here is the window bound
+    // (last event + gap), the streaming-eviction boundary.
+    "q_session_window" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(round(col("value") * 1000).cast("long")).as("value_milli"))
+        .select(col("user_id"),
+          date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(col("sw.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+          col("n_events"), col("value_milli")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3891,6 +3961,73 @@ object SparkEntry {
         |SELECT source, n AS n_tokens, vocab,
         |       round(h, 6) AS entropy,
         |       round(h / ln(CAST(vocab AS DOUBLE)), 6) AS entropy_norm
-        |FROM folded""".stripMargin
+        |FROM folded""".stripMargin,
+
+    "q_dedup_incremental" ->
+      """WITH grams AS (
+        |  SELECT DISTINCT doc_id, substr(text, i, 5) AS g
+        |  FROM (SELECT doc_id, text,
+        |               unnest(range(1, greatest(length(text) - 3, 2))) AS i
+        |        FROM documents)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_d, b.doc_id AS id_o, count(*) AS i
+        |          FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id <> b.doc_id
+        |          WHERE a.doc_id % 5 = 4
+        |          GROUP BY 1, 2),
+        |pairs AS (SELECT id_d, id_o FROM inter
+        |          JOIN sizes sa ON sa.doc_id = id_d
+        |          JOIN sizes sb ON sb.doc_id = id_o
+        |          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8)
+        |SELECT d.doc_id,
+        |       coalesce(bool_or(p.id_o % 5 <> 4), false) AS dup_of_existing,
+        |       CAST(coalesce(sum(CASE WHEN p.id_o % 5 = 4 THEN 1 END), 0) AS BIGINT) AS n_delta_dups
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 4) d
+        |LEFT JOIN pairs p ON p.id_d = d.doc_id
+        |GROUP BY d.doc_id""".stripMargin,
+
+    "q_rebase_index" ->
+      """WITH monthly AS (
+        |  SELECT n_name, strftime(o_orderdate, '%Y-%m') AS month,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2)
+        |SELECT n_name, month,
+        |       CAST(cents AS DOUBLE) / 100.0 AS revenue,
+        |       round(100.0 * cents
+        |             / first_value(cents) OVER (PARTITION BY n_name ORDER BY month), 6) AS index
+        |FROM monthly""".stripMargin,
+
+    "q_event_dedup_hourly" ->
+      """SELECT user_id, event_type, hour, event_id AS first_event_id, n_events
+        |FROM (SELECT user_id, event_type, hour, event_id,
+        |             row_number() OVER (PARTITION BY user_id, event_type, hour
+        |               ORDER BY us, event_id) AS rn,
+        |             CAST(count(*) OVER (PARTITION BY user_id, event_type, hour) AS BIGINT) AS n_events
+        |      FROM (SELECT user_id, event_type, event_id, epoch_us(ts) AS us,
+        |                   strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour
+        |            FROM events))
+        |WHERE rn = 1""".stripMargin,
+
+    "q_session_window" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, CAST(round(value * 1000) AS BIGINT) AS vm,
+        |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+        |              WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000 THEN 1
+        |              ELSE 0 END AS opens,
+        |         event_id
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |sessions AS (
+        |  SELECT *, sum(opens) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+        |  FROM flagged)
+        |SELECT user_id,
+        |       strftime(make_timestamp(min(epoch_us(ts))), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |       strftime(make_timestamp(max(epoch_us(ts))) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(vm) AS BIGINT) AS value_milli
+        |FROM sessions GROUP BY user_id, s""".stripMargin
   )
 }

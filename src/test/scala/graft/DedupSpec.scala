@@ -206,4 +206,28 @@ class DedupSpec extends SparkSpecBase {
     val best = SparkEntry.queries("q_dedup_keep_best")(spark, Sf0001).count()
     assert(minId === best)
   }
+
+  test("incremental dedup: delta probes the corpus index, both signals correct") {
+    val existing = Seq((0L, base), (3L,
+      "completely different content about spark query engines and shuffles here"))
+      .toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, base),                              // exact copy of existing 0
+      (11L, "fresh unique prose with no twin anywhere in corpus or batch at all"),
+      (12L, base.replace("green", "blue")),     // near-dup of existing 0 AND of 13
+      (13L, base.replace("green", "blue"))      // exact copy of 12
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalNearDups(existing, delta, "text", "doc_id",
+        Dedup.MinhashParams(jaccardThreshold = 0.7))
+      .select("doc_id", "dup_of_existing", "n_delta_dups")
+      .as[(Long, Boolean, Long)].collect()
+      .map { case (id, ex, nd) => id -> ((ex, nd)) }.toMap
+    assert(out(10L)._1, "exact copy of an existing doc must be flagged")
+    assert(out(11L) === ((false, 0L)), "unique doc must pass clean")
+    // 12's partners: existing 0 (one-word edit) + delta 10 and 13
+    assert(out(12L)._1 && out(12L)._2 === 2L,
+      "near-dup of existing with within-batch twins must carry both signals")
+    assert(out(13L)._2 === 2L)
+    assert(out.size === 4, "every delta doc gets exactly one audit row")
+  }
 }
