@@ -8,6 +8,25 @@ import graft.sources.{Sinks, Tables}
 class SinksSpec extends SparkSpecBase {
   import spark.implicits._
 
+  test("ORC round-trip: schema, values, and predicate pushdown survive the format") {
+    // second columnar format besides parquet — same writer/reader API
+    // surface, same pushdown semantics (ORC scans carry PushedFilters
+    // from min/max stripe stats just like parquet row groups)
+    val path = "/tmp/graft-orc-lineitem"
+    val li = Tables.lineitem(spark, Sf0001)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    li.write.mode("overwrite").orc(path)
+    val back = spark.read.orc(path)
+    assert(back.schema === li.schema, "ORC must preserve the schema exactly")
+    assert(back.count() === li.count())
+    val filtered = back.filter(col("l_quantity") > 25.0)
+    val p = filtered.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("l_quantity"),
+      s"quantity filter must reach the ORC scan:\n$p")
+    assert(filtered.count() ===
+      li.filter(col("l_quantity") > 25.0).count())
+  }
+
   test("partitioned write prunes directories at planning time") {
     val path = "/tmp/graft-sinks-orders"
     val orders = Tables.orders(spark, Sf0001)

@@ -508,4 +508,44 @@ class StreamingSpec extends SparkSpecBase {
       assert(lastTotal <= 2, s"state not bounded: $lastTotal live rows ($agg)")
     } finally q.stop()
   }
+
+  test("native session_window: sessions MERGE across micro-batches, stream == batch") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String, Double, Long)]
+
+    def sessionAgg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 1000).cast("long")).as("value_milli"))
+      .select(col("user_id"),
+        date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").as("s"),
+        date_format(col("sw.end"), "yyyy-MM-dd HH:mm:ss").as("e"),
+        col("n_events"), col("value_milli"))
+
+    val q = sessionAgg(stream.toDF().toDF("ts", "event_type", "value", "user_id"))
+      .writeStream.format("memory").queryName("sess_win")
+      .outputMode("complete").start()
+    val all = Seq(
+      (ts("2024-01-01 10:00:00"), "click", 1.0, 1L),
+      (ts("2024-01-01 10:20:00"), "view", 2.0, 1L),  // arrives in batch 2,
+      (ts("2024-01-01 11:30:00"), "click", 4.0, 1L), // must MERGE into 10:00's session
+      (ts("2024-01-01 10:05:00"), "view", 8.0, 2L))
+    try {
+      stream.addData(Seq(all(0), all(3)))
+      q.processAllAvailable()
+      stream.addData(Seq(all(1), all(2)))
+      q.processAllAvailable()
+      val streamed = spark.table("sess_win")
+        .as[(Long, String, String, Long, Long)].collect().toSet
+      val batch = sessionAgg(all.toDF("ts", "event_type", "value", "user_id"))
+        .as[(Long, String, String, Long, Long)].collect().toSet
+      assert(streamed === batch,
+        "merging-window state machine must converge to the batch answer")
+      // the 10:20 event extended user 1's 10:00 session (merge across
+      // micro-batches); 11:30 is a separate session
+      assert(batch.contains((1L, "2024-01-01 10:00:00", "2024-01-01 10:50:00", 2L, 3000L)))
+      assert(batch.contains((1L, "2024-01-01 11:30:00", "2024-01-01 12:00:00", 1L, 4000L)))
+    } finally q.stop()
+  }
 }
