@@ -2337,6 +2337,141 @@ object SparkEntry {
         .select(col("user_id"), col("event_type"), col("hour"),
           col("m.eid").as("first_event_id"), col("n_events"))),
 
+    // E98: EXACT set-similarity self-join via prefix filtering (the
+    // PPJoin family, public literature) — shingle-set Jaccard ≥ τ with
+    // NO probabilistic recall gap (MinHash-LSH's weakness): under a
+    // common rarest-first element order, two sets with Jaccard ≥ τ MUST
+    // share an element in their (m − ⌈τ·m⌉ + 1)-prefixes, so candidates
+    // come from a hash join on PREFIX elements only (the rarest,
+    // lowest-fanout ones) + a size-ratio filter; exact intersect
+    // verifies survivors. No global element rank is materialized — the
+    // order IS the (global_freq, gram) tuple sorted per doc. Elements
+    // are 12-char shingles: this corpus's WORD vocabulary is ~31 tokens
+    // (and 5-gram vocab ~2k), so short elements are all near-universal
+    // and prefix filtering degenerates toward all-pairs (measured 50M
+    // candidate fanout at sf0.1); 131k distinct 12-grams restore the
+    // rare-prefix premise (1.4M fanout, 256 true pairs). Same τ=0.8 /
+    // same answer set as the MinHash family — by construction, since
+    // prefix filtering is EXACT.
+    "q_simjoin_prefix" -> ((s, dir) => {
+      val tau = 0.8
+      // grams are hashed to 8-byte keys MAP-SIDE: nothing downstream
+      // (distinct, freq count, prefix join, set arrays) ever shuffles a
+      // string — same hashed-shingle discipline (and collision caveat)
+      // as the MinHash/decontamination family.
+      // per-doc dedup happens MAP-SIDE (array_distinct before the
+      // explode), so the (doc, gram) stream needs no distinct shuffle;
+      // the doc-frequency table is vocabulary-sized (131k grams at
+      // sf0.1) and broadcasts — at true corpus scale it becomes a
+      // shuffle join on the 8-byte gram key, still never a string
+      val grams = Tables.spreadForKernel(Tables.documents(s, dir))
+        .select(col("doc_id"), explode(array_distinct(expr(
+          "transform(sequence(1, greatest(length(text) - 11, 1))," +
+            " i -> xxhash64(substring(text, i, 12)))"))).as("g"))
+      val freq = grams.groupBy(col("g")).agg(count(lit(1)).as("f"))
+      // keyed feeds FOUR scan branches (prefix self-join a/b, verify
+      // set join a/b) — EAGERLY checkpointed: with a lazy checkpoint
+      // those branches' stages launch concurrently and each recomputes
+      // the scan→explode→freq→collect chain before any blocks are
+      // published (measured 4× duplicated work, 12 s vs 5 s at sf0.1).
+      // Blocks are ContextCleaner-owned, nothing registers in the
+      // session cache.
+      val keyed = grams.join(freq, "g")
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(struct(col("f"), col("g")))).as("toks"))
+        .withColumn("m", size(col("toks")))
+        .withColumn("plen", col("m") - ceil(lit(tau) * col("m")).cast("int") + 1)
+        .localCheckpoint(eager = true)
+      // positional prefix filter (the "PP" in PPJoin): a shared element
+      // at 1-based sorted position rn caps the possible overlap at
+      // 1 + min(ma − rn_a, mb − rn_b); pairs that can't reach the
+      // τ-equivalent overlap α = ⌈τ/(1+τ)·(ma+mb)⌉ die at the join,
+      // before the distinct (measured 90k → 17k candidates at sf0.1)
+      val prefixes = keyed
+        .select(col("doc_id"), col("m"),
+          posexplode(expr("slice(toks, 1, plen)")).as(Seq("pos", "p")))
+        .select(col("doc_id"), col("m"), (col("pos") + 1).as("rn"),
+          col("p.g").as("pg"))
+      val cand = prefixes.as("a").join(prefixes.as("b"),
+          col("a.pg") === col("b.pg") && col("a.doc_id") < col("b.doc_id") &&
+            greatest(col("a.m"), col("b.m")) * tau <= least(col("a.m"), col("b.m")) &&
+            (lit(1) + least(col("a.m") - col("a.rn"), col("b.m") - col("b.rn")) >=
+              ceil(lit(tau / (1 + tau)) * (col("a.m") + col("b.m")))))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+      val sets = keyed.select(col("doc_id"),
+        expr("transform(toks, t -> t.g)").as("gs"), col("m"))
+      cand
+        .join(sets.select(col("doc_id").as("id_a"), col("gs").as("ga"), col("m").as("ma")), "id_a")
+        .join(sets.select(col("doc_id").as("id_b"), col("gs").as("gb"), col("m").as("mb")), "id_b")
+        .withColumn("inter", size(array_intersect(col("ga"), col("gb"))))
+        .withColumn("jaccard",
+          col("inter").cast("double") / (col("ma") + col("mb") - col("inter")).cast("double"))
+        .filter(col("jaccard") >= tau)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+    }),
+
+    // E99: data-contract quarantine — declarative expectation rules
+    // evaluated in ONE scan (conditional partial aggs, no per-rule
+    // pass): per rule the violation count and rate, plus the fully-clean
+    // row count; the batch gate a training pipeline puts in front of
+    // ingestion. The same predicates, applied as filters, split
+    // clean/quarantine row sets without re-stating the rules.
+    "q_dq_quarantine" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val rules = Seq(
+        ("qty_le_45", col("l_quantity") <= 45.0),
+        ("discount_le_8pct", col("l_discount") <= 0.08),
+        ("price_ge_1000", col("l_extendedprice") >= 1000.0),
+        ("shipdate_present", col("l_shipdate").isNotNull))
+      val aggs = rules.flatMap { case (n, pred) =>
+        Seq(sum(when(!pred, 1L).otherwise(0L)).as(s"viol_$n")) } ++
+        Seq(sum(when(rules.map(_._2).reduce(_ && _), 0L).otherwise(1L))
+          .as("rows_quarantined"),
+          count(lit(1)).as("n_rows"))
+      val wide = li.agg(aggs.head, aggs.tail: _*)
+      // long form: one row per rule (stack keeps it a single projection)
+      val stackArgs = rules.map { case (n, _) => s"'$n', viol_$n" }.mkString(", ")
+      wide.select(
+        expr(s"stack(${rules.size}, $stackArgs) as (rule, n_violations)"),
+        col("rows_quarantined"), col("n_rows"))
+        .withColumn("violation_rate",
+          round(col("n_violations").cast("double") / col("n_rows"), 6))
+    }),
+
+    // E100: rank-transform score calibration — each document's quality
+    // proxy (n_chars) expressed as its percent_rank WITHIN its source
+    // (tie-sharing, scale-free) plus a global equi-depth decile over the
+    // total (n_chars, doc_id) order: the cross-source score-calibration
+    // step before mixing corpora with incomparable raw scores. The
+    // global rank uses the E77 two-level shape — value-range buckets,
+    // within-bucket row_number, tiny bucket-offset prefix — NEVER a
+    // row-level global window; the decile is the integer floor formula
+    // (grank−1)·10 div n + 1, identical in both engines (ntile's
+    // remainder-to-front sizing is deliberately avoided).
+    "q_rank_transform" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val ws = Window.partitionBy(col("source")).orderBy(col("n_chars").asc)
+      val binned = docs.withColumn("bin", expr("n_chars div 64"))
+      val wb = Window.partitionBy(col("bin"))
+        .orderBy(col("n_chars").asc, col("doc_id").asc)
+      val wo = Window.orderBy(col("bin").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val off = binned.groupBy(col("bin")).agg(count(lit(1)).as("c"))
+        .withColumn("off", coalesce(sum(col("c")).over(wo), lit(0L)))
+        .select(col("bin"), col("off"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      binned.join(broadcast(off), "bin")
+        .withColumn("grank", col("off") + row_number().over(wb))
+        .crossJoin(broadcast(n))
+        .withColumn("global_decile", expr("(grank - 1) * 10 div n + 1"))
+        .withColumn("pr_in_source", round(percent_rank().over(ws), 6))
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("pr_in_source"), col("global_decile"))
+    }),
+
     // E96: NATIVE session_window sessionization — the same 30-minute-gap
     // sessions as q_sessionize but through Spark's built-in
     // session_window aggregation (merging-window state machine, usable
@@ -4028,6 +4163,54 @@ object SparkEntry {
         |       strftime(make_timestamp(max(epoch_us(ts))) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
         |       CAST(count(*) AS BIGINT) AS n_events,
         |       CAST(sum(vm) AS BIGINT) AS value_milli
-        |FROM sessions GROUP BY user_id, s""".stripMargin
+        |FROM sessions GROUP BY user_id, s""".stripMargin,
+
+    "q_simjoin_prefix" ->
+      """WITH g AS (
+        |  SELECT DISTINCT doc_id, substr(text, i, 12) AS g
+        |  FROM (SELECT doc_id, text,
+        |               unnest(range(1, greatest(length(text) - 10, 2))) AS i
+        |        FROM documents)),
+        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+        |          FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT ia AS id_a, ib AS id_b,
+        |       CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = ia
+        |JOIN sizes sb ON sb.doc_id = ib
+        |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8""".stripMargin,
+
+    "q_dq_quarantine" ->
+      """WITH agg AS (SELECT
+        |  CAST(count(*) FILTER (NOT (l_quantity <= 45.0)) AS BIGINT) AS v1,
+        |  CAST(count(*) FILTER (NOT (l_discount <= 0.08)) AS BIGINT) AS v2,
+        |  CAST(count(*) FILTER (NOT (l_extendedprice >= 1000.0)) AS BIGINT) AS v3,
+        |  CAST(count(*) FILTER (l_shipdate IS NULL) AS BIGINT) AS v4,
+        |  CAST(count(*) FILTER (NOT (l_quantity <= 45.0 AND l_discount <= 0.08
+        |        AND l_extendedprice >= 1000.0 AND l_shipdate IS NOT NULL)) AS BIGINT)
+        |    AS rows_quarantined,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM lineitem)
+        |SELECT rule, n_violations, rows_quarantined, n_rows,
+        |       round(CAST(n_violations AS DOUBLE) / n_rows, 6) AS violation_rate
+        |FROM (SELECT unnest(['qty_le_45', 'discount_le_8pct', 'price_ge_1000',
+        |                     'shipdate_present']) AS rule,
+        |             unnest([v1, v2, v3, v4]) AS n_violations,
+        |             rows_quarantined, n_rows
+        |      FROM agg)""".stripMargin,
+
+    "q_rank_transform" ->
+      """WITH r AS (
+        |  SELECT doc_id, source, n_chars,
+        |         row_number() OVER (ORDER BY n_chars, doc_id) AS grank,
+        |         count(*) OVER () AS n,
+        |         percent_rank() OVER (PARTITION BY source ORDER BY n_chars) AS pr
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars,
+        |       round(pr, 6) AS pr_in_source,
+        |       (grank - 1) * 10 // n + 1 AS global_decile
+        |FROM r""".stripMargin
   )
 }
