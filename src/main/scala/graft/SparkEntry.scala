@@ -2472,6 +2472,82 @@ object SparkEntry {
           col("pr_in_source"), col("global_decile"))
     }),
 
+    // E101: leave-one-out target encoding — each order's customer-level
+    // mean price EXCLUDING the order itself ((Σ−x)/(n−1)): the standard
+    // leakage-free categorical encoding for feature pipelines. One
+    // grouped exact-cents agg broadcast-joined back — no window, no
+    // second scan; the subtraction keeps everything integer until the
+    // final division (bit-identical across engines).
+    "q_loo_encoding" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice") * 100).cast("long").as("pc"))
+      val g = o.groupBy(col("o_custkey").as("ck"))
+        .agg(sum(col("pc")).as("s"), count(lit(1)).as("n"))
+      o.join(broadcast(g), col("o_custkey") === col("ck"))
+        .filter(col("n") > 1)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("pc").cast("double") / 100.0).as("price"),
+          round((col("s") - col("pc")).cast("double") / (col("n") - 1) / 100.0, 6)
+            .as("loo_mean_price"))
+    }),
+
+    // E102: cohort LTV curves — cumulative revenue per signup cohort by
+    // cohort age (weeks since first order), the longitudinal upgrade of
+    // q_retention's presence matrix: exact-cents partial aggs to the
+    // (cohort, age) grid first (tiny), THEN a cumulative window over the
+    // grid — the running sum never touches row-level data.
+    "q_cohort_ltv" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderdate"),
+          round(col("o_totalprice") * 100).cast("long").as("pc"))
+      val first = o.groupBy(col("o_custkey"))
+        .agg(min(col("o_orderdate")).as("first_date"))
+      val aged = o.join(first, "o_custkey")
+        .select(date_format(date_trunc("month", col("first_date")), "yyyy-MM")
+            .as("cohort"),
+          (datediff(col("o_orderdate"), col("first_date")) / 7).cast("long")
+            .as("age_weeks"),
+          col("pc"))
+      val grid = aged.groupBy(col("cohort"), col("age_weeks"))
+        .agg(sum(col("pc")).as("rev_cents"))
+      val w = Window.partitionBy(col("cohort")).orderBy(col("age_weeks").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid
+        .withColumn("cum_revenue",
+          (sum(col("rev_cents")).over(w).cast("double") / 100.0))
+        .select(col("cohort"), col("age_weeks"),
+          (col("rev_cents").cast("double") / 100.0).as("revenue"),
+          col("cum_revenue"))
+    }),
+
+    // E103: inter-arrival gap statistics — per-segment median/p90 days
+    // between consecutive orders of the same customer (lag window on the
+    // customer key, exact interpolated percentiles on integer day
+    // gaps): purchase-cadence profiling, the temporal analog of
+    // q_mad_outliers' robust location stats.
+    "q_order_gaps" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      val gaps = Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+        .withColumn("gap_days",
+          datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w)))
+        .filter(col("gap_days").isNotNull)
+      val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment"))
+      gaps.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_gaps"),
+          // p50 interpolates exact halves; p90's fractional position can
+          // differ in the last ulp between engines' lerp formulations —
+          // round(6) per the repo's float rule
+          round(expr("percentile(gap_days, 0.5)"), 6).as("median_gap_days"),
+          round(expr("percentile(gap_days, 0.9)"), 6).as("p90_gap_days"),
+          max(col("gap_days")).cast("long").as("max_gap_days"))
+    }),
+
     // E96: NATIVE session_window sessionization — the same 30-minute-gap
     // sessions as q_sessionize but through Spark's built-in
     // session_window aggregation (merging-window state machine, usable
@@ -4211,6 +4287,54 @@ object SparkEntry {
         |SELECT doc_id, source, n_chars,
         |       round(pr, 6) AS pr_in_source,
         |       (grank - 1) * 10 // n + 1 AS global_decile
-        |FROM r""".stripMargin
+        |FROM r""".stripMargin,
+
+    "q_loo_encoding" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS pc
+        |  FROM orders),
+        |g AS (SELECT o_custkey AS ck, CAST(sum(pc) AS BIGINT) AS s,
+        |             CAST(count(*) AS BIGINT) AS n
+        |      FROM o GROUP BY o_custkey)
+        |SELECT o_orderkey, o_custkey,
+        |       CAST(pc AS DOUBLE) / 100.0 AS price,
+        |       round(CAST(s - pc AS DOUBLE) / (n - 1) / 100.0, 6) AS loo_mean_price
+        |FROM o JOIN g ON o_custkey = ck
+        |WHERE n > 1""".stripMargin,
+
+    "q_cohort_ltv" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderdate,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS pc
+        |  FROM orders),
+        |f AS (SELECT o_custkey, min(o_orderdate) AS first_date FROM o GROUP BY o_custkey),
+        |aged AS (
+        |  SELECT strftime(date_trunc('month', f.first_date), '%Y-%m') AS cohort,
+        |         CAST(datediff('day', f.first_date, o.o_orderdate) // 7 AS BIGINT) AS age_weeks,
+        |         o.pc
+        |  FROM o JOIN f USING (o_custkey)),
+        |grid AS (SELECT cohort, age_weeks, CAST(sum(pc) AS BIGINT) AS rev_cents
+        |         FROM aged GROUP BY cohort, age_weeks)
+        |SELECT cohort, age_weeks,
+        |       CAST(rev_cents AS DOUBLE) / 100.0 AS revenue,
+        |       CAST(sum(rev_cents) OVER (PARTITION BY cohort ORDER BY age_weeks
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0
+        |         AS cum_revenue
+        |FROM grid""".stripMargin,
+
+    "q_order_gaps" ->
+      """WITH gaps AS (
+        |  SELECT o_custkey,
+        |         datediff('day', lag(o_orderdate) OVER (PARTITION BY o_custkey
+        |           ORDER BY o_orderdate, o_orderkey), o_orderdate) AS gap_days
+        |  FROM orders)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_gaps,
+        |       round(quantile_cont(gap_days, 0.5), 6) AS median_gap_days,
+        |       round(quantile_cont(gap_days, 0.9), 6) AS p90_gap_days,
+        |       CAST(max(gap_days) AS BIGINT) AS max_gap_days
+        |FROM gaps JOIN customer ON o_custkey = c_custkey
+        |WHERE gap_days IS NOT NULL
+        |GROUP BY c_mktsegment""".stripMargin
   )
 }
