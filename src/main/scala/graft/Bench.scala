@@ -60,8 +60,14 @@ object Bench {
         }
       val sec = (System.nanoTime() - t0) / 1e9
       // several queries persist() intermediates; clearing between
-      // queries (outside the timed region) keeps timings isolated
+      // queries (outside the timed region) keeps timings isolated.
+      // localCheckpoint blocks are NOT cache entries — ContextCleaner
+      // frees them only after their RDD is GC'd, so without an explicit
+      // gc() the checkpoint-heavy queries' blocks pile up in storage
+      // memory and slow every query that runs after them (measured:
+      // q_dataset_card 1.5 s alone vs 6.6 s late in a 146-query run).
       spark.catalog.clearCache()
+      System.gc()
       R(name, sec, err)
     }
     def jstr(s: String): String =
