@@ -2472,6 +2472,85 @@ object SparkEntry {
           col("pr_in_source"), col("global_decile"))
     }),
 
+    // E104: inverted-index build — term → document-frequency + a capped,
+    // ordered posting sample: the retrieval-index construction pass. One
+    // grouped collect bounded by PER-TERM df (and the emitted sample
+    // capped at 10), postings serialized as a join-stable csv string;
+    // at 100 TB the posting lists shard by term hash — same shuffle key
+    // as this groupBy.
+    "q_inverted_index" -> ((s, dir) => {
+      val tokens = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .filter(length(col("term")) > 0)
+        .distinct()
+      tokens.groupBy(col("term"))
+        .agg(count(lit(1)).as("df"),
+          array_join(slice(sort_array(collect_list(col("doc_id"))), 1, 10), ",")
+            .as("posting_head"))
+        .filter(col("df") >= 5)
+    }),
+
+    // E105: winsorization — clip each customer's order prices at the
+    // GLOBAL p05/p95 before summing: the heavy-tail-taming step before
+    // mean-based features. The interpolated percentiles are snapped to
+    // INTEGER cents inside the true bounds (⌈round(p05,6)⌉, ⌊round(p95,
+    // 6)⌋) so the whole clip-then-sum stays in long arithmetic —
+    // partition-order independent, no float fold anywhere; round(6)
+    // first absorbs cross-engine lerp ulps per the repo's float rule.
+    "q_winsorize" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(col("o_custkey"),
+          round(col("o_totalprice") * 100).cast("long").as("pc"))
+      val bounds = o.agg(
+        ceil(round(expr("percentile(pc, 0.05)"), 6)).cast("long").as("lo"),
+        floor(round(expr("percentile(pc, 0.95)"), 6)).cast("long").as("hi"))
+      o.crossJoin(broadcast(bounds))
+        .withColumn("clipped", greatest(least(col("pc"), col("hi")), col("lo")))
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          (sum(col("pc")).cast("double") / 100.0).as("raw_total"),
+          (sum(col("clipped")).cast("double") / 100.0).as("winsorized_total"),
+          sum(when(col("pc") < col("lo"), 1L)
+            .when(col("pc") > col("hi"), 1L)
+            .otherwise(0L)).as("n_clipped"))
+    }),
+
+    // E106: per-group min-max feature scaling — (x − min)/(max − min)
+    // to [0, 1] within each return-flag segment; grouped exact extrema
+    // broadcast back, the normalization step before distance-based ML.
+    // Output capped to a deterministic id slice to keep the dump small.
+    "q_minmax_scale" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("long").as("pc"))
+      val ext = li.groupBy(col("l_returnflag").as("rf"))
+        .agg(min(col("pc")).as("mn"), max(col("pc")).as("mx"))
+      li.join(broadcast(ext), col("l_returnflag") === col("rf"))
+        .filter(col("l_orderkey") < 1000)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          (col("pc").cast("double") / 100.0).as("price"),
+          round((col("pc") - col("mn")).cast("double")
+            / (col("mx") - col("mn")).cast("double"), 6).as("price_scaled"))
+    }),
+
+    // E107: salted-hash pseudonymization — stable, salt-keyed md5
+    // pseudonyms for customer ids plus coarsened order dates: the
+    // irreversible-but-joinable anonymization pass (same key ⇒ same
+    // pseudonym, so downstream joins/aggregations still work); md5 is
+    // engine-portable, unlike xxhash64 which only Spark exposes.
+    "q_pseudonymize" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .select(
+          substring(md5(concat(lit("graft-salt-v1:"),
+            col("o_custkey").cast("string"))), 1, 16).as("cust_pseudo"),
+          date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM")
+            .as("order_month"),
+          round(col("o_totalprice") * 100).cast("long").as("pc"))
+        .groupBy(col("cust_pseudo"), col("order_month"))
+        .agg(count(lit(1)).as("n_orders"),
+          (sum(col("pc")).cast("double") / 100.0).as("revenue"))
+        .filter(col("n_orders") >= 2)),
+
     // E101: leave-one-out target encoding — each order's customer-level
     // mean price EXCLUDING the order itself ((Σ−x)/(n−1)): the standard
     // leakage-free categorical encoding for feature pipelines. One
@@ -4335,6 +4414,56 @@ object SparkEntry {
         |       CAST(max(gap_days) AS BIGINT) AS max_gap_days
         |FROM gaps JOIN customer ON o_custkey = c_custkey
         |WHERE gap_days IS NOT NULL
-        |GROUP BY c_mktsegment""".stripMargin
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q_inverted_index" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, term
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |  WHERE length(term) > 0)
+        |SELECT term, CAST(count(*) AS BIGINT) AS df,
+        |       array_to_string(list_slice(list(doc_id ORDER BY doc_id), 1, 10), ',')
+        |         AS posting_head
+        |FROM tok GROUP BY term
+        |HAVING count(*) >= 5""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH o AS (
+        |  SELECT o_custkey, CAST(round(o_totalprice * 100) AS BIGINT) AS pc
+        |  FROM orders),
+        |b AS (SELECT CAST(ceil(round(quantile_cont(pc, 0.05), 6)) AS BIGINT) AS lo,
+        |             CAST(floor(round(quantile_cont(pc, 0.95), 6)) AS BIGINT) AS hi
+        |      FROM o)
+        |SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(pc) AS DOUBLE) / 100.0 AS raw_total,
+        |       CAST(sum(greatest(least(pc, hi), lo)) AS DOUBLE) / 100.0 AS winsorized_total,
+        |       CAST(sum(CASE WHEN pc < lo THEN 1 WHEN pc > hi THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_clipped
+        |FROM o CROSS JOIN b
+        |GROUP BY o_custkey""".stripMargin,
+
+    "q_minmax_scale" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber, l_returnflag,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+        |  FROM lineitem),
+        |ext AS (SELECT l_returnflag AS rf, min(pc) AS mn, max(pc) AS mx
+        |        FROM li GROUP BY l_returnflag)
+        |SELECT l_orderkey, l_linenumber, l_returnflag,
+        |       CAST(pc AS DOUBLE) / 100.0 AS price,
+        |       round(CAST(pc - mn AS DOUBLE) / CAST(mx - mn AS DOUBLE), 6) AS price_scaled
+        |FROM li JOIN ext ON l_returnflag = rf
+        |WHERE l_orderkey < 1000""".stripMargin,
+
+    "q_pseudonymize" ->
+      """SELECT substr(md5('graft-salt-v1:' || CAST(o_custkey AS VARCHAR)), 1, 16)
+        |         AS cust_pseudo,
+        |       strftime(date_trunc('month', o_orderdate), '%Y-%m') AS order_month,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+        |         AS revenue
+        |FROM orders
+        |GROUP BY 1, 2
+        |HAVING count(*) >= 2""".stripMargin
   )
 }

@@ -103,8 +103,9 @@ class PlanAuditSpec extends SparkSpecBase {
       // scalar-subquery shape as q_tfidf's corpus-size constant);
       // BM25's (n_docs, avgdl) corpus-stats frame is the same 1-row shape
       "q_tpch_q22", "q_tpch_q11", "q_chi_square", "q_bm25",
-      // rank-transform's corpus-count frame: same 1-row broadcast shape
-      "q_rank_transform")
+      // rank-transform's corpus-count and winsorize's global-bounds
+      // frames: same 1-row broadcast shape
+      "q_rank_transform", "q_winsorize")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = SparkEntry.queries(name)(spark, Sf0001)
         .queryExecution.executedPlan.toString
