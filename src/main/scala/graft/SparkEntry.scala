@@ -1708,6 +1708,45 @@ object SparkEntry {
           (coalesce(col("n_hit"), lit(0L)) / 5.0).as("recall"))
     }),
 
+    // E84: IVF+PQ composed ANN — the Faiss IndexIVFPQ layout: coarse
+    // cells over normalized vectors, residual PQ codes, probed-cell
+    // compressed-domain scan (one ADC table per query serves every
+    // probed cell), exact re-rank of the shortlist. The searchable
+    // corpus copy is (int cell + m-byte code) per vector — at 100 TB
+    // the scan touches ~nProbe/numCells of the corpus at ~32× fewer
+    // bytes. Recall measured in q_ann_ivfpq_recall + SimilaritySpec.
+    "q_ann_ivfpq" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val queries = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.ivfPqTopK(e, "vec_id", "embedding", queries, "qid", "qv",
+          k = 5, numCells = 16, nProbe = 8, m = 8, codebookSize = 16,
+          rerank = 96, fitFraction = 0.5)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("cosine"))
+    }),
+
+    // E84: measured IVF+PQ recall vs brute force — the compound loss
+    // (unprobed-cell misses + residual quantization) published honestly
+    "q_ann_ivfpq_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val queries = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val exact = Similarity.bruteForceTopK(
+          e, "vec_id", "embedding", queries, "qid", "qv", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = Similarity.ivfPqTopK(e, "vec_id", "embedding", queries, "qid", "qv",
+          k = 5, numCells = 16, nProbe = 8, m = 8, codebookSize = 16,
+          rerank = 96, fitFraction = 0.5)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "leftsemi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+      exact.select("query_id").distinct()
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          (coalesce(col("n_hit"), lit(0L)) / 5.0).as("recall"))
+    }),
+
     // E8: multimodal plumbing — batched feature extraction over payloads
     "q_multimodal_meta" -> ((s, dir) => {
       val media = Multimodal.mediaFromDocuments(Tables.documents(s, dir))

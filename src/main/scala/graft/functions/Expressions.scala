@@ -368,6 +368,27 @@ object HashKernels extends Serializable {
     while (s < m) { acc += table.getFloat(s * k + codes.getInt(s)).toDouble; s += 1 }
     acc
   }
+
+  /** IVF residual: L2-normalize the vector, subtract the cell centroid
+    * (flat row-major `cents`, `numCells` rows) — the vector the PQ
+    * codebook of an IVF+PQ index encodes. Float output so the result
+    * feeds `pqEncodeOpt` directly.
+    */
+  def ivfResidual(
+      v: ArrayData, cell: Int, cents: Array[Double], numCells: Int): ArrayData = {
+    val dim = cents.length / numCells
+    val nrm = normF(v)
+    val inv = if (nrm == 0.0) 0.0 else 1.0 / nrm
+    val n = v.numElements()
+    val out = new Array[Float](dim)
+    var d = 0
+    while (d < dim) {
+      val x = if (d < n) v.getFloat(d).toDouble * inv else 0.0
+      out(d) = (x - cents(cell * dim + d)).toFloat
+      d += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** `rolling_hash(text)`: 64-bit content fingerprint. A cross-engine-stable
@@ -550,6 +571,27 @@ case class PqTable(child: Expression, codebook: Array[Double], m: Int, k: Int)
   override protected def withNewChildInternal(c: Expression): PqTable = copy(child = c)
 }
 
+/** `ivf_residual(vec, cell)`: normalized vector minus its IVF cell
+  * centroid — the residual an IVF+PQ index's PQ codebook encodes.
+  * Centroids ride in the expression via `addReferenceObj`.
+  */
+case class IvfResidual(left: Expression, right: Expression,
+    cents: Array[Double], numCells: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "ivf_residual"
+  override def nullSafeEval(v: Any, c: Any): Any =
+    HashKernels.ivfResidual(
+      v.asInstanceOf[ArrayData], c.asInstanceOf[Int], cents, numCells)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ivfCentroids", cents, "double[]")
+    defineCodeGen(ctx, ev,
+      (v, c) => s"graft.functions.HashKernels.ivfResidual($v, $c, $ref, $numCells)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): IvfResidual =
+    copy(left = l, right = r)
+}
+
 /** `pq_adc_score(codes, table)`: approximate cosine via m table lookups. */
 case class PqAdcScore(left: Expression, right: Expression, k: Int)
     extends BinaryExpression {
@@ -591,6 +633,8 @@ object exprs {
     ColumnBridge.column(PqEncode(expr(c), codebook, m, k, normalize))
   def pq_table(c: Column, codebook: Array[Double], m: Int, k: Int): Column =
     ColumnBridge.column(PqTable(expr(c), codebook, m, k))
+  def ivf_residual(v: Column, cell: Column, cents: Array[Double], numCells: Int): Column =
+    ColumnBridge.column(IvfResidual(expr(v), expr(cell), cents, numCells))
   def pq_adc_score(codes: Column, table: Column, k: Int): Column =
     ColumnBridge.column(PqAdcScore(expr(codes), expr(table), k))
 }

@@ -371,6 +371,141 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** IVF+PQ composed index build: every corpus vector becomes a
+    * (id, cell, codes) row — the layout of a Faiss IndexIVFPQ inverted
+    * list, as a DataFrame. `cell` is the nearest coarse centroid of the
+    * L2-NORMALIZED vector; `codes` product-quantize the RESIDUAL
+    * (normalized vector − centroid), which carries ~2× less variance
+    * per subspace than the raw vector, so the same codebook budget
+    * quantizes finer (the reason Faiss encodes residuals).
+    *
+    * Both codebooks are trained driver-side on the same hash-selected
+    * sample (content-stable under repartitioning), deterministic
+    * k-means++ + fixed Lloyd iterations — codes are reproducible
+    * across runs and partitionings at any corpus size.
+    *
+    * Returns (index, coarseCb, pqCb): the index DataFrame is writable
+    * as a parquet table partitioned by `cell` (the PQ-coded storage
+    * table — at 100 TB the searchable copy of the corpus is m bytes +
+    * one int per vector, ~32× smaller than the float vectors), and
+    * searches prune to probed cells at scan time.
+    */
+  def buildIvfPqIndex(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      numCells: Int = 16, m: Int = 8, codebookSize: Int = 16,
+      seed: Long = 42L, fitFraction: Double = 1.0):
+      (DataFrame, Array[Double], Array[Double]) = {
+    val fitRows = corpus
+      .filter(pmod(xxhash64(col(corpusId)), lit(10000)) < lit((fitFraction * 10000).toInt))
+      .select(col(corpusVec))
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+    // coarse quantizer: cells over NORMALIZED vectors (cosine geometry)
+    val coarseCb = pqTrainCodebook(fitRows, m = 1, k = numCells, seed = seed,
+      normalize = true)
+    val dim = fitRows.head.length
+    // PQ codebook: trained on the residuals of the SAME sample
+    // (normalize → assign cell → subtract centroid), mirroring exactly
+    // what the distributed encode below computes per corpus row
+    val residuals = fitRows.map { v =>
+      val nrm = math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+      val inv = if (nrm == 0.0) 0.0 else 1.0 / nrm
+      val vn = v.map(x => x.toDouble * inv)
+      var best = 0; var bestDist = Double.MaxValue
+      var j = 0
+      while (j < numCells) {
+        var dist = 0.0; var d = 0
+        while (d < dim) { val t = vn(d) - coarseCb(j * dim + d); dist += t * t; d += 1 }
+        if (dist < bestDist) { bestDist = dist; best = j }
+        j += 1
+      }
+      Array.tabulate(dim)(d => (vn(d) - coarseCb(best * dim + d)).toFloat)
+    }
+    val pqCb = pqTrainCodebook(residuals, m, codebookSize, seed = seed,
+      normalize = false)
+    val index = corpus
+      .withColumn("cell",
+        element_at(exprs.pq_encode(col(corpusVec), coarseCb, 1, numCells,
+          normalize = true), 1))
+      .select(col(corpusId).as("neighbor_id"), col("cell"),
+        exprs.pq_encode(
+          exprs.ivf_residual(col(corpusVec), col("cell"), coarseCb, numCells),
+          pqCb, m, codebookSize, normalize = false).as("codes"))
+    (index, coarseCb, pqCb)
+  }
+
+  /** IVF+PQ search — the Faiss IndexIVFPQ composition: probe the
+    * `nProbe` nearest cells, score ONLY probed candidates in the
+    * compressed domain, exact-cosine re-rank the per-query shortlist.
+    *
+    * ADC over residual codes decomposes the inner product:
+    *   dot(qn, v̂n) = dot(qn, cent_cell) + dot(qn, r̂)
+    * and dot(qn, r̂) = Σ_s table[s][code_s] where the table holds
+    * qn-subvector·codeword products — so ONE query table serves every
+    * probed cell (the cell-dependent part is the dot(qn, cent) scalar
+    * already computed when ranking cells). Per candidate the scan costs
+    * m adds over an m-byte code: at 100 TB both scan bytes and flops
+    * drop ~32× vs exact scoring, and only queries×rerank rows ever
+    * touch a real vector again.
+    *
+    * Recall is measured in SimilaritySpec and published by
+    * q_ann_ivfpq_recall (an ANN ships with its recall number).
+    */
+  def ivfPqTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, numCells: Int = 16, nProbe: Int = 4, m: Int = 8,
+      codebookSize: Int = 16, seed: Long = 42L,
+      fitFraction: Double = 1.0, rerank: Int = 64): DataFrame = {
+    require(rerank >= k, "re-rank shortlist must be at least k")
+    val (index, coarseCb, pqCb) =
+      buildIvfPqIndex(corpus, corpusId, corpusVec, numCells, m, codebookSize,
+        seed, fitFraction)
+    val dim = coarseCb.length / numCells
+    // rank cells per query by exact L2 to the centroid (normalized
+    // geometry: the ranking cosine would give), keep the dot(qn, cent)
+    // term — the cell-dependent half of the ADC score
+    val centArr = array((0 until numCells).map { i =>
+      struct(lit(i).as("cell"),
+        array((0 until dim).map(d => lit(coarseCb(i * dim + d))): _*).as("cent"))
+    }: _*)
+    val qn = transform(col("qv").cast("array<double>"), x =>
+      x / sqrt(aggregate(zip_with(col("qv").cast("array<double>"),
+        col("qv").cast("array<double>"), (a, b) => a * b),
+        lit(0.0), (acc, y) => acc + y)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("cell").asc)
+    val probes = queries
+      .select(col(queryId).as("query_id"), col(queryVec).as("qv"))
+      .withColumn("qn", qn)
+      .withColumn("qt", exprs.pq_table(col("qv"), pqCb, m, codebookSize))
+      .withColumn("c", explode(centArr))
+      .select(col("query_id"), col("qv"), col("qt"), col("c.cell").as("cell"),
+        aggregate(zip_with(col("qn"), col("c.cent"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x).as("dist"),
+        aggregate(zip_with(col("qn"), col("c.cent"), (a, b) => a * b),
+          lit(0.0), (acc, x) => acc + x).as("dot_qc"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("qv"), col("qt"), col("cell"), col("dot_qc"))
+    // compressed-domain scan: probed cells only, m table lookups per row
+    val pre = index.join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("dot_qc") +
+          exprs.pq_adc_score(col("codes"), col("qt"), codebookSize), 9).as("cosine"))
+    val shortlist = topKPerQuery(pre, rerank)
+      .select(col("query_id"), col("neighbor_id"))
+    val scored = shortlist
+      .join(corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("cv")),
+        "neighbor_id")
+      .join(broadcast(queries.select(col(queryId).as("query_id"), col(queryVec).as("qv"))),
+        "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(exprs.cosine_f(col("cv"), col("qv")), 9).as("cosine"))
+    topKPerQuery(scored, k)
+  }
+
   /** Per-group mean pooling of an embedding column — the centroid
     * computation behind class prototypes, cluster summaries and
     * multi-vector document pooling.

@@ -15,7 +15,8 @@ class SurfaceSpec extends AnyFunSuite {
     * and SimHash bucketing have exact-equivalence specs.
     */
   private val noOracleAllowed = Set(
-    "q_ann_ivf", "q_ann_ivf_recall", "q_ann_lsh", "q_ann_lsh_recall",
+    "q_ann_ivf", "q_ann_ivf_recall", "q_ann_ivfpq", "q_ann_ivfpq_recall",
+    "q_ann_lsh", "q_ann_lsh_recall",
     "q_ann_pq", "q_ann_pq_recall",
     "q_approx_distinct", "q_approx_quantile",
     "q_dedup_simhash", "q_dedup_simhash_pairs", "q_kmeans_clusters")
