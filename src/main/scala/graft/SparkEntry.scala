@@ -2113,6 +2113,143 @@ object SparkEntry {
         .orderBy(col("n").desc, col("token").asc)
         .limit(20)),
 
+    // E109: Gopher-style repetition filters — the pretraining quality
+    // gate the length/stopword score (q_text_quality) can't express:
+    // docs dominated by a few repeated words (boilerplate, keyword
+    // stuffing, degenerate generations). distinct-word ratio and
+    // top-word share from ONE explode + two-level agg; the pass
+    // verdict composes both thresholds. All counts exact integers;
+    // the two ratios are single double divisions (order-independent).
+    "q_gopher_repetition" -> ((s, dir) => {
+      val perWord = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      perWord.groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_words"),
+          count(lit(1)).as("n_distinct"),
+          max(col("c")).as("top_count"))
+        .select(col("doc_id"), col("n_words"), col("n_distinct"),
+          round(col("n_distinct").cast("double") / col("n_words"), 6)
+            .as("distinct_ratio"),
+          round(col("top_count").cast("double") / col("n_words"), 6)
+            .as("top_word_share"),
+          (col("n_distinct").cast("double") / col("n_words") >= 0.3 &&
+            col("top_count").cast("double") / col("n_words") <= 0.2)
+            .as("gopher_pass"))
+    }),
+
+    // E110: cross-document boilerplate mining — the C4 "duplicated
+    // lines across the corpus" rule, at word-window granularity (this
+    // corpus has no newlines): every 8-word window shared by ≥ 2 docs,
+    // with doc- and occurrence-counts. Windows are enumerated per ROW
+    // with array ops (sequence → slice → join) — no exploded-word
+    // shuffle, no window function; the only exchange is the groupBy on
+    // the window string. At 100 TB the same shape runs with the hash
+    // of the window as the group key (8 bytes, not ~50 chars) + a
+    // second pass for the strings of the survivors — kept as strings
+    // here so the oracle can compare content directly.
+    "q_boilerplate_ngrams" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), explode(
+          when(size(col("ws")) >= 8,
+            transform(sequence(lit(1), size(col("ws")) - 7),
+              i => array_join(slice(col("ws"), i, lit(8)), " ")))
+            .otherwise(array().cast("array<string>"))).as("ngram"))
+        .groupBy(col("ngram"))
+        .agg(count_distinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occ"))
+        .filter(col("n_docs") >= 2)),
+
+    // E111: temperature-scaled mixture weights — the multi-source
+    // sampling policy of multilingual/multi-domain pretraining
+    // (α = 0.5: p_i ∝ tokens_i^α flattens the source distribution so
+    // small sources aren't drowned). Token masses are exact longs;
+    // √ is per-value deterministic; the only cross-source float sum
+    // (the denominator) is an ORDERED fold over the sorted source
+    // list — bit-identical on both engines; sources are few, so the
+    // collected list is O(sources), never O(rows).
+    "q_mix_temperature" -> ((s, dir) => {
+      val bySource = Tables.documents(s, dir)
+        .select(col("source"), TextAnalysis.tokenCountWs(col("text"))
+          .cast("long").as("t"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("tokens"))
+      val denom = bySource
+        .agg(sort_array(collect_list(struct(col("source"),
+            sqrt(col("tokens").cast("double")).as("w")))).as("a"),
+          sum(col("tokens")).as("tot"))
+        .select(aggregate(col("a"), lit(0.0), (acc, x) => acc + x("w"))
+          .as("denom"), col("tot"))
+      bySource.crossJoin(broadcast(denom))
+        .select(col("source"), col("n_docs"), col("tokens"),
+          round(sqrt(col("tokens").cast("double")) / col("denom"), 6)
+            .as("weight"),
+          round(col("tokens").cast("double") / col("tot"), 6)
+            .as("natural_share"),
+          round(sqrt(col("tokens").cast("double")) / col("denom") /
+            (col("tokens").cast("double") / col("tot")), 6).as("boost"))
+    }),
+
+    // E112: EWMA control chart over daily event volumes — drift/burst
+    // detection for a streaming ingest. Dyadic weights 2^-lag over a
+    // bounded 7-day lookback make every term and the sum EXACT in
+    // double (numerators far below 2^53) — partition-order independent
+    // without an ordered fold. The bounded self-join is |days|×8 rows,
+    // never events×events.
+    "q_ewma_volume" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val a = daily.alias("a"); val b = daily.alias("b")
+      a.join(b,
+          col("a.event_type") === col("b.event_type") &&
+            datediff(col("a.day"), col("b.day")).between(0, 7))
+        .groupBy(col("a.event_type").as("event_type"),
+          col("a.day").as("day"), col("a.n").as("n"))
+        .agg(
+          sum(col("b.n").cast("double") *
+            pow(lit(0.5), datediff(col("a.day"), col("b.day")))).as("wsum"),
+          sum(pow(lit(0.5), datediff(col("a.day"), col("b.day")))).as("wnorm"))
+        .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n"),
+          round(col("wsum") / col("wnorm"), 6).as("ewma"),
+          (col("n").cast("double") > col("wsum") / col("wnorm") * 1.5)
+            .as("burst"))
+    }),
+
+    // E113: padding-waste audit — what fixed-length batching costs per
+    // source at seq-len 64/128: sequences, wasted pad tokens, waste
+    // fraction. Pure integer arithmetic end to end (ceil-div as
+    // (t + L − 1) div L); the informed input to choosing a packing
+    // strategy (q_pack_chunks / q_pack_global are the remedy).
+    "q_padding_waste" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("source"),
+          TextAnalysis.tokenCountWs(col("text")).cast("long").as("t"))
+        .select(col("source"), col("t"),
+          // ceil-div in exact integer arithmetic (div = floored long
+          // division on both engines; Spark's / on longs is double)
+          expr("(t + 63) div 64").as("s64"),
+          expr("(t + 127) div 128").as("s128"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("t")).as("tokens"),
+          sum(col("s64")).as("seqs_64"),
+          sum(col("s64") * 64L - col("t")).as("waste_64"),
+          sum(col("s128")).as("seqs_128"),
+          sum(col("s128") * 128L - col("t")).as("waste_128"))
+        .select(col("source"), col("n_docs"), col("tokens"),
+          col("seqs_64"), col("waste_64"),
+          // basis points via FLOORED integer division: waste/(seqs·L)
+          // is a dyadic rational that lands exactly on decimal ties
+          // (e.g. 1647/3200 = 0.5146875), where HALF_UP (Spark) and
+          // half-even (DuckDB) round() disagree — integer div never ties
+          expr("(waste_64 * 10000) div (seqs_64 * 64)").as("waste_bp_64"),
+          col("seqs_128"), col("waste_128"),
+          expr("(waste_128 * 10000) div (seqs_128 * 128)").as("waste_bp_128"))),
+
     // E29: data-quality profiling — per-column row/null/distinct/range
     // stats, the pre-flight check before any 100 TB ingest. ONE scan of
     // the fact table no matter how many columns are profiled (asserted
@@ -3943,6 +4080,83 @@ object SparkEntry {
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |WHERE length(token) > 0
         |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
+
+    "q_gopher_repetition" ->
+      """WITH pw AS (
+        |  SELECT doc_id, w, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE length(w) > 0
+        |  GROUP BY doc_id, w)
+        |SELECT doc_id,
+        |       CAST(sum(c) AS BIGINT) AS n_words,
+        |       CAST(count(*) AS BIGINT) AS n_distinct,
+        |       round(count(*) / CAST(sum(c) AS DOUBLE), 6) AS distinct_ratio,
+        |       round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_word_share,
+        |       (count(*) / CAST(sum(c) AS DOUBLE) >= 0.3
+        |        AND max(c) / CAST(sum(c) AS DOUBLE) <= 0.2) AS gopher_pass
+        |FROM pw GROUP BY doc_id""".stripMargin,
+
+    "q_boilerplate_ngrams" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         unnest(CASE WHEN len(ws) >= 8
+        |           THEN list_transform(generate_series(1, len(ws) - 7),
+        |                               i -> array_to_string(ws[i:i+7], ' '))
+        |           ELSE [] END) AS ngram
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
+        |SELECT ngram,
+        |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |       CAST(count(*) AS BIGINT) AS n_occ
+        |FROM sh GROUP BY ngram HAVING count(DISTINCT doc_id) >= 2""".stripMargin,
+
+    "q_mix_temperature" ->
+      """WITH s AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(CASE WHEN length(text) = 0 THEN 0
+        |                       ELSE len(string_split(text, ' ')) END) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY source),
+        |d AS (
+        |  SELECT sum(sqrt(CAST(tokens AS DOUBLE)) ORDER BY source) AS denom,
+        |         sum(tokens) AS tot
+        |  FROM s)
+        |SELECT source, n_docs, tokens,
+        |       round(sqrt(CAST(tokens AS DOUBLE)) / denom, 6) AS weight,
+        |       round(CAST(tokens AS DOUBLE) / tot, 6) AS natural_share,
+        |       round(sqrt(CAST(tokens AS DOUBLE)) / denom
+        |             / (CAST(tokens AS DOUBLE) / tot), 6) AS boost
+        |FROM s, d""".stripMargin,
+
+    "q_ewma_volume" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT a.event_type, strftime(a.day, '%Y-%m-%d') AS day, a.n,
+        |       round(sum(b.n * power(0.5, date_diff('day', b.day, a.day)))
+        |             / sum(power(0.5, date_diff('day', b.day, a.day))), 6) AS ewma,
+        |       (CAST(a.n AS DOUBLE) >
+        |          sum(b.n * power(0.5, date_diff('day', b.day, a.day)))
+        |          / sum(power(0.5, date_diff('day', b.day, a.day))) * 1.5) AS burst
+        |FROM daily a JOIN daily b
+        |  ON a.event_type = b.event_type
+        | AND date_diff('day', b.day, a.day) BETWEEN 0 AND 7
+        |GROUP BY a.event_type, a.day, a.n""".stripMargin,
+
+    "q_padding_waste" ->
+      """WITH t AS (
+        |  SELECT source,
+        |         CAST(CASE WHEN length(text) = 0 THEN 0
+        |                   ELSE len(string_split(text, ' ')) END AS BIGINT) AS t
+        |  FROM documents),
+        |s AS (SELECT source, t, (t + 63) // 64 AS s64, (t + 127) // 128 AS s128 FROM t)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(t) AS BIGINT) AS tokens,
+        |       CAST(sum(s64) AS BIGINT) AS seqs_64,
+        |       CAST(sum(s64 * 64 - t) AS BIGINT) AS waste_64,
+        |       CAST(sum(s64 * 64 - t) * 10000 // (sum(s64) * 64) AS BIGINT) AS waste_bp_64,
+        |       CAST(sum(s128) AS BIGINT) AS seqs_128,
+        |       CAST(sum(s128 * 128 - t) AS BIGINT) AS waste_128,
+        |       CAST(sum(s128 * 128 - t) * 10000 // (sum(s128) * 128) AS BIGINT) AS waste_bp_128
+        |FROM s GROUP BY source""".stripMargin,
 
     "q_chunk_docs" ->
       """SELECT doc_id, CAST(i AS BIGINT) AS start,

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -180,7 +180,25 @@ object EventStream {
 
     val manifest = readManifest(state)
     val bucketOf = pmod(xxhash64(col(key)), lit(numBuckets)).cast("int")
-    val bucketed = batch.withColumn("__b", bucketOf)
+    // persist: the batch is consumed TWICE (touched-bucket discovery,
+    // then the merge write). Unpersisted, each consumption replays the
+    // micro-batch source scan — double input I/O per batch at scale,
+    // and double-counted numInputRows in StreamingQueryProgress (how
+    // the telemetry spec caught this).
+    val bucketed = batch.withColumn("__b", bucketOf).persist()
+    try {
+      upsertBucketed(spark, bucketed, bucketOf, state, key, tsCol, batchId,
+        manifest, rmTree)
+    } finally bucketed.unpersist(blocking = false)
+  }
+
+  private def upsertBucketed(
+      spark: org.apache.spark.sql.SparkSession, bucketed: DataFrame,
+      bucketOf: Column, state: String, key: String, tsCol: String, batchId: Long,
+      manifest: Map[Int, Long], rmTree: java.nio.file.Path => Unit): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import org.apache.spark.sql.expressions.Window
+    val root = Paths.get(state)
     val touched = bucketed.select("__b").distinct()
       .collect().map(_.getInt(0)).sorted // ≤ numBuckets values — driver-safe
     if (touched.isEmpty) return

@@ -127,6 +127,34 @@ class DedupSpec extends SparkSpecBase {
       "handoff from distributed rounds to local finish lost nodes or labels")
   }
 
+  test("closure at scale: 2.08M-edge synthetic stays on the distributed path with DEFAULT thresholds") {
+    // 33k disjoint 64-node chains = 2,079,000 edges, generated
+    // distributed (spark.range — never a driver-side Seq). The star
+    // fixed point keeps nodes − components = 2,079,000 edges, which is
+    // above the 2M local-finish threshold at EVERY round — the local
+    // union-find is never eligible, so converging here with default
+    // parameters proves the distributed contraction path end-to-end
+    // (the existing small-graph tests force it with threshold = 0).
+    // Depth-64 chains need ~log2(64)+slack rounds, well under the
+    // default maxRounds = 20 — the call throws on exhaustion, so
+    // passing also re-proves the O(log n) round bound at this scale.
+    val chains = 33000L; val len = 64L
+    val edges = spark.range(chains * (len - 1))
+      .select((col("id") / (len - 1)).cast("long").as("c"),
+        (col("id") % (len - 1)).as("p"))
+      .select((col("c") * 100 + col("p")).as("id_a"),
+        (col("c") * 100 + col("p") + 1).as("id_b"))
+    val labels = Dedup.componentMinLabels(edges)
+    // expected root of id = its chain head = id - (id % 100); assert
+    // distributed (one agg), never collecting 2.1M labels to the driver
+    val (n, bad) = labels.agg(
+        count(lit(1)),
+        sum(when(col("root") =!= (col("id") - (col("id") % 100)), 1L).otherwise(0L)))
+      .as[(Long, Long)].head()
+    assert(n === chains * len)
+    assert(bad === 0L, s"$bad of $n nodes labeled to the wrong component root")
+  }
+
   test("minhashNearDupPairs releases its internal cache (library hygiene)") {
     spark.catalog.clearCache()
     val out = Dedup.minhashNearDupPairs(docs, "text", "doc_id",

@@ -98,6 +98,13 @@ class PlanAuditSpec extends SparkSpecBase {
     val intentional = Set(
       "q_ann_topk", "q_ann_ivf_recall", "q_ann_lsh_recall", "q_tfidf",
       "q_ann_pq", "q_ann_pq_recall",
+      // ivfpq_recall embeds the brute-force EXACT baseline it measures
+      // against (the ivfpq search itself plans with no quadratic join —
+      // it is deliberately absent from this list)
+      "q_ann_ivfpq_recall",
+      // mix-temperature's denominator is a 1-row broadcast (ordered-fold
+      // Σ√tokens over the source list — the q_tfidf scalar shape)
+      "q_mix_temperature",
       // Q22's global-average / Q11's nation-total thresholds and the
       // chi-square grand-total frame are 1-row broadcasts (the same
       // scalar-subquery shape as q_tfidf's corpus-size constant);

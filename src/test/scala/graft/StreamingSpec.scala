@@ -391,6 +391,49 @@ class StreamingSpec extends SparkSpecBase {
     assert(got.size === 64 && got(7L) === 700.0 && got(8L) === 8.0)
   }
 
+  test("upsert sink: query progress exposes per-batch row counts and monotone batch ids") {
+    // the operational contract a 100 TB operator watches: every
+    // micro-batch reports its input volume through StreamingQueryProgress
+    // (rows in == rows sent), batch ids advance monotonically, and the
+    // sink identifies itself — the signals a lag/throughput monitor and
+    // the backpressure loop are built on. foreachBatch sinks report like
+    // any other sink; nothing about the custom upsert hides telemetry.
+    implicit val sqlCtx = spark.sqlContext
+    import java.nio.file.Files
+    val state = Files.createTempDirectory("graft-upsert-prog").toString + "/state"
+    val stream = MemoryStream[(Long, Timestamp, Double)]
+    val q = stream.toDF().toDF("k", "ts", "v")
+      .writeStream
+      .foreachBatch(EventStream.upsertBatch(state, "k", "ts") _)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-upsert-prog-ckpt").toString)
+      .start()
+    try {
+      stream.addData(Seq(
+        (1L, ts("2024-01-01 10:00:00"), 1.0),
+        (2L, ts("2024-01-01 10:00:00"), 2.0),
+        (3L, ts("2024-01-01 10:00:00"), 3.0)))
+      q.processAllAvailable()
+      stream.addData(Seq((1L, ts("2024-01-01 11:00:00"), 10.0)))
+      q.processAllAvailable()
+
+      val progress = q.recentProgress.filter(_.numInputRows > 0)
+      assert(progress.length === 2, s"expected 2 data batches, saw ${progress.length}")
+      assert(progress.map(_.numInputRows).toSeq === Seq(3L, 1L),
+        "per-batch numInputRows must match the rows fed to each batch")
+      val ids = progress.map(_.batchId).toSeq
+      assert(ids === ids.sorted && ids.distinct === ids,
+        s"batch ids must advance monotonically, saw $ids")
+      assert(progress.forall(_.sink.description.contains("ForeachBatch")),
+        "sink telemetry must identify the foreachBatch sink")
+      assert(progress.forall(p => p.durationMs.get("triggerExecution") != null),
+        "every batch must report its trigger execution duration")
+      // and the sink's own effect matches what telemetry says went in
+      val rows = EventStream.readUpsertState(spark, state).count()
+      assert(rows === 3L)
+    } finally q.stop()
+  }
+
   test("upsert sink: recovery sweeps stale tmp dirs and readers never see orphan generations") {
     import java.nio.file.{Files, Paths}
     val state = Files.createTempDirectory("graft-upsert-crash").toString + "/state"
