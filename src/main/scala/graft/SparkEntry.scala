@@ -2219,6 +2219,84 @@ object SparkEntry {
             .as("burst"))
     }),
 
+    // E114: linear interpolation over a daily spine — the time-series
+    // resampling step gap-fill's carry-forward (q_gap_fill) can't
+    // express: missing days get v_prev + (v_next − v_prev)·(Δ/span),
+    // boundaries back/forward-fill. The interpolation is EXACT integer
+    // arithmetic (milli-unit longs, both engines truncate integral
+    // division toward zero) — no float accumulation, no rounding ties.
+    // Two windows over the same (user, day) sort — Catalyst reuses the
+    // exchange+sort (the one-Exchange window discipline of PlanAudit).
+    "q_interpolate" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, dir)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 1000).cast("long")).as("v"))
+      val spine = daily.groupBy(col("user_id"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("user_id"),
+          explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+      val wp = Window.partitionBy(col("user_id")).orderBy(col("day").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wn = Window.partitionBy(col("user_id")).orderBy(col("day").asc)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      spine.join(daily, Seq("user_id", "day"), "left")
+        .withColumn("v_prev", last(col("v"), ignoreNulls = true).over(wp))
+        .withColumn("d_prev",
+          last(when(col("v").isNotNull, col("day")), ignoreNulls = true).over(wp))
+        .withColumn("v_next", first(col("v"), ignoreNulls = true).over(wn))
+        .withColumn("d_next",
+          first(when(col("v").isNotNull, col("day")), ignoreNulls = true).over(wn))
+        .withColumn("v_interp",
+          when(col("v").isNotNull, col("v"))
+            .when(col("v_prev").isNull, col("v_next"))
+            .when(col("v_next").isNull, col("v_prev"))
+            .otherwise(col("v_prev") + expr(
+              "((v_next - v_prev) * datediff(day, d_prev)) div datediff(d_next, d_prev)")))
+        .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("v").isNotNull.as("observed"),
+          (col("v_interp").cast("double") / 1000.0).as("value_interp"))
+    }),
+
+    // E115: k-anonymity audit — privacy pre-flight before a table
+    // leaves the curated zone: every quasi-identifier combination
+    // (nation × segment × balance band) with its population, k-anonymous
+    // verdict, and re-identification risk 1/n. One scan + one agg; the
+    // risk column is a single exact division.
+    "q_k_anonymity" -> ((s, dir) => {
+      val k = 10L
+      Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("c_mktsegment"),
+          expr("cast(floor(c_acctbal / 2000) as long)").as("bal_band"))
+        .groupBy(col("n_name"), col("c_mktsegment"), col("bal_band"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("n_name"), col("c_mktsegment"), col("bal_band"), col("n"),
+          (col("n") >= k).as("k_anonymous"),
+          // risk as exact ppm (floored integer div): 1/n round()s to a
+          // decimal tie whenever n is a power of two >= 128
+          expr("1000000 div n").as("reident_risk_ppm"))
+    }),
+
+    // E116: BPE merge-pair counting — the inner loop of byte-pair/
+    // word-piece vocabulary induction: adjacent-token pair frequencies
+    // over the corpus (the argmax pair is the next merge). Pairs are
+    // enumerated per row with array ops (no exploded-word shuffle, no
+    // window function) — the q_boilerplate_ngrams discipline; the only
+    // exchange is the partial-aggregated groupBy on the pair itself.
+    "q_bpe_pairs" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(split(col("text"), " ").as("ws"))
+        .select(explode(
+          when(size(col("ws")) >= 2,
+            transform(sequence(lit(1), size(col("ws")) - 1),
+              i => array_join(slice(col("ws"), i, lit(2)), " ")))
+            .otherwise(array().cast("array<string>"))).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair").asc)
+        .limit(30)),
+
     // E113: padding-waste audit — what fixed-length batching costs per
     // source at seq-len 64/128: sequences, wasted pad tokens, waste
     // fraction. Pure integer arithmetic end to end (ceil-div as
@@ -2575,14 +2653,16 @@ object SparkEntry {
               ceil(lit(tau / (1 + tau)) * (col("a.m") + col("b.m")))))
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
         .distinct()
+      // verify via the sorted-merge Jaccard kernel (zero allocation per
+      // pair) instead of array_intersect (hash set per pair) — the
+      // verify runs once per candidate over ~500-element arrays, so the
+      // allocation profile is what ages the heap in long sessions
       val sets = keyed.select(col("doc_id"),
-        expr("transform(toks, t -> t.g)").as("gs"), col("m"))
+        sort_array(expr("transform(toks, t -> t.g)")).as("gs"))
       cand
-        .join(sets.select(col("doc_id").as("id_a"), col("gs").as("ga"), col("m").as("ma")), "id_a")
-        .join(sets.select(col("doc_id").as("id_b"), col("gs").as("gb"), col("m").as("mb")), "id_b")
-        .withColumn("inter", size(array_intersect(col("ga"), col("gb"))))
-        .withColumn("jaccard",
-          col("inter").cast("double") / (col("ma") + col("mb") - col("inter")).cast("double"))
+        .join(sets.select(col("doc_id").as("id_a"), col("gs").as("ga")), "id_a")
+        .join(sets.select(col("doc_id").as("id_b"), col("gs").as("gb")), "id_b")
+        .withColumn("jaccard", graft.functions.exprs.jaccard_sorted_l(col("ga"), col("gb")))
         .filter(col("jaccard") >= tau)
         .select(col("id_a"), col("id_b"), col("jaccard"))
     }),
@@ -4140,6 +4220,60 @@ object SparkEntry {
         |  ON a.event_type = b.event_type
         | AND date_diff('day', b.day, a.day) BETWEEN 0 AND 7
         |GROUP BY a.event_type, a.day, a.n""".stripMargin,
+
+    "q_interpolate" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |         CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT user_id, unnest(generate_series(min(day), max(day),
+        |                                         INTERVAL 1 DAY))::DATE AS day
+        |  FROM daily GROUP BY user_id),
+        |j AS (
+        |  SELECT s.user_id, s.day, d.v
+        |  FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day),
+        |w AS (
+        |  SELECT user_id, day, v,
+        |    last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_prev,
+        |    last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS d_prev,
+        |    first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v_next,
+        |    first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY day
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS d_next
+        |  FROM j)
+        |SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+        |       (v IS NOT NULL) AS observed,
+        |       CAST(CASE WHEN v IS NOT NULL THEN v
+        |                 WHEN v_prev IS NULL THEN v_next
+        |                 WHEN v_next IS NULL THEN v_prev
+        |                 ELSE v_prev + ((v_next - v_prev) * date_diff('day', d_prev, day))
+        |                               // date_diff('day', d_prev, d_next)
+        |            END AS DOUBLE) / 1000.0 AS value_interp
+        |FROM w""".stripMargin,
+
+    "q_k_anonymity" ->
+      """SELECT n_name, c_mktsegment,
+        |       CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       (count(*) >= 10) AS k_anonymous,
+        |       CAST(1000000 // count(*) AS BIGINT) AS reident_risk_ppm
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q_bpe_pairs" ->
+      """WITH p AS (
+        |  SELECT unnest(CASE WHEN len(ws) >= 2
+        |           THEN list_transform(generate_series(1, len(ws) - 1),
+        |                               i -> array_to_string(ws[i:i+1], ' '))
+        |           ELSE [] END) AS pair
+        |  FROM (SELECT string_split(text, ' ') AS ws FROM documents))
+        |SELECT pair, CAST(count(*) AS BIGINT) AS n
+        |FROM p GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 30""".stripMargin,
 
     "q_padding_waste" ->
       """WITH t AS (

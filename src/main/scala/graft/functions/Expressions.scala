@@ -170,6 +170,23 @@ object HashKernels extends Serializable {
     inter.toDouble / (na + nb - inter).toDouble
   }
 
+  /** [[jaccardSorted]] over sorted LONG arrays (64-bit hashed elements —
+    * the 12-gram prefix-join family; the int variant serves the 32-bit
+    * shingle sets).
+    */
+  def jaccardSortedL(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements(); val nb = b.numElements()
+    if (na == 0 && nb == 0) return 1.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / (na + nb - inter).toDouble
+  }
+
   /** Dot product of two float vectors, accumulated left-to-right in
     * double. Sequential order is part of the contract: it makes results
     * bit-stable across engines and partitionings.
@@ -460,6 +477,23 @@ case class JaccardSorted(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** `jaccard_sorted_l(a, b)`: merge-walk Jaccard over sorted long arrays
+  * (zero allocation per comparison — the verify kernel of the exact
+  * prefix-filter similarity join).
+  */
+case class JaccardSortedL(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaccard_sorted_l"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashKernels.jaccardSortedL(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.HashKernels.jaccardSortedL($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSortedL =
+    copy(left = l, right = r)
+}
+
 /** `cosine_f(a, b)` / `dot_f(a, b)`: float-vector similarity in double
   * precision, sequential accumulation (bit-stable).
   */
@@ -618,6 +652,8 @@ object exprs {
     ColumnBridge.column(ShingleSet(expr(c), n))
   def jaccard_sorted(a: Column, b: Column): Column =
     ColumnBridge.column(JaccardSorted(expr(a), expr(b)))
+  def jaccard_sorted_l(a: Column, b: Column): Column =
+    ColumnBridge.column(JaccardSortedL(expr(a), expr(b)))
   def cosine_f(a: Column, b: Column): Column =
     ColumnBridge.column(CosineF(expr(a), expr(b)))
   def dot_f(a: Column, b: Column): Column =

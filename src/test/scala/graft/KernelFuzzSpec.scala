@@ -28,6 +28,22 @@ class KernelFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("jaccardSortedL matches set arithmetic on 500 random sorted long pairs") {
+    val rnd = new scala.util.Random(3)
+    (0 until 500).foreach { _ =>
+      // longs spanning negatives: the merge walk orders on signed values,
+      // same as sort_array over the xxhash64 gram keys it verifies
+      val a = Array.fill(rnd.nextInt(40))(rnd.nextInt(60).toLong - 30L).distinct.sorted
+      val b = Array.fill(rnd.nextInt(40))(rnd.nextInt(60).toLong - 30L).distinct.sorted
+      val got = HashKernels.jaccardSortedL(
+        new GenericArrayData(a), new GenericArrayData(b))
+      val inter = a.toSet.intersect(b.toSet).size
+      val union = a.toSet.union(b.toSet).size
+      val want = if (union == 0) 1.0 else inter.toDouble / union
+      assert(got === want, s"a=${a.toSeq} b=${b.toSeq}")
+    }
+  }
+
   test("shingleSet is sorted-distinct for arbitrary strings incl. unicode and short/empty") {
     val rnd = new scala.util.Random(2)
     val alphabets = Seq("ab", "abcde", "aéλ語 x", " ")
