@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ml.Clustering
-import graft.ops.{Dedup, FuzzyJoin, Multimodal, PeriodChange, Preprocess, Similarity, TextAnalysis}
+import graft.ops.{Chunking, Dedup, FuzzyJoin, Multimodal, PeriodChange, Preprocess, Similarity, TextAnalysis}
 import graft.sources.Tables
 import graft.streaming.EventStream
 
@@ -1526,6 +1526,50 @@ object SparkEntry {
         .groupBy(col("root")).agg(count(lit(1)).as("size"))
         .groupBy(col("size")).agg(count(lit(1)).as("n_components"))
     }),
+
+    // E117: leakage-safe train/val/test split — the hash split
+    // (q_split_assign) is WRONG in the presence of near-duplicates: two
+    // near-identical docs can land in train and test, leaking eval
+    // content into training. Here the split key is the near-dup
+    // COMPONENT root (closure over exact-verified pairs), so whole dup
+    // families move together — cross-split near-dup pairs are ZERO by
+    // construction (asserted in DedupSpec). Content-hash split on the
+    // group key keeps the assignment reproducible and growth-stable.
+    "q_leakage_safe_split" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minhashNearDupPairs(docs, "text", "doc_id")
+      val labels = Dedup.componentMinLabels(pairs)
+      docs
+        .join(labels.select(col("id").as("doc_id"), col("root")),
+          Seq("doc_id"), "left")
+        .withColumn("gk", coalesce(col("root"), col("doc_id")))
+        .withColumn("split", Chunking.splitAssign(col("gk").cast("string")))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          count_distinct(col("gk")).as("n_groups"))
+    }),
+
+    // E118: tokenizer fertility — tokens-per-word and chars-per-token
+    // by language, THE go/no-go metric when choosing a tokenizer for a
+    // multilingual corpus (high fertility = wasted context window).
+    // One scan, exact long sums, two final divisions.
+    "q_tokenizer_fertility" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("lang"),
+          TextAnalysis.tokenCountWs(col("text")).cast("long").as("ws"),
+          TextAnalysis.tokenCountBpeish(col("text")).cast("long").as("bp"),
+          length(col("text")).cast("long").as("ch"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ws")).as("tokens_ws"),
+          sum(col("bp")).as("tokens_bpeish"),
+          sum(col("ch")).as("chars"))
+        .select(col("lang"), col("n_docs"), col("tokens_ws"),
+          col("tokens_bpeish"), col("chars"),
+          round(col("tokens_bpeish").cast("double") / col("tokens_ws"), 6)
+            .as("fertility"),
+          round(col("chars").cast("double") / col("tokens_bpeish"), 6)
+            .as("chars_per_token"))),
 
     // E3: per-doc 64-bit SimHash (custom codegen'd expression)
     "q_dedup_simhash" -> ((s, dir) =>
@@ -3213,6 +3257,56 @@ object SparkEntry {
          |csize AS (SELECT root, CAST(count(*) AS BIGINT) AS size FROM roots GROUP BY root)
          |SELECT size, CAST(count(*) AS BIGINT) AS n_components
          |FROM csize GROUP BY size""".stripMargin,
+
+    "q_leakage_safe_split" ->
+      s"""WITH RECURSIVE
+         |grams AS (
+         |  SELECT DISTINCT doc_id, substr(text, i, 5) AS g
+         |  FROM (SELECT doc_id, text,
+         |               unnest(range(1, greatest(length(text) - 3, 2))) AS i
+         |        FROM documents)),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+         |          FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |pairs AS (SELECT ia, ib FROM inter
+         |          JOIN sizes sa ON sa.doc_id = ia
+         |          JOIN sizes sb ON sb.doc_id = ib
+         |          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+         |edges AS (SELECT ia AS s, ib AS d FROM pairs
+         |          UNION SELECT ib, ia FROM pairs),
+         |reach AS (SELECT s, d FROM edges
+         |          UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+         |roots AS (SELECT s AS id, least(s, min(d)) AS root
+         |          FROM reach GROUP BY s),
+         |labs AS (SELECT d.doc_id, coalesce(r.root, d.doc_id) AS gk
+         |         FROM documents d LEFT JOIN roots r ON r.id = d.doc_id),
+         |sp AS (SELECT gk,
+         |              CASE WHEN b < 80 THEN 'train'
+         |                   WHEN b < 90 THEN 'val'
+         |                   ELSE 'test' END AS split
+         |       FROM (SELECT gk,
+         |                    CAST(('0x' || substr(md5(CAST(gk AS VARCHAR)), 1, 4)) AS BIGINT) % 100 AS b
+         |             FROM labs))
+         |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(count(DISTINCT gk) AS BIGINT) AS n_groups
+         |FROM sp GROUP BY split""".stripMargin,
+
+    "q_tokenizer_fertility" ->
+      s"""WITH t AS (
+         |  SELECT lang,
+         |         CAST(CASE WHEN length(text) = 0 THEN 0
+         |                   ELSE len(string_split(text, ' ')) END AS BIGINT) AS ws,
+         |         CAST(len(regexp_extract_all(text, '${TextAnalysis.BpeishPattern}')) AS BIGINT) AS bp,
+         |         CAST(length(text) AS BIGINT) AS ch
+         |  FROM documents)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(ws) AS BIGINT) AS tokens_ws,
+         |       CAST(sum(bp) AS BIGINT) AS tokens_bpeish,
+         |       CAST(sum(ch) AS BIGINT) AS chars,
+         |       round(CAST(sum(bp) AS DOUBLE) / sum(ws), 6) AS fertility,
+         |       round(CAST(sum(ch) AS DOUBLE) / sum(bp), 6) AS chars_per_token
+         |FROM t GROUP BY lang""".stripMargin,
 
     "q_copurchase" ->
       """WITH li AS (

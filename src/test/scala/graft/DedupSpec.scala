@@ -155,6 +155,31 @@ class DedupSpec extends SparkSpecBase {
     assert(bad === 0L, s"$bad of $n nodes labeled to the wrong component root")
   }
 
+  test("leakage-safe split: no near-dup pair crosses a split; the naive split DOES leak") {
+    val docs = graft.sources.Tables.documents(spark, Sf001)
+    val pairs = Dedup.minhashNearDupPairs(docs, "text", "doc_id")
+    assert(pairs.count() > 0, "needs the planted near-dups to be non-vacuous")
+    val labels = Dedup.componentMinLabels(pairs)
+    val grouped = docs
+      .join(labels.select(col("id").as("doc_id"), col("root")), Seq("doc_id"), "left")
+      .withColumn("gk", coalesce(col("root"), col("doc_id")))
+      .withColumn("split", graft.ops.Chunking.splitAssign(col("gk").cast("string")))
+      .select(col("doc_id"), col("split"))
+    def crossed(splits: org.apache.spark.sql.DataFrame): Long = pairs
+      .join(splits.select(col("doc_id").as("id_a"), col("split").as("sa")), "id_a")
+      .join(splits.select(col("doc_id").as("id_b"), col("split").as("sb")), "id_b")
+      .filter(col("sa") =!= col("sb")).count()
+    assert(crossed(grouped) === 0L,
+      "group-keyed split must never separate a near-dup pair")
+    // the guard is not vacuous: per-doc content hashing scatters the
+    // SAME near-dup pairs across splits (~2·p_train·p_other each)
+    val naive = docs
+      .withColumn("split", graft.ops.Chunking.splitAssign(col("text")))
+      .select(col("doc_id"), col("split"))
+    assert(crossed(naive) > 0L,
+      "planted near-dups should straddle naive per-doc split buckets")
+  }
+
   test("minhashNearDupPairs releases its internal cache (library hygiene)") {
     spark.catalog.clearCache()
     val out = Dedup.minhashNearDupPairs(docs, "text", "doc_id",
