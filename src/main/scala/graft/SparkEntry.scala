@@ -740,6 +740,60 @@ object SparkEntry {
           last(col("value_milli"), ignoreNulls = true).over(w).as("carried_value_milli"))
     }),
 
+    // E119: multi-touch attribution — each purchase credited to the
+    // FIRST and LAST click/view inside a 3-day lookback. One RANGE
+    // window per user on the micros axis; min/max OF STRUCT pick the
+    // touches, so the result is deterministic even when two touches
+    // share a timestamp (event_id tiebreak inside the struct) — first/
+    // last() over a range frame would depend on intra-tie row order.
+    "q_attribution" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val touch = col("event_type").isin("click", "view")
+      val lookbackUs = 3L * 86400L * 1000000L
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us").asc)
+        .rangeBetween(-lookbackUs, -1)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("ft", min(when(touch,
+          struct(col("us"), col("event_id").as("eid"),
+            col("event_type").as("et")))).over(w))
+        .withColumn("lt", max(when(touch,
+          struct(col("us"), col("event_id").as("eid"),
+            col("event_type").as("et")))).over(w))
+        .withColumn("n_touches", count(when(touch, lit(1))).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ft.eid").as("first_touch_id"), col("ft.et").as("first_touch_type"),
+          col("lt.eid").as("last_touch_id"), col("lt.et").as("last_touch_type"),
+          col("n_touches"))
+    }),
+
+    // E120: referential-integrity audit — orphan counts for every FK
+    // edge of the star schema in one report (id-only projections, one
+    // shuffle join per edge, no row payload moves). The orders edge is
+    // audited against a DELIBERATELY corrupted parent view (keys
+    // divisible by 97 removed) so the detector provably fires; the
+    // clean edges prove the data, not the absence of the check.
+    "q_fk_violations" -> ((s, dir) => {
+      def edge(name: String, child: DataFrame, ck: String,
+          parent: DataFrame, pk: String): DataFrame =
+        child.select(col(ck).as("k"))
+          .join(parent.select(col(pk).as("k"), lit(1).as("p")), Seq("k"), "left")
+          .agg(count(lit(1)).as("n_children"),
+            sum(when(col("p").isNull, 1L).otherwise(0L)).as("n_orphans"))
+          .select(lit(name).as("edge"), col("n_children"), col("n_orphans"))
+      val li = Tables.lineitem(s, dir); val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir); val n = Tables.nation(s, dir)
+      val p = Tables.part(s, dir); val su = Tables.supplier(s, dir)
+      edge("lineitem->orders_corrupted", li, "l_orderkey",
+          o.filter(col("o_orderkey") % 97 =!= 0), "o_orderkey")
+        .unionByName(edge("lineitem->part", li, "l_partkey", p, "p_partkey"))
+        .unionByName(edge("lineitem->supplier", li, "l_suppkey", su, "s_suppkey"))
+        .unionByName(edge("orders->customer", o, "o_custkey", c, "c_custkey"))
+        .unionByName(edge("customer->nation", c, "c_nationkey", n, "n_nationkey"))
+    }),
+
     // E56: snapshot diff — dataset-version observability: one full-outer
     // join classifies every key as added / removed / changed / unchanged
     // between two snapshot views of the same table.
@@ -3453,6 +3507,52 @@ object SparkEntry {
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried_value_milli
         |FROM spine s LEFT JOIN daily d
         |  ON s.user_id = d.user_id AND s.day = d.day""".stripMargin,
+
+    "q_attribution" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
+        |w AS (
+        |  SELECT event_id, user_id, event_type,
+        |    min(CASE WHEN event_type IN ('click','view')
+        |             THEN struct_pack(us := us, eid := event_id, et := event_type) END)
+        |      OVER (PARTITION BY user_id ORDER BY us
+        |            RANGE BETWEEN 259200000000 PRECEDING AND 1 PRECEDING) AS ft,
+        |    max(CASE WHEN event_type IN ('click','view')
+        |             THEN struct_pack(us := us, eid := event_id, et := event_type) END)
+        |      OVER (PARTITION BY user_id ORDER BY us
+        |            RANGE BETWEEN 259200000000 PRECEDING AND 1 PRECEDING) AS lt,
+        |    count(CASE WHEN event_type IN ('click','view') THEN 1 END)
+        |      OVER (PARTITION BY user_id ORDER BY us
+        |            RANGE BETWEEN 259200000000 PRECEDING AND 1 PRECEDING) AS n_touches
+        |  FROM e)
+        |SELECT event_id AS purchase_id, user_id,
+        |       (ft).eid AS first_touch_id, (ft).et AS first_touch_type,
+        |       (lt).eid AS last_touch_id, (lt).et AS last_touch_type,
+        |       CAST(n_touches AS BIGINT) AS n_touches
+        |FROM w WHERE event_type = 'purchase'""".stripMargin,
+
+    "q_fk_violations" ->
+      """SELECT 'lineitem->orders_corrupted' AS edge,
+        |       CAST(count(*) AS BIGINT) AS n_children,
+        |       CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+        |FROM lineitem LEFT JOIN (SELECT o_orderkey FROM orders WHERE o_orderkey % 97 <> 0) o
+        |  ON l_orderkey = o_orderkey
+        |UNION ALL
+        |SELECT 'lineitem->part', CAST(count(*) AS BIGINT),
+        |       CAST(sum(CASE WHEN p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+        |UNION ALL
+        |SELECT 'lineitem->supplier', CAST(count(*) AS BIGINT),
+        |       CAST(sum(CASE WHEN s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey
+        |UNION ALL
+        |SELECT 'orders->customer', CAST(count(*) AS BIGINT),
+        |       CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        |UNION ALL
+        |SELECT 'customer->nation', CAST(count(*) AS BIGINT),
+        |       CAST(sum(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey""".stripMargin,
 
     "q_snapshot_diff" ->
       """WITH all_o AS (
