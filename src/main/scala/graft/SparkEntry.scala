@@ -2395,6 +2395,45 @@ object SparkEntry {
         .orderBy(col("n").desc, col("pair").asc)
         .limit(30)),
 
+    // E121: LM-based quality scoring (the CCNet/KenLM filter shape):
+    // add-one-smoothed bigram LM trained ON the corpus, each doc scored
+    // by its mean negative log-likelihood (cross-entropy) — low = fluent
+    // in-distribution text, high = junk/outlier. All probabilities are
+    // ratios of exact integer counts; per-doc log-sums fold in POSITION
+    // order (sort_array + aggregate — the ordered-fold float discipline
+    // of q_source_entropy), so the score is bit-stable across
+    // partitionings. The bigram table is vocab²-bounded (never corpus-
+    // sized); at 100 TB it shuffle-joins on the pair key, here AQE
+    // broadcasts it.
+    "q_lm_quality" -> ((s, dir) => {
+      val bigrams = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(col("doc_id"), explode(
+          expr("transform(sequence(1, size(ws) - 1)," +
+            " i -> struct(i as pos, element_at(ws, i) as w1, element_at(ws, i + 1) as w2))"))
+          .as("b"))
+        .select(col("doc_id"), col("b.pos").as("pos"),
+          col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val contexts = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val pairs = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      val vocab = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .agg(count_distinct(col("w")).as("v"))
+      bigrams
+        .join(pairs, Seq("w1", "w2"))
+        .join(contexts, Seq("w1"))
+        .crossJoin(broadcast(vocab))
+        .withColumn("logp",
+          log((col("c12") + 1).cast("double") / (col("c1") + col("v")).cast("double")))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sort_array(collect_list(struct(col("pos"), col("logp")))).as("a"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(-aggregate(col("a"), lit(0.0), (acc, x) => acc + x("logp"))
+            / col("n_bigrams"), 6).as("cross_entropy"))
+    }),
+
     // E113: padding-waste audit — what fixed-length batching costs per
     // source at seq-len 64/128: sequences, wasted pad tokens, waste
     // fraction. Pure integer arithmetic end to end (ceil-div as
@@ -4468,6 +4507,25 @@ object SparkEntry {
         |  FROM (SELECT string_split(text, ' ') AS ws FROM documents))
         |SELECT pair, CAST(count(*) AS BIGINT) AS n
         |FROM p GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 30""".stripMargin,
+
+    "q_lm_quality" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |big AS (
+        |  SELECT doc_id, i AS pos, ws[i] AS w1, ws[i + 1] AS w2
+        |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+        |        FROM w WHERE len(ws) >= 2)),
+        |ctx AS (SELECT w1, count(*) AS c1 FROM big GROUP BY w1),
+        |prs AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY w1, w2),
+        |voc AS (SELECT count(DISTINCT wd) AS v
+        |        FROM (SELECT unnest(string_split(text, ' ')) AS wd FROM documents)),
+        |terms AS (
+        |  SELECT b.doc_id, b.pos,
+        |         ln(CAST(p.c12 + 1 AS DOUBLE) / (c.c1 + voc.v)) AS logp
+        |  FROM big b JOIN prs p ON b.w1 = p.w1 AND b.w2 = p.w2
+        |             JOIN ctx c ON b.w1 = c.w1, voc)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       round(-sum(logp ORDER BY pos) / count(*), 6) AS cross_entropy
+        |FROM terms GROUP BY doc_id""".stripMargin,
 
     "q_padding_waste" ->
       """WITH t AS (

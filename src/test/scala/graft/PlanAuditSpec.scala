@@ -105,6 +105,9 @@ class PlanAuditSpec extends SparkSpecBase {
       // mix-temperature's denominator is a 1-row broadcast (ordered-fold
       // Σ√tokens over the source list — the q_tfidf scalar shape)
       "q_mix_temperature",
+      // lm-quality's vocabulary size is a 1-row broadcast (the add-one
+      // smoothing denominator constant — q_tfidf's corpus-size shape)
+      "q_lm_quality",
       // Q22's global-average / Q11's nation-total thresholds and the
       // chi-square grand-total frame are 1-row broadcasts (the same
       // scalar-subquery shape as q_tfidf's corpus-size constant);
