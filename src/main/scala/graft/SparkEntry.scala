@@ -752,16 +752,18 @@ object SparkEntry {
       val lookbackUs = 3L * 86400L * 1000000L
       val w = Window.partitionBy(col("user_id")).orderBy(col("us").asc)
         .rangeBetween(-lookbackUs, -1)
+      val touchStruct = when(touch,
+        struct(col("us"), col("event_id").as("eid"), col("event_type").as("et")))
+      // all three aggregates in ONE select: chained withColumns would
+      // block CollapseWindow and plan three Window passes over every
+      // partition (the plan audit asserts the fused single pass)
       Tables.events(s, dir)
         .select(col("event_id"), col("user_id"), col("event_type"),
           unix_micros(col("ts")).as("us"))
-        .withColumn("ft", min(when(touch,
-          struct(col("us"), col("event_id").as("eid"),
-            col("event_type").as("et")))).over(w))
-        .withColumn("lt", max(when(touch,
-          struct(col("us"), col("event_id").as("eid"),
-            col("event_type").as("et")))).over(w))
-        .withColumn("n_touches", count(when(touch, lit(1))).over(w))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          min(touchStruct).over(w).as("ft"),
+          max(touchStruct).over(w).as("lt"),
+          count(when(touch, lit(1))).over(w).as("n_touches"))
         .filter(col("event_type") === "purchase")
         .select(col("event_id").as("purchase_id"), col("user_id"),
           col("ft.eid").as("first_touch_id"), col("ft.et").as("first_touch_type"),
@@ -2338,13 +2340,17 @@ object SparkEntry {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wn = Window.partitionBy(col("user_id")).orderBy(col("day").asc)
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      // all four lookups in ONE select: same (user, day) partition and
+      // order, so CollapseWindow fuses both frame directions into a
+      // single Window pass — chained withColumns would plan three
       spine.join(daily, Seq("user_id", "day"), "left")
-        .withColumn("v_prev", last(col("v"), ignoreNulls = true).over(wp))
-        .withColumn("d_prev",
-          last(when(col("v").isNotNull, col("day")), ignoreNulls = true).over(wp))
-        .withColumn("v_next", first(col("v"), ignoreNulls = true).over(wn))
-        .withColumn("d_next",
-          first(when(col("v").isNotNull, col("day")), ignoreNulls = true).over(wn))
+        .select(col("user_id"), col("day"), col("v"),
+          last(col("v"), ignoreNulls = true).over(wp).as("v_prev"),
+          last(when(col("v").isNotNull, col("day")), ignoreNulls = true)
+            .over(wp).as("d_prev"),
+          first(col("v"), ignoreNulls = true).over(wn).as("v_next"),
+          first(when(col("v").isNotNull, col("day")), ignoreNulls = true)
+            .over(wn).as("d_next"))
         .withColumn("v_interp",
           when(col("v").isNotNull, col("v"))
             .when(col("v_prev").isNull, col("v_next"))

@@ -143,6 +143,26 @@ class PlanAuditSpec extends SparkSpecBase {
     }
   }
 
+  test("q_attribution: all three RANGE-frame aggregates plan into ONE Window operator") {
+    // min/max-of-struct + count share one (user, us) frame — a second
+    // Window (or exchange) would double the sort for no reason
+    val p = plan("q_attribution")
+    assert(nOcc(p, "Window") == 1, s"attribution must fuse its window aggs:\n$p")
+    assert(nOcc(p, "Exchange hashpartitioning") == 1,
+      s"attribution must shuffle once on user_id:\n$p")
+  }
+
+  test("q_interpolate: at most one Window operator per frame direction, no window re-sort") {
+    // two frames (unbounded-preceding and unbounded-following) over the
+    // same (user, day) partition/order: Catalyst plans at most one
+    // Window per frame direction and the second must reuse the first's
+    // sort — a third Window or a Sort between the two means the frames
+    // didn't fuse
+    val p = plan("q_interpolate")
+    assert(nOcc(p, "Window") == 1,
+      s"both frame directions must fuse into one Window pass:\n$p")
+  }
+
   test("q_latest_per_key: one partial-aggregable shuffle, never a window sort") {
     val p = plan("q_latest_per_key")
     assert(!p.contains("Window"), s"max(struct) agg must not plan a Window:\n$p")

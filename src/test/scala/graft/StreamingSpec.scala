@@ -391,6 +391,48 @@ class StreamingSpec extends SparkSpecBase {
     assert(got.size === 64 && got(7L) === 700.0 && got(8L) === 8.0)
   }
 
+  test("Trigger.AvailableNow: a restarted query processes ONLY files that arrived since") {
+    // the one-shot incremental-batch mode a 100 TB pipeline runs on a
+    // schedule: drain everything available, checkpoint, exit; the next
+    // run resumes from the checkpoint and touches only NEW input.
+    // Restart-must-not-reprocess is the property that makes scheduled
+    // catch-up runs idempotent-cost, not O(total history) each time.
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val src = Files.createTempDirectory("graft-an-src").toString
+    val ckpt = Files.createTempDirectory("graft-an-ckpt").toString
+    val schema = StructType(Seq(StructField("v", LongType)))
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
+
+    def drain(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(src)
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          seen.synchronized {
+            seen += ((id, batch.select(col("v")).collect().map(_.getLong(0)).toSeq.sorted))
+          }; ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+
+    Seq(1L, 2L, 3L).toDF("v").write.mode("append").parquet(src)
+    drain()
+    val firstRun = seen.flatMap(_._2).sorted.toSeq
+    assert(firstRun === Seq(1L, 2L, 3L))
+
+    seen.clear()
+    Seq(10L, 11L).toDF("v").write.mode("append").parquet(src)
+    drain()
+    val secondRun = seen.flatMap(_._2).sorted.toSeq
+    assert(secondRun === Seq(10L, 11L),
+      "the restart must process only the files added after the first drain")
+  }
+
   test("upsert sink: query progress exposes per-batch row counts and monotone batch ids") {
     // the operational contract a 100 TB operator watches: every
     // micro-batch reports its input volume through StreamingQueryProgress
