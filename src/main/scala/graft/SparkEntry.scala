@@ -431,14 +431,15 @@ object SparkEntry {
     // semantics) — the distribution summary approx_quantile trades
     // away; exact quantity values make the interpolation arithmetic
     // engine-identical
+    // Rewritten on RobustStats (was Spark's exact `percentile`, which
+    // collects per-group arrays): histogram order statistics — same
+    // interpolated values, shuffle bounded by group×distinct-values
     "q_percentiles" -> ((s, dir) =>
-      Tables.lineitem(s, dir)
-        .groupBy(col("l_returnflag"))
-        .agg(
-          percentile(col("l_quantity"), lit(0.25)).as("p25"),
-          percentile(col("l_quantity"), lit(0.5)).as("p50"),
-          percentile(col("l_quantity"), lit(0.75)).as("p75"),
-          count(lit(1)).as("n"))),
+      graft.ops.RobustStats.percentilesByGroup(
+          Tables.lineitem(s, dir), "l_returnflag", "l_quantity",
+          Seq(("p25", 0.25), ("p50", 0.5), ("p75", 0.75)))
+        .select(col("l_returnflag"), col("p25"), col("p50"), col("p75"),
+          col("n"))),
 
     // E35: BATCH sessionization — the same 30-minute-gap session
     // semantics as the streaming flatMapGroupsWithState operator, as a
@@ -2548,24 +2549,20 @@ object SparkEntry {
     // .0/.5/.25 fractions — exactly representable doubles, so med, MAD
     // and the 3·MAD cut are bit-identical across engines. Two grouped
     // aggs + one broadcast join back; never a global sort.
-    "q_mad_outliers" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir)
-        .select(col("l_returnflag").as("flag"),
-          round(col("l_extendedprice") * 100).cast("long").as("pc"))
-      val med = li.groupBy(col("flag"))
-        .agg(expr("percentile(pc, 0.5)").as("med"))
-      val withDev = li.join(broadcast(med), "flag")
-        .withColumn("dev", abs(col("pc").cast("double") - col("med")))
-      val mad = withDev.groupBy(col("flag").as("f2"))
-        .agg(expr("percentile(dev, 0.5)").as("mad"))
-      withDev.join(broadcast(mad), col("flag") === col("f2"))
-        .groupBy(col("flag"))
-        .agg(count(lit(1)).as("n"),
-          sum(when(col("dev") > lit(3.0) * col("mad"), 1L).otherwise(0L))
-            .as("n_outliers"),
-          first(col("med")).as("med_cents"),
-          first(col("mad")).as("mad_cents"))
-    }),
+    // Rewritten on RobustStats: the r4 shape used Spark's exact
+    // `percentile` (collects every group's values into one reducer
+    // buffer — OOM at 100 TB) and scanned lineitem three times. The
+    // histogram order-statistic form is exact, collection-free, and
+    // two-scan: medians from the value histogram, MAD AND the outlier
+    // count both read from the same deviation histogram.
+    "q_mad_outliers" -> ((s, dir) =>
+      graft.ops.RobustStats.madOutliersByGroup(
+          Tables.lineitem(s, dir)
+            .select(col("l_returnflag").as("flag"),
+              round(col("l_extendedprice") * 100).cast("long").as("pc")),
+          "flag", "pc")
+        .select(col("flag"), col("n"), col("n_outliers"),
+          col("med").as("med_cents"), col("mad").as("mad_cents"))),
 
     // E90: BM25 relevance scoring — the retrieval-grade upgrade of
     // q_tfidf: saturating tf (k1), doc-length normalization (b, dl /

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.RobustStats
+
+/** Histogram order statistics must be EXACTLY the built-in `percentile`
+  * aggregate (same interpolation), on adversarial shapes: duplicates,
+  * skewed groups, single-element groups, even/odd counts.
+  */
+class RobustStatsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("percentilesByGroup == built-in percentile on 20 random datasets") {
+    val rnd = new scala.util.Random(17)
+    (0 until 20).foreach { trial =>
+      val rows = (0 until 50 + rnd.nextInt(200)).map { _ =>
+        (s"g${rnd.nextInt(4)}", rnd.nextInt(30).toLong)
+      } :+ (("lonely", 7L)) // single-element group: p·(n−1) = 0 for all p
+      val df = rows.toDF("g", "v").repartition(5)
+      val got = RobustStats.percentilesByGroup(df, "g", "v",
+          Seq(("p25", 0.25), ("p50", 0.5), ("p75", 0.75)))
+        .select("g", "p25", "p50", "p75").as[(String, Double, Double, Double)]
+        .collect().sortBy(_._1)
+      val want = df.groupBy(col("g"))
+        .agg(percentile(col("v"), lit(0.25)).as("p25"),
+          percentile(col("v"), lit(0.5)).as("p50"),
+          percentile(col("v"), lit(0.75)).as("p75"))
+        .select("g", "p25", "p50", "p75").as[(String, Double, Double, Double)]
+        .collect().sortBy(_._1)
+      assert(got === want, s"trial $trial diverged from built-in percentile")
+    }
+  }
+
+  test("madOutliersByGroup == the collect-based three-pass reference") {
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 500).map { _ =>
+      (s"g${rnd.nextInt(3)}", rnd.nextInt(1000).toLong)
+    }
+    val df = rows.toDF("g", "v").repartition(7)
+    val got = RobustStats.madOutliersByGroup(df, "g", "v")
+      .select("g", "n", "n_outliers", "med", "mad")
+      .as[(String, Long, Long, Double, Double)].collect().sortBy(_._1)
+    val want = rows.groupBy(_._1).toSeq.map { case (g, vs) =>
+      def pct(xs: Seq[Double], p: Double): Double = {
+        val s = xs.sorted; val idx = p * (s.length - 1)
+        val lo = s(idx.toInt); val hi = s(math.ceil(idx).toInt)
+        lo * (1 - (idx - math.floor(idx))) + hi * (idx - math.floor(idx))
+      }
+      val xs = vs.map(_._2.toDouble)
+      val med = pct(xs, 0.5)
+      val devs = xs.map(x => math.abs(x - med))
+      val mad = pct(devs, 0.5)
+      (g, xs.length.toLong, devs.count(_ > 3.0 * mad).toLong, med, mad)
+    }.sortBy(_._1)
+    assert(got === want)
+  }
+}
