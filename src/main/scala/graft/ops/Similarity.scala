@@ -451,20 +451,16 @@ object Similarity {
     * Recall is measured in SimilaritySpec and published by
     * q_ann_ivfpq_recall (an ANN ships with its recall number).
     */
-  def ivfPqTopK(
-      corpus: DataFrame, corpusId: String, corpusVec: String,
+  /** Per-(query, probed cell) frame: (query_id, qv, qt, cell, dot_qc) —
+    * cells ranked by exact L2 to the centroid on normalized geometry,
+    * carrying the dot(qn, cent) scalar (the cell-dependent half of the
+    * residual ADC score) and the ONE pq_table that serves all cells.
+    */
+  private def ivfPqProbes(
       queries: DataFrame, queryId: String, queryVec: String,
-      k: Int, numCells: Int = 16, nProbe: Int = 4, m: Int = 8,
-      codebookSize: Int = 16, seed: Long = 42L,
-      fitFraction: Double = 1.0, rerank: Int = 64): DataFrame = {
-    require(rerank >= k, "re-rank shortlist must be at least k")
-    val (index, coarseCb, pqCb) =
-      buildIvfPqIndex(corpus, corpusId, corpusVec, numCells, m, codebookSize,
-        seed, fitFraction)
+      coarseCb: Array[Double], pqCb: Array[Double],
+      numCells: Int, nProbe: Int, m: Int, codebookSize: Int): DataFrame = {
     val dim = coarseCb.length / numCells
-    // rank cells per query by exact L2 to the centroid (normalized
-    // geometry: the ranking cosine would give), keep the dot(qn, cent)
-    // term — the cell-dependent half of the ADC score
     val centArr = array((0 until numCells).map { i =>
       struct(lit(i).as("cell"),
         array((0 until dim).map(d => lit(coarseCb(i * dim + d))): _*).as("cent"))
@@ -475,7 +471,7 @@ object Similarity {
         lit(0.0), (acc, y) => acc + y)))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("dist").asc, col("cell").asc)
-    val probes = queries
+    queries
       .select(col(queryId).as("query_id"), col(queryVec).as("qv"))
       .withColumn("qn", qn)
       .withColumn("qt", exprs.pq_table(col("qv"), pqCb, m, codebookSize))
@@ -488,7 +484,14 @@ object Similarity {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= nProbe)
       .select(col("query_id"), col("qv"), col("qt"), col("cell"), col("dot_qc"))
-    // compressed-domain scan: probed cells only, m table lookups per row
+  }
+
+  /** ADC scan + shortlist + exact re-rank over a prepared probe frame. */
+  private def ivfPqScan(
+      index: DataFrame, probes: DataFrame,
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, codebookSize: Int, rerank: Int): DataFrame = {
     val pre = index.join(broadcast(probes), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -504,6 +507,51 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         round(exprs.cosine_f(col("cv"), col("qv")), 9).as("cosine"))
     topKPerQuery(scored, k)
+  }
+
+  def ivfPqTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, numCells: Int = 16, nProbe: Int = 4, m: Int = 8,
+      codebookSize: Int = 16, seed: Long = 42L,
+      fitFraction: Double = 1.0, rerank: Int = 64): DataFrame = {
+    require(rerank >= k, "re-rank shortlist must be at least k")
+    val (index, coarseCb, pqCb) =
+      buildIvfPqIndex(corpus, corpusId, corpusVec, numCells, m, codebookSize,
+        seed, fitFraction)
+    val probes = ivfPqProbes(queries, queryId, queryVec, coarseCb, pqCb,
+      numCells, nProbe, m, codebookSize)
+    ivfPqScan(index, probes, corpus, corpusId, corpusVec,
+      queries, queryId, queryVec, k, codebookSize, rerank)
+  }
+
+  /** IVF+PQ search against the PERSISTED cell-partitioned index table
+    * (written by [[buildIvfPqIndex]] + `partitionBy("cell")`): the union
+    * of probed cells is collected from the tiny probe frame and planted
+    * as a LITERAL `cell IN (...)` filter, so the parquet scan is
+    * partition-pruned at PLANNING time — the search reads
+    * ~|probed cells|/numCells of the index from disk, the on-disk
+    * analog of walking only the probed inverted lists. (A join against
+    * the probe frame would at best prune at runtime via DPP; the
+    * literal is strictly stronger and costs one driver action over a
+    * queries×nProbe-row frame.)
+    */
+  def ivfPqSearchStored(
+      index: DataFrame,
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, coarseCb: Array[Double], pqCb: Array[Double],
+      numCells: Int = 16, nProbe: Int = 4, m: Int = 8,
+      codebookSize: Int = 16, rerank: Int = 64): DataFrame = {
+    require(rerank >= k, "re-rank shortlist must be at least k")
+    val probes = ivfPqProbes(queries, queryId, queryVec, coarseCb, pqCb,
+      numCells, nProbe, m, codebookSize)
+      .localCheckpoint(eager = true) // reused: cell collect + ADC join
+    val cells = probes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted // ≤ numCells values — driver-safe
+    val pruned = index.filter(col("cell").isin(cells.map(_.asInstanceOf[Any]): _*))
+    ivfPqScan(pruned, probes, corpus, corpusId, corpusVec,
+      queries, queryId, queryVec, k, codebookSize, rerank)
   }
 
   /** Per-group mean pooling of an embedding column — the centroid

@@ -163,6 +163,39 @@ class SimilaritySpec extends SparkSpecBase {
     assert(roundTrip.forall { case (k, v) => v.sameElements(orig(k)) })
   }
 
+  test("IVF+PQ search on the STORED table == in-memory search, with a planning-time-pruned scan") {
+    val e = graft.sources.Tables.embeddings(spark, Sf001)
+    val queries = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val (index, coarseCb, pqCb) = ops.Similarity.buildIvfPqIndex(
+      e, "vec_id", "embedding", numCells = 16, m = 8, codebookSize = 16,
+      fitFraction = 0.5)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-s").toString
+    index.write.mode("overwrite").partitionBy("cell").parquet(dir)
+
+    val stored = ops.Similarity.ivfPqSearchStored(
+      spark.read.parquet(dir), e, "vec_id", "embedding",
+      queries, "qid", "qv", k = 5, coarseCb, pqCb,
+      numCells = 16, nProbe = 4, m = 8, codebookSize = 16, rerank = 64)
+    // identical results to searching the in-memory index with the SAME
+    // codebooks (ivfPqTopK refits internally with the same seed/sample,
+    // so its codebooks are bit-identical by determinism)
+    val inMem = ops.Similarity.ivfPqTopK(
+      e, "vec_id", "embedding", queries, "qid", "qv",
+      k = 5, numCells = 16, nProbe = 4, m = 8, codebookSize = 16,
+      fitFraction = 0.5, rerank = 64)
+    val a = stored.select("query_id", "rank", "neighbor_id", "cosine")
+      .as[(Long, Int, Long, Double)].collect().sorted
+    val b = inMem.select("query_id", "rank", "neighbor_id", "cosine")
+      .as[(Long, Int, Long, Double)].collect().sorted
+    assert(a === b, "stored-table search must equal the in-memory search")
+    // and the stored path's index scan is partition-pruned at PLANNING
+    // time: the literal cell IN (...) must appear as a PartitionFilter
+    val plan = stored.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"),
+      s"probe must prune index partitions at planning time:\n$plan")
+  }
+
   test("pq codes round-trip: ADC score approximates cosine and codebook is deterministic") {
     val rnd = new scala.util.Random(7)
     val vecs = (0L until 300L).map { i =>
