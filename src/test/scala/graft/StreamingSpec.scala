@@ -391,6 +391,49 @@ class StreamingSpec extends SparkSpecBase {
     assert(got.size === 64 && got(7L) === 700.0 && got(8L) === 8.0)
   }
 
+  test("streaming text-kernel scoring == batch on the same docs (quality/lang-id/tokens/simhash)") {
+    // the ingest-time scoring pattern: quality gates run INSIDE the
+    // streaming pipeline, not as a later batch sweep. The text kernels
+    // (incl. the custom codegen'd simhash/rolling-hash expressions)
+    // are stateless scalars, so stream output must equal the batch
+    // computation row-for-row — this pins that the custom Catalyst
+    // expressions evaluate identically under streaming execution.
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    import graft.ops.TextAnalysis
+    import graft.functions.exprs
+    val docs = graft.sources.Tables.documents(spark, Sf0001)
+      .select(col("doc_id"), col("text")).limit(30)
+      .as[(Long, String)].collect().toSeq
+
+    def score(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.select(col("doc_id"),
+        TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tok"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        TextAnalysis.langIdHeuristic(col("text")).as("lang"),
+        exprs.simhash64(col("text")).as("sh"),
+        exprs.rolling_hash(col("text")).as("rh"))
+
+    val stream = MemoryStream[(Long, String)]
+    val collected = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val q = score(stream.toDF().toDF("doc_id", "text"))
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        collected.synchronized { collected ++= b.collect() }; ()
+      }
+      .start()
+    try {
+      docs.grouped(12).foreach { chunk => stream.addData(chunk); q.processAllAvailable() }
+    } finally q.stop()
+
+    val streamed = collected.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+      r.getString(3), r.getLong(4), r.getLong(5))).sortBy(_._1)
+    val batch = score(docs.toDF("doc_id", "text"))
+      .as[(Long, Long, Double, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(streamed.toSeq === batch,
+      "text kernels must score identically under streaming and batch execution")
+  }
+
   test("Trigger.AvailableNow: a restarted query processes ONLY files that arrived since") {
     // the one-shot incremental-batch mode a 100 TB pipeline runs on a
     // schedule: drain everything available, checkpoint, exit; the next
