@@ -2441,6 +2441,40 @@ object SparkEntry {
             / col("n_bigrams"), 6).as("cross_entropy"))
     }),
 
+    // E126: per-document curation lineage — row-level explainability
+    // for the filter funnel ("why was my document dropped?"): every doc
+    // carries a flag per gate (language, quality, repetition,
+    // exact-dup loser) plus the final keep verdict. Aggregate funnels
+    // (q_corpus_pipeline, q_dq_quarantine) tell you HOW MANY fell;
+    // this tells you WHICH and WHY — the audit trail data-governance
+    // asks for. Composes four existing kernels in one pass each.
+    "q_curation_lineage" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val rep = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("nw"), count(lit(1)).as("nd"), max(col("c")).as("tc"))
+      val keepers = docs.select(col("doc_id"), md5(col("text")).as("fp"))
+        .groupBy(col("fp")).agg(min(col("doc_id")).as("keeper"))
+      docs
+        .select(col("doc_id"), md5(col("text")).as("fp"),
+          TextAnalysis.langIdHeuristic(col("text")).as("lang_guess"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+        .join(rep, Seq("doc_id"))
+        .join(keepers, Seq("fp"))
+        .select(col("doc_id"),
+          (col("lang_guess") =!= "en").as("lang_fail"),
+          (col("quality") < 0.45).as("quality_fail"),
+          (col("nd").cast("double") / col("nw") < 0.3 ||
+            col("tc").cast("double") / col("nw") > 0.2).as("repetition_fail"),
+          (col("doc_id") =!= col("keeper")).as("dup_loser"))
+        .withColumn("kept",
+          !col("lang_fail") && !col("quality_fail") &&
+            !col("repetition_fail") && !col("dup_loser"))
+    }),
+
     // E113: padding-waste audit — what fixed-length batching costs per
     // source at seq-len 64/128: sequences, wasted pad tokens, waste
     // fraction. Pure integer arithmetic end to end (ceil-div as
@@ -4510,6 +4544,57 @@ object SparkEntry {
         |  FROM (SELECT string_split(text, ' ') AS ws FROM documents))
         |SELECT pair, CAST(count(*) AS BIGINT) AS n
         |FROM p GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 30""".stripMargin,
+
+    "q_curation_lineage" -> {
+      val stops = TextAnalysis.EnglishStopwords.map(w => s"'$w'").mkString(", ")
+      val cases = TextAnalysis.LangMarkers.map { case (lang, words) =>
+        val set = words.map(w => s"'$w'").mkString(", ")
+        (lang, s"len(list_filter(string_split(text, ' '), t -> t IN ($set)))")
+      }
+      val hitDefs = cases.map { case (l, e) => s"$e AS h_$l" }.mkString(", ")
+      val gmax = cases.map(c => s"h_${c._1}").mkString("greatest(", ", ", ")")
+      val hitCols = cases.map(c => s"h_${c._1}").mkString(", ")
+      val whens = cases.map { case (l, _) =>
+        s"WHEN h_$l = gmax AND gmax > 0 THEN '$l'"
+      }.mkString(" ")
+      s"""WITH lang AS (
+         |  SELECT doc_id, CASE $whens ELSE 'und' END AS lang_guess
+         |  FROM (SELECT doc_id, $gmax AS gmax, $hitCols
+         |        FROM (SELECT doc_id, $hitDefs FROM documents))),
+         |qual AS (
+         |  SELECT doc_id,
+         |       CAST(CAST(floor((least(n_tok / 50.0, 1.0) * 0.4
+         |             + least(CASE WHEN n_tok = 0 THEN 0.0 ELSE stop_hits / n_tok END * 5.0, 1.0) * 0.3
+         |             + CASE WHEN n_tok > 0 AND (length(text) - (n_tok - 1.0)) / n_tok >= 3.0
+         |                         AND (length(text) - (n_tok - 1.0)) / n_tok <= 10.0 THEN 1.0 ELSE 0.0 END * 0.3
+         |             - least(CASE WHEN length(text) = 0 THEN 0.0
+         |                          ELSE CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]-]', '', 'g')) AS DOUBLE) / length(text) END * 5.0, 1.0) * 0.2
+         |             ) * 10000.0 + 0.5) AS BIGINT) AS DOUBLE) / 10000.0 AS quality
+         |  FROM (SELECT doc_id, text,
+         |               CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+         |               CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stops))) AS DOUBLE) AS stop_hits
+         |        FROM documents)),
+         |rep AS (
+         |  SELECT doc_id, sum(c) AS nw, count(*) AS nd, max(c) AS tc
+         |  FROM (SELECT doc_id, w, count(*) AS c
+         |        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+         |        WHERE length(w) > 0 GROUP BY doc_id, w)
+         |  GROUP BY doc_id),
+         |fpt AS (SELECT doc_id, md5(text) AS fp FROM documents),
+         |keepers AS (SELECT fp, min(doc_id) AS keeper FROM fpt GROUP BY fp)
+         |SELECT d.doc_id,
+         |       (lang_guess <> 'en') AS lang_fail,
+         |       (quality < 0.45) AS quality_fail,
+         |       (nd / CAST(nw AS DOUBLE) < 0.3 OR tc / CAST(nw AS DOUBLE) > 0.2) AS repetition_fail,
+         |       (d.doc_id <> keeper) AS dup_loser,
+         |       (NOT (lang_guess <> 'en') AND NOT (quality < 0.45)
+         |        AND NOT (nd / CAST(nw AS DOUBLE) < 0.3 OR tc / CAST(nw AS DOUBLE) > 0.2)
+         |        AND d.doc_id = keeper) AS kept
+         |FROM documents d
+         |JOIN lang USING (doc_id) JOIN qual USING (doc_id)
+         |JOIN rep USING (doc_id) JOIN fpt USING (doc_id)
+         |JOIN keepers USING (fp)""".stripMargin
+    },
 
     "q_lm_quality" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
