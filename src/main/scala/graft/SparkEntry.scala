@@ -432,8 +432,9 @@ object SparkEntry {
     // away; exact quantity values make the interpolation arithmetic
     // engine-identical
     // Rewritten on RobustStats (was Spark's exact `percentile`, which
-    // collects per-group arrays): histogram order statistics — same
-    // interpolated values, shuffle bounded by group×distinct-values
+    // collects per-group arrays): sort-window selection — identical
+    // interpolated values, per-group memory bounded by the window
+    // sort's spill budget instead of the group size
     "q_percentiles" -> ((s, dir) =>
       graft.ops.RobustStats.percentilesByGroup(
           Tables.lineitem(s, dir), "l_returnflag", "l_quantity",
@@ -2036,22 +2037,23 @@ object SparkEntry {
     // quality, tokens) → filter → near-dup dedup with closure → corpus
     // stats per source. One oracle covers the composed whole.
     "q_corpus_pipeline" -> ((s, dir) => {
-      // The regex-heavy enrichment runs in ONE pass, staged via
-      // localCheckpoint — disk-backed, ContextCleaner-managed blocks
-      // (freed on GC), NOT a session-lifetime cache entry like the r3
-      // .cache() shape. At 100 TB this is the standard staging-table
-      // move: materialize the filtered corpus once to executor-local
-      // storage, then let the dedup scans and the survivor agg read it
-      // instead of re-running three regex passes over the source.
-      // (spread first: the three regex kernels otherwise run in the
-      // one-task scan of a single-row-group file)
-      val enriched = Tables.spreadForKernel(Tables.documents(s, dir)).select(
-          col("doc_id"), col("text"), col("source"),
-          TextAnalysis.qualityScore(col("text")).as("quality"),
-          TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tokens"))
-        .filter(TextAnalysis.langIdHeuristic(col("text")) === "en" &&
-          col("quality") >= 0.5)
-        .localCheckpoint(eager = false)
+      // The regex-heavy enrichment runs in ONE pass, staged to
+      // executor-local disk (Staging.stageToDisk: eager DISK_ONLY — a
+      // lazy checkpoint here let the dedup branch and the survivor agg
+      // race and each recompute the three regex kernels; the
+      // per-query clearCache in Bench/Verify releases it). At 100 TB
+      // this is the standard staging-table move: materialize the
+      // filtered corpus once, then let the dedup scans and the
+      // survivor agg read it instead of re-running three regex passes
+      // over the source. (spread first: the three regex kernels
+      // otherwise run in the one-task scan of a single-row-group file)
+      val enriched = graft.ops.Staging.stageToDisk(
+        Tables.spreadForKernel(Tables.documents(s, dir)).select(
+            col("doc_id"), col("text"), col("source"),
+            TextAnalysis.qualityScore(col("text")).as("quality"),
+            TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tokens"))
+          .filter(TextAnalysis.langIdHeuristic(col("text")) === "en" &&
+            col("quality") >= 0.5))
       val losers = Dedup.componentMinLabels(
           Dedup.minhashNearDupPairs(
             enriched.select(col("doc_id"), col("text")), "text", "doc_id"))
@@ -2094,16 +2096,21 @@ object SparkEntry {
     // E77: GLOBAL-order packing — one total order across every shard
     // (packs span sources; n_sources > 1 in the output proves it),
     // decomposed into per-bucket windows + a tiny bucket-offset prefix
-    // so no row-level single-partition window ever forms. The oracle is
-    // the non-scalable formulation: one global window in DuckDB.
+    // so no row-level single-partition window ever forms. Bucket COUNT
+    // is fixed at 4×shuffle-parallelism via monotoneIdBuckets (a
+    // constant width like id/50 would grow the bucket-offset window
+    // linearly with the corpus). The oracle is the non-scalable
+    // formulation: one global window in DuckDB.
     "q_pack_global" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val chunks = graft.ops.Chunking.chunkFixed(docs, "text", "doc_id",
           size = 120, overlap = 20)
         .join(broadcast(docs.select(col("doc_id"), col("source"))), "doc_id")
         .withColumn("n_tok", TextAnalysis.tokenCountWs(col("chunk")).cast("long"))
+      val nBuckets = 4 * s.conf.get("spark.sql.shuffle.partitions", "32").toInt
       graft.ops.Chunking.packByBudgetGlobal(chunks,
-          floor(col("doc_id") / 50), Seq("doc_id", "start"), "n_tok", budget = 128L)
+          graft.ops.Chunking.monotoneIdBuckets(docs, "doc_id", nBuckets),
+          Seq("doc_id", "start"), "n_tok", budget = 128L)
         .groupBy(col("pack_id"))
         .agg(count(lit(1)).as("n_chunks"), sum(col("n_tok")).as("n_tokens"),
           count_distinct(col("source")).as("n_sources"))
@@ -2586,9 +2593,9 @@ object SparkEntry {
     // Rewritten on RobustStats: the r4 shape used Spark's exact
     // `percentile` (collects every group's values into one reducer
     // buffer — OOM at 100 TB) and scanned lineitem three times. The
-    // histogram order-statistic form is exact, collection-free, and
-    // two-scan: medians from the value histogram, MAD AND the outlier
-    // count both read from the same deviation histogram.
+    // sort-window selection form is exact, collection-free, and
+    // two-scan: medians by sort-selection over values, MAD AND the
+    // outlier count both read the same checkpointed deviation frame.
     "q_mad_outliers" -> ((s, dir) =>
       graft.ops.RobustStats.madOutliersByGroup(
           Tables.lineitem(s, dir)
@@ -2646,7 +2653,12 @@ object SparkEntry {
     // joins; sampling rate self-adjusts to each doc's weight.
     "q_weighted_sample" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val step = 10000L
+      // step is a FIXED constant (not derived from corpus mass): a
+      // data-dependent step would break growth-stability — appending
+      // documents would move every earlier boundary. 500 chars ≈ one
+      // pick per ~2 docs at the synthetic doc sizes, so the
+      // boundary-crossing predicate genuinely fires at every sf.
+      val step = 500L
       val w = Window.partitionBy(col("source")).orderBy(col("doc_id").asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.documents(s, dir)
@@ -2798,18 +2810,19 @@ object SparkEntry {
             " i -> xxhash64(substring(text, i, 12)))"))).as("g"))
       val freq = grams.groupBy(col("g")).agg(count(lit(1)).as("f"))
       // keyed feeds FOUR scan branches (prefix self-join a/b, verify
-      // set join a/b) — EAGERLY checkpointed: with a lazy checkpoint
+      // set join a/b) — EAGERLY staged to disk: with a lazy checkpoint
       // those branches' stages launch concurrently and each recomputes
       // the scan→explode→freq→collect chain before any blocks are
       // published (measured 4× duplicated work, 12 s vs 5 s at sf0.1).
-      // Blocks are ContextCleaner-owned, nothing registers in the
-      // session cache.
-      val keyed = grams.join(freq, "g")
+      // DISK_ONLY (not the checkpoint's MEMORY_AND_DISK) so the toks
+      // arrays hold zero heap between the four reads — this query's
+      // allocation profile is what ages the heap in long sessions;
+      // Bench/Verify's per-query clearCache releases it.
+      val keyed = graft.ops.Staging.stageToDisk(grams.join(freq, "g")
         .groupBy(col("doc_id"))
         .agg(sort_array(collect_list(struct(col("f"), col("g")))).as("toks"))
         .withColumn("m", size(col("toks")))
-        .withColumn("plen", col("m") - ceil(lit(tau) * col("m")).cast("int") + 1)
-        .localCheckpoint(eager = true)
+        .withColumn("plen", col("m") - ceil(lit(tau) * col("m")).cast("int") + 1))
       // positional prefix filter (the "PP" in PPJoin): a shared element
       // at 1-based sorted position rn caps the possible overlap at
       // 1 + min(ma − rn_a, mb − rn_b); pairs that can't reach the
@@ -4942,7 +4955,7 @@ object SparkEntry {
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
         |  FROM documents)
         |SELECT source, doc_id, wt, cum FROM cum
-        |WHERE cum // 10000 > (cum - wt) // 10000""".stripMargin,
+        |WHERE cum // 500 > (cum - wt) // 500""".stripMargin,
 
     "q_khop" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),

@@ -104,6 +104,12 @@ object Chunking {
     val wLocal = Window.partitionBy(col("__bk"))
       .orderBy(orderCols.map(col(_).asc): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // unpartitioned BY DESIGN, and safe only because it runs over the
+    // bucket-totals frame: one row per bucket. The caller's coarseBucket
+    // must therefore have a bounded bucket COUNT (use
+    // [[monotoneIdBuckets]], which fixes it at ~4×parallelism regardless
+    // of corpus size) — a width-based bucketing whose count grows with
+    // the data would turn this into an O(rows) single-partition sort.
     val wBuckets = Window.orderBy(col("__bk").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val offsets = withBk.groupBy(col("__bk"))
@@ -116,6 +122,26 @@ object Chunking {
       .withColumn("pack_id",
         floor((col("__off") + col("__cum") - col(tokenCol)) / budget).cast("long"))
       .drop("__bk", "__cum", "__off")
+  }
+
+  /** A monotone coarse bucket for [[packByBudgetGlobal]] with a FIXED
+    * bucket count regardless of corpus size: width = max_id/target + 1,
+    * so bucket ids land in [0, target) whether the table holds 5k rows
+    * or 50B. The max comes from one column-stats aggregate — at 100 TB
+    * that is a parquet footer/stats read, not a data scan. (A constant
+    * WIDTH instead — e.g. id/50 — makes the bucket count, and so the
+    * single-partition offset window above, grow linearly with the
+    * corpus.) Bucket ids shift when max_id grows, but pack_id output is
+    * unaffected: any monotone bucketing yields the identical global
+    * running sum.
+    */
+  def monotoneIdBuckets(
+      docs: DataFrame, idCol: String, targetBuckets: Int): Column = {
+    require(targetBuckets > 0)
+    val row = docs.agg(max(col(idCol).cast("long"))).head()
+    val mx = if (row.isNullAt(0)) 0L else math.max(0L, row.getLong(0))
+    val width = mx / targetBuckets + 1
+    floor(col(idCol) / width)
   }
 
   /** Deterministic train/val/test assignment from a CONTENT hash:

@@ -70,13 +70,14 @@ object Dedup {
     * Candidates are RARE by construction, so the scale-correct verify
     * is a second source scan joined to the candidate ids (AQE sees the
     * tiny runtime size and broadcasts), shingling only matched rows.
-    * Cost: one extra corpus scan, no cache, no unpersist contract.
+    * Cost: one extra corpus scan; only funnel-sized frames are staged.
     *
-    * EAGER: the verified pair set (the small funnel output) is
-    * materialized via localCheckpoint — blocks are
-    * ContextCleaner-managed (freed on GC), not CacheManager entries —
-    * so downstream consumers (closure loops, anti-joins) never re-run
-    * the LSH, and nothing stays registered in the session cache.
+    * Staging: the candidate pairs and candidate shingle sets are
+    * [[Staging.stageToDisk]]-materialized (each feeds two consumer
+    * branches) and released before return; the verified pair set — the
+    * small funnel output downstream closure loops and anti-joins reuse —
+    * is an eager localCheckpoint, so nothing this operator persists
+    * stays registered in the session cache after it returns.
     */
   def minhashNearDupPairs(
       docs: DataFrame, textCol: String, idCol: String,
@@ -97,24 +98,24 @@ object Dedup {
     val a = buckets.as("a")
     val b = buckets.as("b")
     // candidates feeds BOTH the shingle join-back and the final verify —
-    // lazily checkpointed so the LSH self-join runs once, not per branch
-    val candidates = a.join(b,
+    // staged to disk eagerly so the LSH self-join runs exactly once (a
+    // lazy checkpoint let concurrently-launched consumer stages race
+    // and each recompute it; see Staging's scaladoc)
+    val candidates = Staging.stageToDisk(a.join(b,
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-      .localCheckpoint(eager = false)
+      .distinct())
 
     // Shingle only the docs that appear in some candidate pair. The id
-    // set and the shingled candidate docs are both tiny; localCheckpoint
-    // the latter so the a-side and b-side joins don't each re-scan.
+    // set and the shingled candidate docs are both tiny; stage the
+    // latter so the a-side and b-side joins don't each re-scan.
     val candIds = candidates.select(col("id_a").as("id"))
       .union(candidates.select(col("id_b").as("id")))
       .distinct()
-    val candDocs = docs
+    val candDocs = Staging.stageToDisk(docs
       .join(candIds, col(idCol) === candIds("id"))
-      .select(col("id"), exprs.shingle_set(col(textCol), p.shingleN).as("sh"))
-      .localCheckpoint(eager = false)
+      .select(col("id"), exprs.shingle_set(col(textCol), p.shingleN).as("sh")))
 
     val verified = candidates
       .join(candDocs.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
@@ -122,7 +123,12 @@ object Dedup {
       .withColumn("jaccard", exprs.jaccard_sorted(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= p.jaccardThreshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-    verified.localCheckpoint(eager = true)
+    // the small funnel output is materialized eagerly, after which the
+    // staged intermediates are released — nothing the operator persisted
+    // outlives this call (asserted in DedupSpec's hygiene test)
+    val out = verified.localCheckpoint(eager = true)
+    Staging.release(candidates, candDocs)
+    out
   }
 
   /** Smallest-id connected-component labels over an undirected pair set:
@@ -477,28 +483,32 @@ object Dedup {
     // only because the test fixture derives both sides from one frame.
     val probe = buckets.filter(col("is_delta")).as("a")
     val index = buckets.as("b")
-    val candidates = probe.join(index,
+    // staged eagerly (each feeds two consumer branches — see Staging);
+    // released after the per-delta summary materializes below
+    val candidates = Staging.stageToDisk(probe.join(index,
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.id") =!= col("b.id"))
       .select(col("a.id").as("id_d"), col("b.id").as("id_o"),
         col("b.is_delta").as("o_is_delta"))
-      .distinct()
-      .localCheckpoint(eager = false)
+      .distinct())
     val candIds = candidates.select(col("id_d").as("id"))
       .union(candidates.select(col("id_o").as("id"))).distinct()
-    val candDocs = all
+    val candDocs = Staging.stageToDisk(all
       .join(candIds, "id")
-      .select(col("id"), exprs.shingle_set(col("t"), p.shingleN).as("sh"))
-      .localCheckpoint(eager = false)
+      .select(col("id"), exprs.shingle_set(col("t"), p.shingleN).as("sh")))
     val verified = candidates
       .join(candDocs.select(col("id").as("id_d"), col("sh").as("sh_d")), "id_d")
       .join(candDocs.select(col("id").as("id_o"), col("sh").as("sh_o")), "id_o")
       .withColumn("jaccard", exprs.jaccard_sorted(col("sh_d"), col("sh_o")))
       .filter(col("jaccard") >= p.jaccardThreshold)
+    // the per-delta summary is delta-sized — eagerly materialized so the
+    // staged candidate frames can be released before this returns
     val perDelta = verified.groupBy(col("id_d"))
       .agg(
         max(when(!col("o_is_delta"), 1L).otherwise(0L)).as("dup_ex"),
         sum(when(col("o_is_delta"), 1L).otherwise(0L)).as("n_delta_dups"))
+      .localCheckpoint(eager = true)
+    Staging.release(candidates, candDocs)
     delta.select(col(idCol).as("id_d"))
       .join(perDelta, Seq("id_d"), "left")
       .select(col("id_d").as(idCol),

@@ -40,7 +40,11 @@ object RobustStats {
     // group size n from an unbounded frame over the SAME partition+order
     // spec: CollapseWindow fuses it into the one Window pass (no second
     // scan, no join); the unbounded count frame is spill-backed
+    // nulls are dropped BEFORE ranking — the built-in `percentile`
+    // ignores null inputs, and without this filter nulls would sort
+    // first, shifting every order index and inflating the window count
     val ranked = df.select(col(groupCol), col(valCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
       .select(col(groupCol), col("__v"),
         (row_number().over(w) - 1).cast("double").as("__i"),
         count(lit(1)).over(w.rowsBetween(

@@ -348,6 +348,9 @@ object Similarity {
       .select(col(corpusVec))
       .collect()
       .map(_.getSeq[Float](0).toArray)
+    require(fitRows.nonEmpty,
+      s"pqTopK: fitFraction=$fitFraction selected zero rows to fit the " +
+        "codebook on — raise fitFraction or check the corpus is non-empty")
     val cb = pqTrainCodebook(fitRows, m, codebookSize, seed = seed)
 
     val codes = corpus.select(col(corpusId).as("neighbor_id"),
@@ -395,11 +398,17 @@ object Similarity {
       numCells: Int = 16, m: Int = 8, codebookSize: Int = 16,
       seed: Long = 42L, fitFraction: Double = 1.0):
       (DataFrame, Array[Double], Array[Double]) = {
+    // the fit sample is collected DRIVER-SIDE: fitFraction must shrink
+    // it to driver scale (codebook fitting needs thousands of vectors,
+    // not the corpus — at 100 TB pass e.g. 1e-6, never the default 1.0)
     val fitRows = corpus
       .filter(pmod(xxhash64(col(corpusId)), lit(10000)) < lit((fitFraction * 10000).toInt))
       .select(col(corpusVec))
       .collect()
       .map(_.getSeq[Float](0).toArray)
+    require(fitRows.nonEmpty,
+      s"buildIvfPqIndex: fitFraction=$fitFraction selected zero rows to fit " +
+        "the codebooks on — raise fitFraction or check the corpus is non-empty")
     // coarse quantizer: cells over NORMALIZED vectors (cosine geometry)
     val coarseCb = pqTrainCodebook(fitRows, m = 1, k = numCells, seed = seed,
       normalize = true)
@@ -465,10 +474,14 @@ object Similarity {
       struct(lit(i).as("cell"),
         array((0 until dim).map(d => lit(coarseCb(i * dim + d))): _*).as("cent"))
     }: _*)
+    // zero-norm guard matches the JVM kernels' convention (pqTable,
+    // ivfResidual, pqEncodeOpt all use inv=0 for a zero vector) — an
+    // all-zero query must map to the zero vector, not NaN
+    val qNorm = sqrt(aggregate(zip_with(col("qv").cast("array<double>"),
+      col("qv").cast("array<double>"), (a, b) => a * b),
+      lit(0.0), (acc, y) => acc + y))
     val qn = transform(col("qv").cast("array<double>"), x =>
-      x / sqrt(aggregate(zip_with(col("qv").cast("array<double>"),
-        col("qv").cast("array<double>"), (a, b) => a * b),
-        lit(0.0), (acc, y) => acc + y)))
+      when(qNorm === 0.0, lit(0.0)).otherwise(x / qNorm))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("dist").asc, col("cell").asc)
     queries

@@ -3,9 +3,9 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.ops.RobustStats
 
-/** Histogram order statistics must be EXACTLY the built-in `percentile`
-  * aggregate (same interpolation), on adversarial shapes: duplicates,
-  * skewed groups, single-element groups, even/odd counts.
+/** Sort-window selection percentiles must be EXACTLY the built-in
+  * `percentile` aggregate (same interpolation), on adversarial shapes:
+  * duplicates, skewed groups, single-element groups, even/odd counts.
   */
 class RobustStatsSpec extends SparkSpecBase {
   import spark.implicits._

@@ -33,6 +33,21 @@ class SurfaceSpec extends AnyFunSuite {
     assert(stale.isEmpty, s"exemptions no longer needed (add the oracle!): $stale")
   }
 
+  test("SURVEY §2 headline row count matches the table") {
+    val survey = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
+    val rows = """(?m)^\|\s*([RE])\d+\s*\|""".r.findAllMatchIn(survey).toSeq
+    val (r, e) = (rows.count(_.group(1) == "R"), rows.count(_.group(1) == "E"))
+    val headline =
+      """Counts \(r\d+\): (\d+) rows — (\d+) R \+ (\d+) E""".r
+        .findFirstMatchIn(survey)
+        .getOrElse(fail("SURVEY.md headline count line not found"))
+    assert(headline.group(1).toInt == r + e,
+      s"headline says ${headline.group(1)} rows, table has ${r + e}")
+    assert(headline.group(2).toInt == r && headline.group(3).toInt == e,
+      s"headline R/E split ${headline.group(2)}/${headline.group(3)} vs table $r/$e")
+  }
+
   test("SURVEY §2 references only real queries, and every query is referenced") {
     val survey = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
