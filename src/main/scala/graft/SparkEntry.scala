@@ -3087,6 +3087,56 @@ object SparkEntry {
           col("n_events"), col("value_milli")))
   )
 
+  /** 64-bit wrap-around multiply `x * c mod 2^64` for DuckDB: 32-bit
+    * hi/lo split so every intermediate fits signed INT128.
+    */
+  private def mulMod64(x: String, c: String): String =
+    s"((($x & 4294967295)::HUGEINT * $c::HUGEINT" +
+      s" + ((($x >> 32)::HUGEINT * $c::HUGEINT) % 4294967296::HUGEINT)" +
+      s" * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)::UBIGINT"
+
+  /** Shared CTE prefix computing `simhashes(doc_id, simhash)` — a
+    * bit-exact DuckDB port of [[graft.functions.HashKernels.simHash]]
+    * (n=3): gram hash c1*B^2 + c2*B + c3 with B=1000003 over ASCII
+    * codes, splitmix64 finalizer (add 0x9e3779b97f4a7c15, two xor-shift
+    * + wrap-multiply rounds), per-bit +-1 majority vote, then re-sign
+    * the unsigned result to Spark's LongType bit pattern.
+    */
+  private val SimhashOracleCte: String =
+    s"""WITH grams AS (
+       |  SELECT doc_id,
+       |         (ascii(substring(text, i, 1)) * 1000006000009
+       |          + ascii(substring(text, i + 1, 1)) * 1000003
+       |          + ascii(substring(text, i + 2, 1)))::UBIGINT AS h
+       |  FROM documents, LATERAL (SELECT unnest(range(1, length(text) - 1)) AS i)
+       |),
+       |m1 AS (SELECT doc_id,
+       |         ((h::HUGEINT + 11400714819323198485::HUGEINT)
+       |           % 18446744073709551616::HUGEINT)::UBIGINT AS x FROM grams),
+       |m2 AS (SELECT doc_id, xor(x, x >> 30) AS x FROM m1),
+       |m3 AS (SELECT doc_id, ${mulMod64("x", "13787848793156543929")} AS x FROM m2),
+       |m4 AS (SELECT doc_id, xor(x, x >> 27) AS x FROM m3),
+       |m5 AS (SELECT doc_id, ${mulMod64("x", "10723151780598845931")} AS x FROM m4),
+       |sh AS (SELECT doc_id, xor(x, x >> 31) AS sh FROM m5),
+       |votes AS (
+       |  SELECT doc_id, b,
+       |         sum(CASE WHEN (sh >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM sh, LATERAL (SELECT unnest(range(0, 64)) AS b)
+       |  GROUP BY doc_id, b
+       |),
+       |outbits AS (
+       |  SELECT doc_id,
+       |         sum(CASE WHEN v > 0 THEN (1::HUGEINT << b) ELSE 0 END) AS u
+       |  FROM votes GROUP BY doc_id
+       |),
+       |simhashes AS (
+       |  SELECT doc_id,
+       |       (CASE WHEN u >= 9223372036854775808::HUGEINT
+       |             THEN u - 18446744073709551616::HUGEINT ELSE u END)::BIGINT AS simhash
+       |  FROM outbits
+       |)
+       |""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_pruned_scan" ->
       "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem WHERE l_discount > 0.05",
@@ -4264,6 +4314,29 @@ object SparkEntry {
       """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
         |       CAST(count(*) AS BIGINT) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
+
+    // Bit-exact SimHash64 re-implementation in SQL: the kernel's
+    // polynomial 3-gram rolling hash (base 1000003 over ASCII bytes) +
+    // splitmix64 finalizer + per-bit majority vote. 64-bit wrap-around
+    // multiplication is emulated with a 32-bit hi/lo split in HUGEINT
+    // (a direct 64x64 product overflows signed INT128); the final
+    // unsigned bit pattern is re-signed to match Spark's LongType.
+    // Precondition (holds for the synthetic corpus): ASCII text with
+    // length >= 3, so char positions == byte positions and the kernel's
+    // short-text fallback branch never fires.
+    "q_dedup_simhash" ->
+      (SimhashOracleCte +
+        "SELECT doc_id, simhash FROM simhashes"),
+
+    // All-pairs 64-bit hamming over the same bit-exact hashes — the
+    // brute-force formulation the chunk-bucketed Spark plan must equal
+    // exactly (pigeonhole: maxHamming=3 < 4 chunks).
+    "q_dedup_simhash_pairs" ->
+      (SimhashOracleCte +
+        """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+          |FROM simhashes a JOIN simhashes b ON a.doc_id < b.doc_id
+          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin),
 
     "q_embed_neardup" ->
       """WITH c AS (

@@ -19,7 +19,7 @@ class SurfaceSpec extends AnyFunSuite {
     "q_ann_lsh", "q_ann_lsh_recall",
     "q_ann_pq", "q_ann_pq_recall",
     "q_approx_distinct", "q_approx_quantile",
-    "q_dedup_simhash", "q_dedup_simhash_pairs", "q_kmeans_clusters")
+    "q_kmeans_clusters")
 
   test("every query has an oracle or a documented exemption") {
     val q = SparkEntry.queries.keySet
