@@ -1719,10 +1719,11 @@ object SparkEntry {
       // round-trip per Lloyd iteration (~5 s to cluster 1600 rows).
       // Probed candidates are pre-scored by a JL sketch with only the
       // top-240 shortlist getting the exact cosine. Recall on these
-      // ISOTROPIC vectors is coverage-bound: 0.79 at nProbe 8/16
-      // (~50% coverage, balanced cells) — see SimilaritySpec for why
-      // the r3-published 0.90 was an artifact of a degenerate
-      // 23%-of-corpus cell, not a better index
+      // ISOTROPIC vectors is coverage-bound: 0.80 at nProbe 8/16
+      // (~50% coverage, balanced cells, ball-tree optimistic-bound
+      // cell ranking) — see SimilaritySpec for why the r3-published
+      // 0.90 was an artifact of a degenerate 23%-of-corpus cell, not
+      // a better index
       Similarity.ivfTopK(e, "vec_id", "embedding", queries, "qid", "qv",
           k = 5, numCells = 16, nProbe = 8,
           fitFraction = 0.25, rerankShortlist = 240, sketchDim = 32)
@@ -1732,7 +1733,7 @@ object SparkEntry {
 
     // E7/E18: measured IVF recall on the sf embeddings. These are
     // ISOTROPIC (no planted cell structure), IVF's hard case — recall
-    // is coverage-bound there: 0.79 @ sf0.01 with nProbe 8/16 and
+    // is coverage-bound there: 0.80 @ sf0.01 with nProbe 8/16 and
     // BALANCED cells, vs ≥ 0.9 on clustered data (SimilaritySpec blob
     // test). Both numbers published on purpose: an ANN is only
     // shippable with its recall measured on the actual data shape.

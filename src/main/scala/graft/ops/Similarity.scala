@@ -162,14 +162,40 @@ object Similarity {
     val cells = vecs.withColumn("cell",
       element_at(exprs.pq_encode(col("cv"), cb, 1, numCells, normalize = false), 1))
 
-    // centroids are tiny — ship them as a literal array and rank cells
-    // per query by exact squared distance
+    // Multi-probe cell ranking by the ball-tree optimistic bound
+    // max(0, ‖q−c‖ − r_cell) instead of plain centroid distance: a
+    // cell's nearest member can be r_cell closer than its centroid, so
+    // wide cells deserve earlier probes than bare ‖q−c‖ grants them.
+    // r_cell = 90th-percentile member→centroid distance (rmax is
+    // hostage to one outlier), computed in ONE distributed pass over
+    // the assigned cells — numCells output rows, so the collect is
+    // quantizer-sized, not corpus-sized. (The fit sample is too thin
+    // for this statistic: fitFraction·N/numCells points per cell make
+    // r90 ≈ rmax and the ordering degrades.) Same scan budget: still
+    // exactly nProbe cells probed, assignments unchanged.
+    val centsByCell = array((0 until numCells).map { i =>
+      array((0 until dimA).map(d => lit(cb(i * dimA + d))): _*)
+    }: _*)
+    val cellRadius: Array[Double] = {
+      val radMap = cells
+        .select(col("cell"),
+          sqrt(aggregate(
+            zip_with(col("cv").cast("array<double>"),
+              element_at(centsByCell, col("cell") + 1), (a, b) => (a - b) * (a - b)),
+            lit(0.0), (acc, x) => acc + x)).as("d"))
+        .groupBy(col("cell")).agg(expr("percentile(d, 0.9)").as("r"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      Array.tabulate(numCells)(radMap.getOrElse(_, 0.0))
+    }
+
+    // centroids (+ radii) are tiny — ship them as a literal array and
+    // rank cells per query by the optimistic bound
     val centArr = array((0 until numCells).map { i =>
-      struct(lit(i).as("cell"),
+      struct(lit(i).as("cell"), lit(cellRadius(i)).as("r"),
         array((0 until dimA).map(d => lit(cb(i * dimA + d))): _*).as("cent"))
     }: _*)
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("dist").asc, col("cell").asc)
+      .orderBy(col("bound").asc, col("dist").asc, col("cell").asc)
     val probes = queries
       .select(col(queryId).as("query_id"), col(queryVec).as("qv"))
       .withColumn("c", explode(centArr))
@@ -177,7 +203,9 @@ object Similarity {
         aggregate(
           zip_with(col("qv").cast("array<double>"), col("c.cent"),
             (a, b) => (a - b) * (a - b)),
-          lit(0.0), (acc, x) => acc + x).as("dist"))
+          lit(0.0), (acc, x) => acc + x).as("dist"),
+        col("c.r").as("r"))
+      .withColumn("bound", greatest(lit(0.0), sqrt(col("dist")) - col("r")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= nProbe)
       .select(col("query_id"), col("qv"), col("cell"))

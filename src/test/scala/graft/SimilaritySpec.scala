@@ -354,9 +354,11 @@ class SimilaritySpec extends SparkSpecBase {
     // balanced driver-Lloyd quantizer's 35% at the same nProbe. Balanced
     // cells are what you want at scale (no hot-cell task skew, recall
     // per candidate scanned is HIGHER); the honest isotropic number at
-    // nProbe 8/16 (~50% coverage) is ~0.79, asserted ≥ 0.7 with slack
-    // for the codebook seed. Blob-structured data — IVF's design
-    // target — stays ≥ 0.9 above.
+    // nProbe 8/16 (~50% coverage) is 0.80 with the ball-tree
+    // optimistic-bound cell ranking (max(0, dist − r90); plain
+    // centroid-distance ranking measured 0.79). Asserted at the
+    // published 0.8. Blob-structured data — IVF's design target —
+    // stays ≥ 0.9 above.
     val e = sources.Tables.embeddings(spark, Sf001)
     val queries = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
@@ -369,7 +371,7 @@ class SimilaritySpec extends SparkSpecBase {
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = (exact & approx).size.toDouble / exact.size
     info(f"IVF recall@5, sampled fit + rerank, isotropic sf0.01: $recall%.3f")
-    assert(recall >= 0.7, f"got $recall%.3f — published isotropic number is 0.79")
+    assert(recall >= 0.8, f"got $recall%.3f — published isotropic number is 0.80")
   }
 
   test("lshTopK returns a subset of brute-force candidates with exact scores") {
