@@ -432,9 +432,10 @@ object SparkEntry {
     // away; exact quantity values make the interpolation arithmetic
     // engine-identical
     // Rewritten on RobustStats (was Spark's exact `percentile`, which
-    // collects per-group arrays): sort-window selection — identical
-    // interpolated values, per-group memory bounded by the window
-    // sort's spill budget instead of the group size
+    // collects per-group arrays): the SpillablePercentile aggregate —
+    // identical interpolated values and plan shape, but the buffer
+    // spills sorted runs to disk, so per-group memory is the spill
+    // threshold instead of the group size
     "q_percentiles" -> ((s, dir) =>
       graft.ops.RobustStats.percentilesByGroup(
           Tables.lineitem(s, dir), "l_returnflag", "l_quantity",
@@ -2594,9 +2595,10 @@ object SparkEntry {
     // Rewritten on RobustStats: the r4 shape used Spark's exact
     // `percentile` (collects every group's values into one reducer
     // buffer — OOM at 100 TB) and scanned lineitem three times. The
-    // sort-window selection form is exact, collection-free, and
-    // two-scan: medians by sort-selection over values, MAD AND the
-    // outlier count both read the same checkpointed deviation frame.
+    // SpillablePercentile form keeps the built-in's exactness and plan
+    // shape with a disk-spilling buffer, and is two-scan: medians from
+    // one aggregate pass, MAD AND the outlier count both read the same
+    // checkpointed deviation frame.
     "q_mad_outliers" -> ((s, dir) =>
       graft.ops.RobustStats.madOutliersByGroup(
           Tables.lineitem(s, dir)

@@ -1,32 +1,27 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Exact order statistics at scale — percentiles and median absolute
-  * deviation WITHOUT per-group in-memory value collection.
+  * deviation WITHOUT an unspillable per-group value collection.
   *
   * Spark's exact `percentile` aggregate materializes every group's
   * values into ONE aggregation buffer — a 33M-row group at sf10 is a
   * multi-GB object array on a single reducer, and it does not spill.
-  * The selection form here sorts within each group (WindowExec's
-  * ExternalSorter SPILLS to disk) and picks the two rows bracketing
-  * each requested order index p·(n−1) with a post-window filter —
-  * per-group memory is the sort spill budget, not the group size.
-  * Values interpolate exactly like `percentile` / DuckDB
-  * `quantile_cont` (identical double arithmetic, oracle-hash-proven).
+  * [[graft.functions.SpillablePercentile]] keeps the built-in's plan
+  * shape (one shuffle into a hash aggregate, same interpolation
+  * arithmetic — oracle-hash-proven against DuckDB `quantile_cont`) but
+  * its buffer spills sorted runs to executor-local disk past a bounded
+  * in-memory threshold, answering order statistics by streaming k-way
+  * merge — per-group memory is the spill threshold, not the group size.
   *
-  * Cost: ONE shuffle + sort-window pass (group size rides the same
-  * window via an unbounded-frame count — CollapseWindow fuses it).
-  * Measured ~2× the built-in locally (sf0.1: 4.7 s vs 2.2 s for a
-  * 3-group median over 600k rows) — WindowExec's row machinery vs the
-  * specialized buffer — accepted deliberately: the built-in's buffer
-  * cannot spill, so it stops working at all somewhere between sf1 and
-  * sf10 per group, while this form degrades gracefully. A histogram
-  * variant (count per distinct value, cumsum) was also measured: 3×
-  * slower on near-unique values, where the histogram is as large as
-  * the data and its extra exchange dominates.
+  * History: the r5 form here was sort-window selection (row_number over
+  * a partitioned sort + post-filter) — equally exact and spill-safe via
+  * WindowExec's ExternalSorter, but ~2× the built-in's cost at sf0.1
+  * (window row machinery + a second aggregation). The spillable
+  * aggregate removes that tax. A histogram variant (count per distinct
+  * value, cumsum) measured 3× slower still on near-unique values.
   */
 object RobustStats {
 
@@ -36,42 +31,18 @@ object RobustStats {
   def percentilesByGroup(
       df: DataFrame, groupCol: String, valCol: String,
       ps: Seq[(String, Double)]): DataFrame = {
-    val w = Window.partitionBy(col(groupCol)).orderBy(col("__v").asc)
-    // group size n from an unbounded frame over the SAME partition+order
-    // spec: CollapseWindow fuses it into the one Window pass (no second
-    // scan, no join); the unbounded count frame is spill-backed
-    // nulls are dropped BEFORE ranking — the built-in `percentile`
-    // ignores null inputs, and without this filter nulls would sort
-    // first, shifting every order index and inflating the window count
-    val ranked = df.select(col(groupCol), col(valCol).cast("double").as("__v"))
-      .filter(col("__v").isNotNull)
-      .select(col(groupCol), col("__v"),
-        (row_number().over(w) - 1).cast("double").as("__i"),
-        count(lit(1)).over(w.rowsBetween(
-          Window.unboundedPreceding, Window.unboundedFollowing)).as("n"))
-    // keep only rows sitting ON a requested order index (≤ 2·|ps| per
-    // group) — everything downstream is group-count sized
-    val wanted = ps.map { case (_, p) =>
-      val idx = lit(p) * (col("n") - 1).cast("double")
-      col("__i") === floor(idx) || col("__i") === ceil(idx)
-    }.reduce(_ || _)
-    val aggs: Seq[Column] = ps.flatMap { case (name, p) =>
-      val idx = lit(p) * (col("n") - 1).cast("double")
-      Seq(
-        max(when(col("__i") === floor(idx), col("__v"))).as(s"__${name}_lo"),
-        max(when(col("__i") === ceil(idx), col("__v"))).as(s"__${name}_hi"))
-    }
-    val agged = ranked.filter(wanted)
-      .groupBy(col(groupCol), col("n"))
-      .agg(aggs.head, aggs.tail: _*)
+    // count(__v) skips nulls exactly as the percentile buffer does, so
+    // n == the population each percentile interpolates over
+    val agged = df.select(col(groupCol), col(valCol).cast("double").as("__v"))
+      .groupBy(col(groupCol))
+      .agg(
+        graft.functions.SpillablePercentile.agg(col("__v"), ps.map(_._2)).as("__ps"),
+        count(col("__v")).as("n"))
     val outCols: Seq[Column] = Seq(col(groupCol), col("n")) ++
-      ps.map { case (name, p) =>
-        val idx = lit(p) * (col("n") - 1).cast("double")
-        val frac = idx - floor(idx)
-        (col(s"__${name}_lo") * (lit(1.0) - frac) +
-          col(s"__${name}_hi") * frac).as(name)
+      ps.zipWithIndex.map { case ((name, _), i) =>
+        element_at(col("__ps"), i + 1).as(name)
       }
-    agged.select(outCols: _*)
+    agged.filter(col("n") > 0).select(outCols: _*)
   }
 
   /** Per-group median + MAD + 3·MAD outlier counts, collection-free:

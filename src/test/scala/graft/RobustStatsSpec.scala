@@ -31,6 +31,37 @@ class RobustStatsSpec extends SparkSpecBase {
     }
   }
 
+  test("spillable percentile: the DISK-SPILL path equals the built-in") {
+    // spillThreshold=64 forces every partial and final buffer through
+    // many sorted-run spills and the k-way merge (10k rows across 3
+    // groups and 7 partitions ≈ 50+ runs) — the path a 100 TB group
+    // lives on, which the built-in `percentile` cannot take at all
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 10000).map { _ =>
+      (s"g${rnd.nextInt(3)}", rnd.nextInt(1000).toDouble)
+    }
+    val df = rows.toDF("g", "v").repartition(7)
+    val got = df.groupBy(col("g"))
+      .agg(graft.functions.SpillablePercentile
+        .agg(col("v"), Seq(0.1, 0.5, 0.9), spillThreshold = 64).as("ps"))
+      .select(col("g"), element_at(col("ps"), 1), element_at(col("ps"), 2),
+        element_at(col("ps"), 3))
+      .as[(String, Double, Double, Double)].collect().sortBy(_._1)
+    val want = df.groupBy(col("g"))
+      .agg(percentile(col("v"), lit(0.1)).as("a"),
+        percentile(col("v"), lit(0.5)).as("b"),
+        percentile(col("v"), lit(0.9)).as("c"))
+      .select("g", "a", "b", "c")
+      .as[(String, Double, Double, Double)].collect().sortBy(_._1)
+    assert(got === want)
+    // nulls are ignored, all-null groups disappear (built-in parity)
+    val withNulls = Seq(("a", Some(1.0)), ("a", None), ("a", Some(3.0)),
+      ("b", None)).toDF("g", "v")
+    val g2 = RobustStats.percentilesByGroup(withNulls, "g", "v", Seq(("p50", 0.5)))
+      .select("g", "n", "p50").as[(String, Long, Double)].collect().toSet
+    assert(g2 === Set(("a", 2L, 2.0)))
+  }
+
   test("madOutliersByGroup == the collect-based three-pass reference") {
     val rnd = new scala.util.Random(23)
     val rows = (0 until 500).map { _ =>
