@@ -2484,6 +2484,46 @@ object SparkEntry {
             !col("repetition_fail") && !col("dup_loser"))
     }),
 
+    // E127: end-to-end curation PROVENANCE — one record per SURVIVING
+    // document of the corpus pipeline carrying where it came from and
+    // what the pipeline did to it: origin source, the near-dup family
+    // it represents (keep-first ⇒ root id is its own id; family size
+    // and an id checksum over every absorbed member), and the
+    // transform chain rendered as a string. This is the lineage a
+    // 100 TB curation run must emit so any training example traces
+    // back to raw data; the whole record is one aggregate over the
+    // closure labels joined back to the staged enrichment — no extra
+    // corpus scans beyond q_corpus_pipeline's own. Oracle replays the
+    // pipeline with string shingles + a recursive closure and
+    // re-renders the chain from the same fields.
+    "q_provenance" -> ((s, dir) => {
+      val enriched = graft.ops.Staging.stageToDisk(
+        Tables.spreadForKernel(Tables.documents(s, dir)).select(
+            col("doc_id"), col("text"), col("source"),
+            TextAnalysis.qualityScore(col("text")).as("quality"),
+            TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tokens"))
+          .filter(TextAnalysis.langIdHeuristic(col("text")) === "en" &&
+            col("quality") >= 0.5))
+      val labels = Dedup.componentMinLabels(
+        Dedup.minhashNearDupPairs(
+          enriched.select(col("doc_id"), col("text")), "text", "doc_id"))
+      val withRoot = enriched
+        .join(labels.select(col("id").as("doc_id"), col("root")),
+          Seq("doc_id"), "left")
+        .withColumn("root", coalesce(col("root"), col("doc_id")))
+      val fams = withRoot.groupBy(col("root"))
+        .agg(count(lit(1)).as("n_family"), sum(col("doc_id")).as("family_id_sum"))
+      withRoot.filter(col("doc_id") === col("root"))
+        .join(fams, "root")
+        .withColumn("quality_milli", round(col("quality") * 10000).cast("long"))
+        .select(col("doc_id"), col("source"), col("quality_milli"),
+          col("n_tokens"), col("n_family"), col("family_id_sum"),
+          concat(lit("ingest:"), col("source"),
+            lit(">lang:en>quality:"), col("quality_milli").cast("string"),
+            lit(">dedup:family="), col("n_family").cast("string"))
+            .as("transform_chain"))
+    }),
+
     // E113: padding-waste audit — what fixed-length batching costs per
     // source at seq-len 64/128: sequences, wasted pad tokens, waste
     // fraction. Pure integer arithmetic end to end (ceil-div as
@@ -3139,6 +3179,55 @@ object SparkEntry {
        |  FROM outbits
        |)
        |""".stripMargin
+
+  /** Shared CTE prefix replaying the corpus curation pipeline in
+    * DuckDB — enrichment (lang-id, quality, token count), the kept set,
+    * exact string 5-gram Jaccard near-dup pairs, and the recursive
+    * reachability closure. `q_corpus_pipeline` appends the survivor
+    * aggregate; `q_provenance` appends the per-survivor lineage record.
+    * Ends after the `reach` CTE with NO trailing comma.
+    */
+  private val CurationPipelineCte: String = {
+    val stops = TextAnalysis.EnglishStopwords.map(w => s"'$w'").mkString(", ")
+    val hitDefs = TextAnalysis.LangMarkers.map { case (lang, words) =>
+      val set = words.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(string_split(text, ' '), t -> t IN ($set))) AS h_$lang"
+    }.mkString(",\n       ")
+    val langCase = TextAnalysis.LangMarkers.map { case (lang, _) =>
+      s"WHEN h_$lang = gmax AND gmax > 0 THEN '$lang'"
+    }.mkString(" ")
+    s"""WITH RECURSIVE
+       |raw AS (SELECT doc_id, text, source,
+       |       CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+       |       CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stops))) AS DOUBLE) AS stop_hits,
+       |       $hitDefs
+       |FROM documents),
+       |enr AS (SELECT doc_id, text, source,
+       |       CASE $langCase ELSE 'und' END AS lang_id,
+       |       CAST(CAST(floor((least(n_tok / 50.0, 1.0) * 0.4
+       |             + least(CASE WHEN n_tok = 0 THEN 0.0 ELSE stop_hits / n_tok END * 5.0, 1.0) * 0.3
+       |             + CASE WHEN n_tok > 0 AND (length(text) - (n_tok - 1.0)) / n_tok >= 3.0
+       |                         AND (length(text) - (n_tok - 1.0)) / n_tok <= 10.0 THEN 1.0 ELSE 0.0 END * 0.3
+       |             - least(CASE WHEN length(text) = 0 THEN 0.0
+       |                          ELSE CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]-]', '', 'g')) AS DOUBLE) / length(text) END * 5.0, 1.0) * 0.2
+       |             ) * 10000.0 + 0.5) AS BIGINT) AS DOUBLE) / 10000.0 AS quality,
+       |       CAST(CASE WHEN length(text) = 0 THEN 0 ELSE len(string_split(text, ' ')) END AS BIGINT) AS n_tokens
+       |FROM (SELECT *, greatest(h_en, h_es, h_de, h_fr) AS gmax FROM raw)),
+       |kept AS (SELECT * FROM enr WHERE lang_id = 'en' AND quality >= 0.5),
+       |grams AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS g
+       |          FROM (SELECT doc_id, text, unnest(range(1, greatest(length(text) - 3, 2))) AS i FROM kept)),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+       |          FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |pairs AS (SELECT ia, ib FROM inter
+       |          JOIN sizes sa ON sa.doc_id = ia
+       |          JOIN sizes sb ON sb.doc_id = ib
+       |          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+       |edges AS (SELECT ia AS s, ib AS d FROM pairs UNION SELECT ib, ia FROM pairs),
+       |reach AS (SELECT s, d FROM edges
+       |          UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+       |""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_pruned_scan" ->
@@ -4910,52 +4999,37 @@ object SparkEntry {
         |           v.event_id DESC
         |  LIMIT 1) r ON TRUE""".stripMargin,
 
-    "q_corpus_pipeline" -> {
-      val stops = TextAnalysis.EnglishStopwords.map(w => s"'$w'").mkString(", ")
-      val hitDefs = TextAnalysis.LangMarkers.map { case (lang, words) =>
-        val set = words.map(w => s"'$w'").mkString(", ")
-        s"len(list_filter(string_split(text, ' '), t -> t IN ($set))) AS h_$lang"
-      }.mkString(",\n       ")
-      val langCase = TextAnalysis.LangMarkers.map { case (lang, _) =>
-        s"WHEN h_$lang = gmax AND gmax > 0 THEN '$lang'"
-      }.mkString(" ")
-      s"""WITH RECURSIVE
-         |raw AS (SELECT doc_id, text, source,
-         |       CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
-         |       CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stops))) AS DOUBLE) AS stop_hits,
-         |       $hitDefs
-         |FROM documents),
-         |enr AS (SELECT doc_id, text, source,
-         |       CASE $langCase ELSE 'und' END AS lang_id,
-         |       CAST(CAST(floor((least(n_tok / 50.0, 1.0) * 0.4
-         |             + least(CASE WHEN n_tok = 0 THEN 0.0 ELSE stop_hits / n_tok END * 5.0, 1.0) * 0.3
-         |             + CASE WHEN n_tok > 0 AND (length(text) - (n_tok - 1.0)) / n_tok >= 3.0
-         |                         AND (length(text) - (n_tok - 1.0)) / n_tok <= 10.0 THEN 1.0 ELSE 0.0 END * 0.3
-         |             - least(CASE WHEN length(text) = 0 THEN 0.0
-         |                          ELSE CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]-]', '', 'g')) AS DOUBLE) / length(text) END * 5.0, 1.0) * 0.2
-         |             ) * 10000.0 + 0.5) AS BIGINT) AS DOUBLE) / 10000.0 AS quality,
-         |       CAST(CASE WHEN length(text) = 0 THEN 0 ELSE len(string_split(text, ' ')) END AS BIGINT) AS n_tokens
-         |FROM (SELECT *, greatest(h_en, h_es, h_de, h_fr) AS gmax FROM raw)),
-         |kept AS (SELECT * FROM enr WHERE lang_id = 'en' AND quality >= 0.5),
-         |grams AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS g
-         |          FROM (SELECT doc_id, text, unnest(range(1, greatest(length(text) - 3, 2))) AS i FROM kept)),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
-         |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
-         |          FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
-         |pairs AS (SELECT ia, ib FROM inter
-         |          JOIN sizes sa ON sa.doc_id = ia
-         |          JOIN sizes sb ON sb.doc_id = ib
-         |          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
-         |edges AS (SELECT ia AS s, ib AS d FROM pairs UNION SELECT ib, ia FROM pairs),
-         |reach AS (SELECT s, d FROM edges
-         |          UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
-         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-         |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-         |       CAST(sum(CAST(round(quality * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 / count(*) AS mean_quality
-         |FROM kept
-         |WHERE NOT EXISTS (SELECT 1 FROM reach WHERE s = doc_id AND d < doc_id)
-         |GROUP BY source""".stripMargin
-    },
+    "q_corpus_pipeline" ->
+      (CurationPipelineCte +
+        """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+          |       CAST(sum(CAST(round(quality * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 / count(*) AS mean_quality
+          |FROM kept
+          |WHERE NOT EXISTS (SELECT 1 FROM reach WHERE s = doc_id AND d < doc_id)
+          |GROUP BY source""".stripMargin),
+
+    // provenance = the same curation replay, but emitting the per-
+    // survivor record: closure root via the reachability min, family
+    // aggregates, and the transform chain re-built from the same fields
+    "q_provenance" ->
+      (CurationPipelineCte +
+        """,lbl AS (SELECT doc_id,
+          |         least(doc_id, coalesce(
+          |           (SELECT min(r.d) FROM reach r WHERE r.s = kept.doc_id),
+          |           doc_id)) AS root
+          |       FROM kept),
+          |fam AS (SELECT root, CAST(count(*) AS BIGINT) AS n_family,
+          |               CAST(sum(doc_id) AS BIGINT) AS family_id_sum
+          |        FROM lbl GROUP BY root)
+          |SELECT k.doc_id, k.source,
+          |       CAST(round(k.quality * 10000) AS BIGINT) AS quality_milli,
+          |       k.n_tokens, f.n_family, f.family_id_sum,
+          |       'ingest:' || k.source || '>lang:en>quality:' ||
+          |         CAST(CAST(round(k.quality * 10000) AS BIGINT) AS VARCHAR) ||
+          |         '>dedup:family=' || CAST(f.n_family AS VARCHAR) AS transform_chain
+          |FROM lbl l JOIN kept k ON l.doc_id = k.doc_id
+          |JOIN fam f ON l.root = f.root
+          |WHERE l.doc_id = l.root""".stripMargin),
 
     "q_interval_merge" ->
       """WITH iv AS (
