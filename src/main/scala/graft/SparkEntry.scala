@@ -1546,6 +1546,17 @@ object SparkEntry {
       Dedup.minhashNearDupPairs(Tables.documents(s, dir), "text", "doc_id")
         .select(col("id_a"), col("id_b"))),
 
+    // E128: SUBSTRING-level exact dedup — longest verified shared
+    // substring (≥ 40 chars) per document pair, via hashed 40-gram
+    // diagonal runs (the Spark-plan analog of suffix-array duplicate
+    // detection; see Dedup.sharedSubstringSpans). Catches embedded/
+    // quoted duplication that whole-doc fingerprints and set-Jaccard
+    // under-report.
+    "q_substring_dup" -> ((s, dir) =>
+      Dedup.sharedSubstringSpans(Tables.documents(s, dir), "text", "doc_id",
+          minLen = 40)
+        .select(col("id_a"), col("id_b"), col("max_shared_len"))),
+
     // E32: benchmark decontamination — containment of a held-out "eval"
     // slice in the remaining corpus (asymmetric, broadcast-eval join;
     // the near-dup planted pairs that straddle the split surface here).
@@ -4429,6 +4440,28 @@ object SparkEntry {
           |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
           |FROM simhashes a JOIN simhashes b ON a.doc_id < b.doc_id
           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin),
+
+    // substring dedup: the oracle joins ACTUAL 40-char substrings where
+    // Spark joins 8-byte hashes and then verifies the maximal spans —
+    // identical pair set and lengths (verification makes collisions
+    // impossible to surface)
+    "q_substring_dup" ->
+      """WITH g AS (
+        |  SELECT doc_id, i, substr(text, i, 40) AS s
+        |  FROM documents, LATERAL (SELECT unnest(range(1, length(text) - 38)) AS i)
+        |  WHERE length(text) >= 40),
+        |m AS (
+        |  SELECT a.doc_id AS ia, b.doc_id AS ib, a.i AS pa, b.i AS pb
+        |  FROM g a JOIN g b ON a.s = b.s AND a.doc_id < b.doc_id),
+        |isl AS (
+        |  SELECT ia, ib, pa - pb AS d, pa,
+        |         pa - ROW_NUMBER() OVER (PARTITION BY ia, ib, pa - pb ORDER BY pa) AS grp
+        |  FROM m),
+        |runs AS (
+        |  SELECT ia, ib, CAST(count(*) + 39 AS BIGINT) AS len
+        |  FROM isl GROUP BY ia, ib, d, grp)
+        |SELECT ia AS id_a, ib AS id_b, max(len) AS max_shared_len
+        |FROM runs GROUP BY 1, 2""".stripMargin,
 
     "q_embed_neardup" ->
       """WITH c AS (

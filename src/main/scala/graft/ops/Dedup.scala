@@ -515,4 +515,65 @@ object Dedup {
         (coalesce(col("dup_ex"), lit(0L)) === 1L).as("dup_of_existing"),
         coalesce(col("n_delta_dups"), lit(0L)).as("n_delta_dups"))
   }
+
+  /** SUBSTRING-level exact duplication: for every document pair sharing
+    * a common substring of at least `minLen` characters, the length of
+    * their LONGEST shared substring. Catches contained/embedded
+    * duplication (quoted paragraphs, boilerplate blocks, doc-inside-doc)
+    * that whole-document fingerprints and set-based shingle Jaccard
+    * both under-report — the duplication mode suffix-array pipelines
+    * (e.g. the dedup in "Deduplicating Training Data Makes Language
+    * Models Better", Lee et al. 2021 — public literature) target, here
+    * as a shuffle-bounded Spark plan instead of a monolithic suffix
+    * array:
+    *
+    *  1. every position's `minLen`-gram, hashed to 8 bytes map-side —
+    *     the ONLY corpus-sized shuffle is (hash, id, pos) triples,
+    *     ~16B/char, the Spark analog of the suffix-array sort;
+    *  2. hash-equality self-join (id_a < id_b) = matching positions —
+    *     RARE outside true duplication at minLen ≥ 40;
+    *  3. consecutive matches on one DIAGONAL (pa − pb constant) merge
+    *     into maximal runs by the gaps-and-islands window (partition
+    *     (pair, diagonal): bounded by document length, never corpus);
+    *     a run of r grams = a shared span of minLen + r − 1 chars;
+    *  4. every per-diagonal maximal span is VERIFIED by comparing the
+    *     actual substrings (two id-equi-joins back to the source), so
+    *     hash collisions cannot fabricate or extend a span.
+    *
+    * Returns (id_a, id_b, max_shared_len), one row per pair with any
+    * verified shared span ≥ minLen.
+    */
+  def sharedSubstringSpans(
+      docs: DataFrame, textCol: String, idCol: String,
+      minLen: Int = 40): DataFrame = {
+    require(minLen >= 2)
+    val grams = graft.sources.Tables.spreadForKernel(docs)
+      .filter(length(col(textCol)) >= minLen)
+      .select(col(idCol).as("id"),
+        posexplode(expr(
+          s"transform(sequence(1, length($textCol) - ${minLen - 1})," +
+            s" i -> xxhash64(substring($textCol, i, $minLen)))"))
+          .as(Seq("p0", "h")))
+      .select(col("id"), (col("p0") + 1).as("p"), col("h"))
+    val matches = grams.as("a").join(grams.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("ia"), col("b.id").as("ib"),
+        col("a.p").as("pa"), col("b.p").as("pb"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("ia"), col("ib"), col("d")).orderBy(col("pa"))
+    val spans = matches
+      .withColumn("d", col("pa") - col("pb"))
+      .withColumn("grp", col("pa") - row_number().over(w))
+      .groupBy(col("ia"), col("ib"), col("d"), col("grp"))
+      .agg(min(col("pa")).as("sa"), min(col("pb")).as("sb"),
+        (count(lit(1)) + (minLen - 1)).cast("int").as("len"))
+    val ta = docs.select(col(idCol).as("ia"), col(textCol).as("__ta"))
+    val tb = docs.select(col(idCol).as("ib"), col(textCol).as("__tb"))
+    spans
+      .join(ta, "ia").join(tb, "ib")
+      .filter(expr("substring(__ta, sa, len)") === expr("substring(__tb, sb, len)"))
+      .groupBy(col("ia"), col("ib"))
+      .agg(max(col("len")).cast("long").as("max_shared_len"))
+      .select(col("ia").as("id_a"), col("ib").as("id_b"), col("max_shared_len"))
+  }
 }

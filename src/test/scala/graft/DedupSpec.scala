@@ -189,6 +189,25 @@ class DedupSpec extends SparkSpecBase {
       "the keyed signatures+shingles frame must be unpersisted once pairs materialize")
   }
 
+  test("sharedSubstringSpans: longest embedded shared block, exactly") {
+    val rnd = new scala.util.Random(5)
+    def junk(n: Int): String = Array.fill(n)(('a' + rnd.nextInt(26)).toChar).mkString
+    val shared = junk(73)
+    val a = junk(50) + "Q" + shared + "R" + junk(40) // Q/R guards stop extension
+    val b = junk(45) + "S" + shared + "T" + junk(55)
+    val c = a // exact duplicate of a
+    val d = junk(200) // unrelated
+    val docs = Seq((1L, a), (2L, b), (3L, c), (4L, d)).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.sharedSubstringSpans(docs, "text", "doc_id", minLen = 40)
+      .select("id_a", "id_b", "max_shared_len").as[(Long, Long, Long)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got((1L, 2L)) === 73L, "embedded block length, not padded or clipped")
+    assert(got((2L, 3L)) === 73L)
+    assert(got((1L, 3L)) === a.length.toLong, "identical docs share their full length")
+    assert(!got.keySet.exists { case (x, y) => x == 4L || y == 4L },
+      "unrelated doc reports no pair")
+  }
+
   test("simhash: identical texts get identical hashes, near-dups low hamming") {
     val pairs = Dedup.simhashNearDupPairs(docs, "text", "doc_id", maxHamming = 8)
       .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
