@@ -109,7 +109,7 @@ object Bench {
     // absolute slowdown > 1 s. Report-only ("vs_prev") — never the
     // exit code (see the output-size contract above).
     val baselineFile = new java.io.File(
-      s"bench_baselines/${sys.env.getOrElse("SPARK_GRAFT_BASELINE", "r05")}_${
+      s"bench_baselines/${sys.env.getOrElse("SPARK_GRAFT_BASELINE", "r06")}_${
         new java.io.File(sfDir).getName}.txt")
     val vsPrev: Option[String] =
       if (!baselineFile.isFile) None
