@@ -2060,6 +2060,10 @@ object SparkEntry {
       // survivor agg read it instead of re-running three regex passes
       // over the source. (spread first: the three regex kernels
       // otherwise run in the one-task scan of a single-row-group file)
+      // (A "skinny staging" variant — stage only the numeric columns,
+      // re-derive the filter in the dedup scan — was measured at +2 s:
+      // the two extra regex-kernel corpus passes cost more than
+      // serializing the staged text column.)
       val enriched = graft.ops.Staging.stageToDisk(
         Tables.spreadForKernel(Tables.documents(s, dir)).select(
             col("doc_id"), col("text"), col("source"),
@@ -2533,6 +2537,58 @@ object SparkEntry {
             lit(">lang:en>quality:"), col("quality_milli").cast("string"),
             lit(">dedup:family="), col("n_family").cast("string"))
             .as("transform_chain"))
+    }),
+
+    // E130: payment-PII audit — Luhn-checked card-number detection per
+    // source: candidate 13-19-digit runs via regex, VALID cards via the
+    // codegen'd luhn_card_count kernel (ISO/IEC 7812 mod-10 — public
+    // algorithm). The synthetic corpus carries no digit runs, so known
+    // valid/invalid/too-short numbers are planted in-query keyed on
+    // doc_id (the q_embed_neardup precedent) — the detector is
+    // exercised on a mix where candidates ≠ valid.
+    "q_pii_luhn" -> ((s, dir) => {
+      val planted = Tables.spreadForKernel(Tables.documents(s, dir))
+        .withColumn("t2", concat(col("text"),
+          when(col("doc_id") % 7 === 1, lit(" card 4532015112830366"))
+            .when(col("doc_id") % 7 === 2, lit(" card 4532015112830367"))
+            .when(col("doc_id") % 7 === 3,
+              lit(" card 30569309025904 and 6011111111111117"))
+            .when(col("doc_id") % 7 === 4, lit(" ref 123456789012"))
+            .otherwise(lit(""))))
+      planted.select(col("source"),
+          graft.functions.exprs.luhn_card_count(col("t2")).as("nv"),
+          size(filter(regexp_extract_all(col("t2"), lit("[0-9]+"), lit(0)),
+            r => length(r) >= 13 && length(r) <= 19)).as("nc"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nc").cast("long")).as("card_candidates"),
+          sum(col("nv").cast("long")).as("cards_valid"),
+          sum(when(col("nv") > 0, 1L).otherwise(0L)).as("docs_with_card"))
+    }),
+
+    // E129: quality-threshold calibration — keep count and keep rate
+    // per source across a grid of candidate quality cutoffs, in ONE
+    // conditional-agg pass over the corpus (no per-threshold scans) +
+    // a stack() unpivot of the grid. The sweep a pipeline owner runs
+    // BEFORE committing to a filter threshold: which cutoff keeps how
+    // much of which source. Keep rate in integer basis points
+    // ((k·10000) div n) — exact in both engines, no float-rounding-tie
+    // exposure (the q_padding_waste discipline).
+    "q_quality_calibration" -> ((s, dir) => {
+      val ts = Seq(3000L, 4000L, 5000L, 6000L, 7000L)
+      val aggs = count(lit(1)).as("n_docs") +:
+        ts.map(t => sum(when(col("qm") >= t, 1L).otherwise(0L)).as(s"k_$t"))
+      val stacked = ts.map(t => s"${t}L, k_$t").mkString(", ")
+      Tables.spreadForKernel(Tables.documents(s, dir))
+        .select(col("source"),
+          round(TextAnalysis.qualityScore(col("text")) * 10000).cast("long").as("qm"))
+        .groupBy(col("source"))
+        .agg(aggs.head, aggs.tail: _*)
+        .select(col("source"), col("n_docs"),
+          expr(s"stack(${ts.length}, $stacked) as (threshold_milli, n_kept)"))
+        .select(col("source"), col("threshold_milli"), col("n_docs"),
+          col("n_kept"),
+          expr("(n_kept * 10000) div n_docs").as("keep_bp"))
     }),
 
     // E113: padding-waste audit — what fixed-length batching costs per
@@ -4440,6 +4496,65 @@ object SparkEntry {
           |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
           |FROM simhashes a JOIN simhashes b ON a.doc_id < b.doc_id
           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin),
+
+    // Luhn in SQL: per candidate run, fold digits right-to-left with
+    // every second doubled (−9 past 9) and test mod 10 — same maximal
+    // [0-9]+ run + 13-19 length gate as the kernel
+    "q_pii_luhn" ->
+      """WITH planted AS (
+        |  SELECT source, doc_id, text ||
+        |    CASE WHEN doc_id % 7 = 1 THEN ' card 4532015112830366'
+        |         WHEN doc_id % 7 = 2 THEN ' card 4532015112830367'
+        |         WHEN doc_id % 7 = 3 THEN ' card 30569309025904 and 6011111111111117'
+        |         WHEN doc_id % 7 = 4 THEN ' ref 123456789012'
+        |         ELSE '' END AS t2
+        |  FROM documents),
+        |runs AS (
+        |  SELECT source, doc_id,
+        |         list_filter(regexp_extract_all(t2, '[0-9]+'),
+        |                     r -> length(r) BETWEEN 13 AND 19) AS cand
+        |  FROM planted),
+        |scored AS (
+        |  SELECT source, doc_id, len(cand) AS nc,
+        |         len(list_filter(cand, r ->
+        |           list_sum(list_transform(range(0, length(r)), i ->
+        |             CASE WHEN i % 2 = 0 THEN CAST(substr(r, length(r) - i, 1) AS INT)
+        |                  ELSE CASE WHEN 2 * CAST(substr(r, length(r) - i, 1) AS INT) > 9
+        |                            THEN 2 * CAST(substr(r, length(r) - i, 1) AS INT) - 9
+        |                            ELSE 2 * CAST(substr(r, length(r) - i, 1) AS INT) END
+        |             END)) % 10 = 0)) AS nv
+        |  FROM runs)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(nc) AS BIGINT) AS card_candidates,
+        |       CAST(sum(nv) AS BIGINT) AS cards_valid,
+        |       CAST(sum(CASE WHEN nv > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_card
+        |FROM scored GROUP BY source""".stripMargin,
+
+    // same raw/quality formulas as the curation CTE (hash-match proven
+    // there); thresholds swept via a VALUES cross join, rate in exact
+    // integer basis points
+    "q_quality_calibration" -> {
+      val stops = TextAnalysis.EnglishStopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH raw AS (SELECT doc_id, text, source,
+         |       CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+         |       CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stops))) AS DOUBLE) AS stop_hits
+         |FROM documents),
+         |q AS (SELECT source,
+         |       CAST(floor((least(n_tok / 50.0, 1.0) * 0.4
+         |         + least(CASE WHEN n_tok = 0 THEN 0.0 ELSE stop_hits / n_tok END * 5.0, 1.0) * 0.3
+         |         + CASE WHEN n_tok > 0 AND (length(text) - (n_tok - 1.0)) / n_tok >= 3.0
+         |                     AND (length(text) - (n_tok - 1.0)) / n_tok <= 10.0 THEN 1.0 ELSE 0.0 END * 0.3
+         |         - least(CASE WHEN length(text) = 0 THEN 0.0
+         |                      ELSE CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]-]', '', 'g')) AS DOUBLE) / length(text) END * 5.0, 1.0) * 0.2
+         |         ) * 10000.0 + 0.5) AS BIGINT) AS qm
+         |FROM raw)
+         |SELECT source, CAST(tt.t AS BIGINT) AS threshold_milli,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(CASE WHEN qm >= tt.t THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |       CAST(sum(CASE WHEN qm >= tt.t THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) AS keep_bp
+         |FROM q CROSS JOIN (VALUES (3000), (4000), (5000), (6000), (7000)) tt(t)
+         |GROUP BY source, tt.t""".stripMargin
+    },
 
     // substring dedup: the oracle joins ACTUAL 40-char substrings where
     // Spark joins 8-byte hashes and then verifies the maximal spans —

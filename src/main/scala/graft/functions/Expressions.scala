@@ -28,6 +28,45 @@ object HashKernels extends Serializable {
     h
   }
 
+  /** Count maximal 13–19-digit runs passing the Luhn mod-10 check.
+    * One pass over the bytes, zero allocation: digit positions are
+    * folded into the two alternating-parity sums as the run grows, and
+    * the run's parity choice is resolved when the run ends (the
+    * doubling applies to every SECOND digit from the RIGHT, so which
+    * alternation applies depends on the final run length).
+    */
+  def luhnCardCount(s: UTF8String): Int = {
+    val bytes = s.getBytes
+    var count = 0
+    var i = 0
+    val n = bytes.length
+    while (i < n) {
+      val b = bytes(i)
+      if (b >= '0' && b <= '9') {
+        // consume the whole maximal digit run, tracking both parity sums
+        var sumEven = 0 // doubled digits at even offset-from-start
+        var sumOdd = 0  // doubled digits at odd offset-from-start
+        var len = 0
+        while (i < n && bytes(i) >= '0' && bytes(i) <= '9') {
+          val d = bytes(i) - '0'
+          val dd = { val t = 2 * d; if (t > 9) t - 9 else t }
+          if ((len & 1) == 0) { sumEven += dd; sumOdd += d }
+          else { sumEven += d; sumOdd += dd }
+          len += 1
+          i += 1
+        }
+        if (len >= 13 && len <= 19) {
+          // double every second digit from the RIGHT: for even run
+          // length that is the even start-offsets, for odd length the
+          // odd ones
+          val total = if ((len & 1) == 0) sumEven else sumOdd
+          if (total % 10 == 0) count += 1
+        }
+      } else i += 1
+    }
+    count
+  }
+
   /** splitmix64 finalizer — cheap, well-mixed 64-bit hash step. */
   @inline def mix64(x0: Long): Long = {
     var x = x0 + 0x9e3779b97f4a7c15L
@@ -640,6 +679,25 @@ case class PqAdcScore(left: Expression, right: Expression, k: Int)
     copy(left = l, right = r)
 }
 
+/** `luhn_card_count(text)`: how many MAXIMAL runs of 13–19 ASCII
+  * digits in the text pass the Luhn mod-10 checksum — the card-number
+  * detector behind payment-PII auditing (ISO/IEC 7812 check digit;
+  * public algorithm). Maximal-run semantics: a 20+-digit run is not a
+  * candidate at all (not truncated into one), matching the
+  * `[0-9]+`-then-length-filter formulation a SQL oracle uses.
+  */
+case class LuhnCardCount(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "luhn_card_count"
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.luhnCardCount(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashKernels.luhnCardCount($c)")
+  override protected def withNewChildInternal(c: Expression): LuhnCardCount =
+    copy(child = c)
+}
+
 /** Column-facing wrappers. */
 object exprs {
   private def expr(c: Column): Expression = ColumnBridge.expression(c)
@@ -673,4 +731,6 @@ object exprs {
     ColumnBridge.column(IvfResidual(expr(v), expr(cell), cents, numCells))
   def pq_adc_score(codes: Column, table: Column, k: Int): Column =
     ColumnBridge.column(PqAdcScore(expr(codes), expr(table), k))
+  def luhn_card_count(c: Column): Column =
+    ColumnBridge.column(LuhnCardCount(expr(c)))
 }

@@ -51,6 +51,21 @@ class ExpressionsSpec extends SparkSpecBase {
     assert(dot(0) === 1.0)
   }
 
+  test("luhn_card_count: maximal-run semantics and the mod-10 check") {
+    val cases = Seq(
+      ("pay 4532015112830366 now", 1),           // valid 16-digit
+      ("pay 4532015112830367 now", 0),           // bad check digit
+      ("a 30569309025904 b 6011111111111117", 2), // two valid runs
+      ("short 123456789012", 0),                  // 12 digits: no candidate
+      ("long 45320151128303666011111111111117", 0), // 32-digit run: not split
+      ("4532015112830366", 1),                    // run at both ends
+      ("x4532015112830366y4532015112830367", 1),
+      ("no digits at all", 0))
+    val got = cases.map(_._1).toDF("t")
+      .select(exprs.luhn_card_count(col("t"))).as[Int].collect()
+    assert(got.toSeq === cases.map(_._2))
+  }
+
   test("expressions survive both codegen and interpreted paths") {
     // wholestage off exercises the eval() path
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
