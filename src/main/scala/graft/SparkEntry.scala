@@ -3054,9 +3054,14 @@ object SparkEntry {
       val o = Tables.orders(s, dir)
         .select(col("o_custkey"),
           round(col("o_totalprice") * 100).cast("long").as("pc"))
-      val bounds = o.agg(
-        ceil(round(expr("percentile(pc, 0.05)"), 6)).cast("long").as("lo"),
-        floor(round(expr("percentile(pc, 0.95)"), 6)).cast("long").as("hi"))
+      // GLOBAL percentiles = one group holding the whole table — the
+      // built-in's unspillable buffer is exactly wrong here; the
+      // spillable aggregate computes the same interpolated values
+      val bounds = o.agg(graft.functions.SpillablePercentile
+          .agg(col("pc"), Seq(0.05, 0.95)).as("ps"))
+        .select(
+          ceil(round(element_at(col("ps"), 1), 6)).cast("long").as("lo"),
+          floor(round(element_at(col("ps"), 2), 6)).cast("long").as("hi"))
       o.crossJoin(broadcast(bounds))
         .withColumn("clipped", greatest(least(col("pc"), col("hi")), col("lo")))
         .groupBy(col("o_custkey"))
@@ -3174,10 +3179,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_gaps"),
           // p50 interpolates exact halves; p90's fractional position can
           // differ in the last ulp between engines' lerp formulations —
-          // round(6) per the repo's float rule
-          round(expr("percentile(gap_days, 0.5)"), 6).as("median_gap_days"),
-          round(expr("percentile(gap_days, 0.9)"), 6).as("p90_gap_days"),
+          // round(6) per the repo's float rule. Segment-sized groups =
+          // corpus-scale: spillable aggregate, not the built-in buffer
+          graft.functions.SpillablePercentile
+            .agg(col("gap_days"), Seq(0.5, 0.9)).as("ps"),
           max(col("gap_days")).cast("long").as("max_gap_days"))
+        .select(col("c_mktsegment"), col("n_gaps"),
+          round(element_at(col("ps"), 1), 6).as("median_gap_days"),
+          round(element_at(col("ps"), 2), 6).as("p90_gap_days"),
+          col("max_gap_days"))
     }),
 
     // E96: NATIVE session_window sessionization — the same 30-minute-gap

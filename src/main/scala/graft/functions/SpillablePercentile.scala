@@ -223,10 +223,13 @@ case class SpillablePercentile(
 }
 
 object SpillablePercentile {
-  /** Column-facing constructor: `agg(value, Seq(0.25, 0.5, 0.75))`. */
+  /** Column-facing constructor: `agg(value, Seq(0.25, 0.5, 0.75))`.
+    * Casts the value to double (the buffer's element type) so integral
+    * columns work directly, like the built-in.
+    */
   def agg(value: Column, ps: Seq[Double],
       spillThreshold: Int = 1 << 20): Column =
     ColumnBridge.column(
-      SpillablePercentile(ColumnBridge.expression(value), ps, spillThreshold)
-        .toAggregateExpression())
+      SpillablePercentile(ColumnBridge.expression(value.cast("double")), ps,
+        spillThreshold).toAggregateExpression())
 }

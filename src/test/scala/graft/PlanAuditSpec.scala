@@ -178,6 +178,20 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q_percentiles: one hash-aggregate pass, no window machinery") {
+    // the r6 spillable-percentile rewrite's plan contract: a
+    // TypedImperativeAggregate rides ObjectHashAggregate (one shuffle,
+    // partial + final), with the r5 sort-window machinery gone — a
+    // WindowExec reappearing here means someone reverted to the 2×-cost
+    // selection form
+    val p = plan("q_percentiles")
+    assert(p.contains("ObjectHashAggregate"),
+      s"percentile_spill must aggregate via ObjectHashAggregate:\n$p")
+    assert(!p.contains("Window"), s"no WindowExec in the percentile path:\n$p")
+    assert(nOcc(p, "(?i)scan parquet") === 1,
+      s"one lineitem pass:\n$p")
+  }
+
   test("q_pruned_scan: filter and projection reach the parquet scan") {
     val p = plan("q_pruned_scan")
     assert(p.contains("PushedFilters: [IsNotNull(l_discount), GreaterThan(l_discount"),
