@@ -62,6 +62,28 @@ class RobustStatsSpec extends SparkSpecBase {
     assert(g2 === Set(("a", 2L, 2.0)))
   }
 
+  test("spillable percentile: sort-based aggregation fallback (>128 groups) equals the built-in") {
+    // ObjectHashAggregateExec abandons its hash map after
+    // spark.sql.objectHashAggregate.sortBased.fallbackThreshold (128)
+    // distinct groups and switches to sort-based aggregation — a
+    // different serialize/merge choreography for the buffer. 1000
+    // groups forces that path end to end.
+    val rnd = new scala.util.Random(29)
+    val rows = (0 until 20000).map { _ =>
+      (s"g${rnd.nextInt(1000)}", rnd.nextInt(500).toDouble)
+    }
+    val df = rows.toDF("g", "v").repartition(6)
+    val got = df.groupBy(col("g"))
+      .agg(graft.functions.SpillablePercentile
+        .agg(col("v"), Seq(0.5), spillThreshold = 16).as("ps"))
+      .select(col("g"), element_at(col("ps"), 1))
+      .as[(String, Double)].collect().toMap
+    val want = df.groupBy(col("g"))
+      .agg(percentile(col("v"), lit(0.5)).as("m"))
+      .select("g", "m").as[(String, Double)].collect().toMap
+    assert(got === want)
+  }
+
   test("madOutliersByGroup == the collect-based three-pass reference") {
     val rnd = new scala.util.Random(23)
     val rows = (0 until 500).map { _ =>
