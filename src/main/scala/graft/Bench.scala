@@ -39,6 +39,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // WindowExec warns "No Partition Defined" on EVERY unpartitioned
+    // window — including the library's deliberately-bounded bucket/bin
+    // offset frames (one row per bucket, documented at each site,
+    // bucket counts fixed independent of corpus size). Those hundreds
+    // of identical lines drowned the bench tail the harness scrapes;
+    // scope that ONE logger to ERROR so real warnings stay visible.
+    // (A constant partition key does not silence it — Catalyst's
+    // EliminateWindowPartitions strips foldable keys.)
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     // warmup: absorb codegen/classloading AND the noop-sink write path
     // (r2 warmed only count(), so the alphabetically-first query paid
     // ~3 s of datasource/commit-protocol init every round)

@@ -104,12 +104,15 @@ object Chunking {
     val wLocal = Window.partitionBy(col("__bk"))
       .orderBy(orderCols.map(col(_).asc): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // unpartitioned BY DESIGN, and safe only because it runs over the
+    // single-partition BY DESIGN, and safe only because it runs over the
     // bucket-totals frame: one row per bucket. The caller's coarseBucket
     // must therefore have a bounded bucket COUNT (use
     // [[monotoneIdBuckets]], which fixes it at ~4×parallelism regardless
     // of corpus size) — a width-based bucketing whose count grows with
     // the data would turn this into an O(rows) single-partition sort.
+    // (WindowExec's No-Partition-Defined warning is expected here and
+    // harmless for a bounded frame; a constant partition key does not
+    // silence it — EliminateWindowPartitions strips foldable keys.)
     val wBuckets = Window.orderBy(col("__bk").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val offsets = withBk.groupBy(col("__bk"))
