@@ -167,18 +167,25 @@ object Dedup {
     * smaller than the corpus, and each contraction round shrinks it
     * further, so the local finish is where every real run ends. (The
     * same shape GraphFrames/Pregel implementations use: iterate
-    * distributed, finish small.) Applies only to integral id columns;
-    * other id types always use the distributed fixed point.
+    * distributed, finish small.) The small-graph case is further
+    * collapsed to ONE driver action: a `limit(threshold+1)` probe
+    * collect that either IS the whole edge set (finish locally, no
+    * checkpoint/checksum round-trips at all) or proves the graph is big
+    * and falls through to the contraction loop. Applies only to
+    * integral id columns; other id types always use the distributed
+    * fixed point.
     */
   def componentMinLabels(pairs: DataFrame, maxRounds: Int = 20,
       localFinishMaxEdges: Long = 2L * 1000 * 1000): DataFrame = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val spark = pairs.sparkSession
+    import spark.implicits._
     // canonical larger→smaller directed edges (src > dst)
-    var dir = pairs
+    val canonical = pairs
       .select(greatest(col("id_a"), col("id_b")).as("src"),
         least(col("id_a"), col("id_b")).as("dst"))
       .filter(col("src") =!= col("dst"))
-      .distinct().localCheckpoint()
+      .distinct()
     val idType = pairs.schema("id_a").dataType
     val integralIds = idType match {
       case LongType | IntegerType | ShortType | ByteType => true
@@ -187,6 +194,51 @@ object Dedup {
     val nodes = pairs.select(col("id_a").as("id"))
       .union(pairs.select(col("id_b").as("id")))
       .distinct()
+
+    // union-find with min-id roots over a collected edge list; shared by
+    // the one-action probe below and the post-contraction finish
+    def localFinish(edges: Array[(Long, Long)]): DataFrame = {
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val ra = find(a); val rb = find(b)
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      }
+      val labels = edges.iterator
+        .flatMap { case (a, b) => Iterator(a, b) }
+        .toSet[Long].iterator
+        .map(id => (id, find(id)))
+        .filter { case (id, root) => id != root }
+        .toSeq
+      val labelsDf = labels.toDF("id", "root")
+        .select(col("id").cast(idType).as("id"), col("root").cast(idType).as("root"))
+      nodes.join(broadcast(labelsDf), Seq("id"), "left")
+        .select(col("id"), coalesce(col("root"), col("id")).as("root"))
+    }
+
+    // ONE-action fast path: probe with limit(threshold+1) — if the whole
+    // edge set comes back, skip the checkpoint + checksum + re-collect
+    // choreography entirely (the r5 shape spent 3 sequential driver
+    // actions to learn what this single bounded collect already proves;
+    // under a contended scheduler each action is fixed latency). A full
+    // probe at the limit is ≤ ~32 MB of longs; past the limit,
+    // LocalLimit short-circuits and we fall through to the distributed
+    // contraction below.
+    if (integralIds && localFinishMaxEdges < Int.MaxValue) {
+      val lim = localFinishMaxEdges.toInt + 1
+      val probe = canonical
+        .select(col("src").cast(LongType), col("dst").cast(LongType))
+        .limit(lim).as[(Long, Long)].collect()
+      if (probe.length < lim) return localFinish(probe)
+    }
+
+    var dir = canonical.localCheckpoint()
 
     // large-star: for every node u, connect each strictly-LARGER
     // neighbor v to m = min(Γ(u) ∪ {u}); emitted edges stay src > dst.
@@ -231,38 +283,13 @@ object Dedup {
     }
 
     if (!converged && localFinishEligible) {
-      // Local finish: union-find with min-id roots over the contracted
-      // edges. Every non-root node of the ORIGINAL graph still appears
-      // in the contracted edge list (star contraction never orphans a
-      // non-min node), so labels from here + identity for untouched
-      // nodes is the complete answer.
-      val spark = pairs.sparkSession
-      import spark.implicits._
-      val edges = dir
+      // Local finish over the CONTRACTED edges. Every non-root node of
+      // the ORIGINAL graph still appears in the contracted edge list
+      // (star contraction never orphans a non-min node), so labels from
+      // here + identity for untouched nodes is the complete answer.
+      return localFinish(dir
         .select(col("src").cast(LongType), col("dst").cast(LongType))
-        .as[(Long, Long)].collect()
-      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrElse(r, r) != r) r = parent(r)
-        var c = x // path compression
-        while (parent.getOrElse(c, c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
-        r
-      }
-      edges.foreach { case (a, b) =>
-        val ra = find(a); val rb = find(b)
-        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
-      }
-      val labels = edges.iterator
-        .flatMap { case (a, b) => Iterator(a, b) }
-        .toSet[Long].iterator
-        .map(id => (id, find(id)))
-        .filter { case (id, root) => id != root }
-        .toSeq
-      val labelsDf = labels.toDF("id", "root")
-        .select(col("id").cast(idType).as("id"), col("root").cast(idType).as("root"))
-      return nodes.join(broadcast(labelsDf), Seq("id"), "left")
-        .select(col("id"), coalesce(col("root"), col("id")).as("root"))
+        .as[(Long, Long)].collect())
     }
     if (!converged)
       throw new IllegalStateException(
