@@ -98,10 +98,12 @@ object Dedup {
     val a = buckets.as("a")
     val b = buckets.as("b")
     // candidates feeds BOTH the shingle join-back and the final verify —
-    // staged to disk eagerly so the LSH self-join runs exactly once (a
-    // lazy checkpoint let concurrently-launched consumer stages race
-    // and each recompute it; see Staging's scaladoc)
-    val candidates = Staging.stageToDisk(a.join(b,
+    // staged to disk so the LSH self-join runs exactly once (a lazy
+    // checkpoint let concurrently-launched consumer stages race and
+    // each recompute it; see Staging's scaladoc). CHAINED: candDocs'
+    // one materialization job below computes this subtree and fills
+    // its cache — no separate count job.
+    val candidates = Staging.stageToDiskChained(a.join(b,
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -510,9 +512,10 @@ object Dedup {
     // only because the test fixture derives both sides from one frame.
     val probe = buckets.filter(col("is_delta")).as("a")
     val index = buckets.as("b")
-    // staged eagerly (each feeds two consumer branches — see Staging);
-    // released after the per-delta summary materializes below
-    val candidates = Staging.stageToDisk(probe.join(index,
+    // staged (each feeds two consumer branches — see Staging); chained:
+    // candDocs' materialization fills this cache too; both released
+    // after the per-delta summary materializes below
+    val candidates = Staging.stageToDiskChained(probe.join(index,
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.id") =!= col("b.id"))
       .select(col("a.id").as("id_d"), col("b.id").as("id_o"),

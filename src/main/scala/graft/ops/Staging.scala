@@ -47,6 +47,21 @@ object Staging {
     df
   }
 
+  /** Persist WITHOUT a materialization job — for a staged frame whose
+    * first consumer is itself staged eagerly: that consumer's one
+    * materialization job computes this subtree and populates the cache
+    * along the way, saving a scheduler round-trip per chained frame.
+    * Safe even if the consumer's plan scans this frame from several
+    * branches: cache population goes through the BlockManager's
+    * get-or-compute block locking (one task computes a partition,
+    * concurrent readers block then read), unlike a lazy localCheckpoint
+    * whose racing stages each recompute the whole plan.
+    */
+  def stageToDiskChained(df: DataFrame): DataFrame = {
+    df.persist(StorageLevel.DISK_ONLY)
+    df
+  }
+
   /** Unpersist staged frames once their consumers have materialized.
     * Deterministic (CacheManager entry removed synchronously; block
     * deletion async) — nothing outlives the operator that staged it.
