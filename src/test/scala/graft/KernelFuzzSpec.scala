@@ -109,4 +109,31 @@ class KernelFuzzSpec extends AnyFunSuite {
       assert(got === want, s"trial=$trial k=$k entries=$entries")
     }
   }
+
+  test("luhnCardCount matches a regex+BigInt reference on 500 random digit soups") {
+    // reference: maximal digit runs via regex, Luhn via the textbook
+    // reversed-digit fold — deliberately nothing like the kernel's
+    // single-pass dual-parity accumulation
+    def refLuhn(s: String): Int =
+      "[0-9]+".r.findAllIn(s).count { r =>
+        r.length >= 13 && r.length <= 19 && {
+          val total = r.reverse.zipWithIndex.map { case (c, i) =>
+            val d = c - '0'
+            if (i % 2 == 1) { val t = 2 * d; if (t > 9) t - 9 else t } else d
+          }.sum
+          total % 10 == 0
+        }
+      }
+    val rnd = new scala.util.Random(7)
+    val alphabet = "0123456789 ab-."
+    (0 until 500).foreach { trial =>
+      val s = Array.fill(rnd.nextInt(120))(alphabet(rnd.nextInt(alphabet.length))).mkString
+      val got = HashKernels.luhnCardCount(utf8(s))
+      assert(got === refLuhn(s), s"trial=$trial s='$s'")
+    }
+    // targeted shapes the random soup rarely hits
+    Seq("1234567890123", "0" * 13, "0" * 19, "0" * 20, "9" * 13).foreach { s =>
+      assert(HashKernels.luhnCardCount(utf8(s)) === refLuhn(s), s"s=$s")
+    }
+  }
 }
