@@ -87,6 +87,34 @@ object GraftFunctionDefs {
       info("cm_estimate", "cm_estimate(sketch, token, depth, width, seed) - sketch point estimate"),
       (c: Seq[Expression]) => CMEstimate(c.head, c(1),
         lit(c(2), "cm_estimate").toInt, lit(c(3), "cm_estimate").toInt,
-        lit(c(4), "cm_estimate")))
+        lit(c(4), "cm_estimate"))),
+    ("luhn_card_count",
+      info("luhn_card_count",
+        "luhn_card_count(text) - count of 13-19-digit runs passing the Luhn mod-10 check"),
+      (c: Seq[Expression]) => LuhnCardCount(c.head)),
+    ("percentile_spill",
+      info("percentile_spill",
+        "percentile_spill(value, array(p, ...)[, spill_threshold]) - exact interpolated " +
+          "percentiles with a disk-spilling buffer (built-in percentile arithmetic)"),
+      (c: Seq[Expression]) => {
+        require(c(1).foldable, "percentile_spill: the percentile array must be literal")
+        val et = c(1).dataType match {
+          case org.apache.spark.sql.types.ArrayType(t, _) => t
+          case other => throw new IllegalArgumentException(
+            s"percentile_spill: expected an array of percentiles, got $other")
+        }
+        val arr = c(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        // SQL numeric literals arrive as Decimal; Column-API as Double
+        val ps = (0 until arr.numElements()).map { i =>
+          arr.get(i, et) match {
+            case d: org.apache.spark.sql.types.Decimal => d.toDouble
+            case n: java.lang.Number => n.doubleValue()
+            case other => throw new IllegalArgumentException(
+              s"percentile_spill: non-numeric percentile $other")
+          }
+        }
+        if (c.length > 2) SpillablePercentile(c.head, ps, lit(c(2), "percentile_spill").toInt)
+        else SpillablePercentile(c.head, ps)
+      })
   )
 }

@@ -87,6 +87,23 @@ class SqlFunctionsSpec extends SparkSpecBase {
     assert(est === 3L, "exact on a collision-free toy sketch")
   }
 
+  test("percentile_spill and luhn_card_count reach SQL") {
+    Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("b", 10.0))
+      .toDF("g", "v").createOrReplaceTempView("sqlfn_pct")
+    val got = spark.sql(
+      """SELECT g, percentile_spill(v, array(0.5)) AS ps,
+        |       percentile(v, array(0.5)) AS builtin
+        |FROM sqlfn_pct GROUP BY g""".stripMargin)
+      .select(col("g"), col("ps")(0), col("builtin")(0))
+      .as[(String, Double, Double)].collect()
+    got.foreach { case (g, s, b) => assert(s === b, s"group $g") }
+
+    val luhn = spark.sql(
+      "SELECT luhn_card_count('pay 4532015112830366 not 4532015112830367')")
+      .as[Int].head()
+    assert(luhn === 1)
+  }
+
   test("non-literal shape parameter is rejected with a clear error") {
     Seq(("x", 3)).toDF("t", "n").createOrReplaceTempView("sqlfn_bad")
     val e = intercept[Exception] {
