@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** Table loaders for the star schema plus a CSV reader matching the
   * reference's ingest options.
@@ -93,6 +93,30 @@ object Tables {
       case Some(s) => spark.read.schema(s).json(path)
       case None    => spark.read.json(path)
     }
+
+  /** JSONL ingest with an explicit malformed-line policy — the format
+    * training corpora actually ship in, where a 100 TB landing zone
+    * ALWAYS contains truncated/garbled lines. PERMISSIVE captures each
+    * bad line intact in `corruptCol` (quarantine-able, nothing silently
+    * dropped); DROPMALFORMED skips; FAILFAST aborts. The explicit
+    * schema matters twice at scale: no inference pass, and PERMISSIVE
+    * needs the corrupt-record column declared to retain bad lines.
+    */
+  def jsonLinesRobust(
+      spark: SparkSession, path: String, schema: StructType,
+      mode: String = "PERMISSIVE",
+      corruptCol: String = "_corrupt_record"): DataFrame = {
+    val withCorrupt =
+      if (mode.equalsIgnoreCase("PERMISSIVE") &&
+          !schema.fieldNames.contains(corruptCol))
+        schema.add(StructField(corruptCol, StringType, nullable = true))
+      else schema
+    spark.read
+      .schema(withCorrupt)
+      .option("mode", mode)
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .json(path)
+  }
 
   /** CSV ingest with the reference's options. Prefer an explicit schema:
     * `inferSchema` forces an extra full pass over the data — fine on a

@@ -73,6 +73,42 @@ class TablesSpec extends SparkSpecBase {
     assert(df.as[(Long, String)].collect().toSet === Set((1L, "alpha"), (2L, "beta")))
   }
 
+  test("jsonl malformed-line modes: PERMISSIVE quarantines the raw line, DROPMALFORMED skips, FAILFAST throws") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val f = Files.createTempFile("graft-docs-bad", ".jsonl")
+    Files.writeString(f,
+      """{"id":1,"name":"alpha"}
+        |{"id":2,"name":"beta"
+        |{"id":3,"name":"gamma"}
+        |""".stripMargin) // line 2 is truncated mid-object
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+
+    // Spark disallows corrupt-column-only projections straight off the
+    // raw source (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — materialize the
+    // parse once, then split good/bad
+    val rows = Tables.jsonLinesRobust(spark, f.toString, schema).collect()
+    val good = rows.filter(_.isNullAt(2))
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(good === Set((1L, "alpha"), (3L, "gamma")))
+    // the bad line survives VERBATIM for quarantine — not silently dropped
+    val bad = rows.filter(!_.isNullAt(2)).map(_.getString(2))
+    assert(bad.toSeq === Seq("{\"id\":2,\"name\":\"beta\""))
+
+    val dropped = Tables.jsonLinesRobust(spark, f.toString, schema, mode = "DROPMALFORMED")
+      .select("id").as[Long].collect().toSet
+    assert(dropped === Set(1L, 3L))
+
+    val e = intercept[org.apache.spark.SparkException] {
+      Tables.jsonLinesRobust(spark, f.toString, schema, mode = "FAILFAST")
+        .collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("malformed") ||
+      Option(e.getCause).exists(_.getMessage.toLowerCase.contains("malformed")))
+  }
+
   test("typed Dataset loaders round-trip the same rows as the DataFrame path") {
     import spark.implicits._
     val typed = Tables.documentsTyped(spark, Sf0001)
