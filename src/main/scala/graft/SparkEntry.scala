@@ -2913,11 +2913,13 @@ object SparkEntry {
       // explode), so the (doc, gram) stream needs no distinct shuffle;
       // the doc-frequency table is vocabulary-sized (131k grams at
       // sf0.1) and broadcasts — at true corpus scale it becomes a
-      // shuffle join on the 8-byte gram key, still never a string
+      // shuffle join on the 8-byte gram key, still never a string.
+      // gram_hashes64 = ONE rolling pass per doc; the per-position
+      // xxhash64(substring(...)) form it replaces was O(len·n) bytes +
+      // one allocation per gram, 33 CPU-seconds at sf0.1
       val grams = Tables.spreadForKernel(Tables.documents(s, dir))
-        .select(col("doc_id"), explode(array_distinct(expr(
-          "transform(sequence(1, greatest(length(text) - 11, 1))," +
-            " i -> xxhash64(substring(text, i, 12)))"))).as("g"))
+        .select(col("doc_id"), explode(array_distinct(
+          graft.functions.exprs.gram_hashes64(col("text"), 12))).as("g"))
       val freq = grams.groupBy(col("g")).agg(count(lit(1)).as("f"))
       // keyed feeds FOUR scan branches (prefix self-join a/b, verify
       // set join a/b) — EAGERLY staged to disk: with a lazy checkpoint

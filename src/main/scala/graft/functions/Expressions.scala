@@ -67,6 +67,36 @@ object HashKernels extends Serializable {
     count
   }
 
+  /** Per-position 64-bit char n-gram hashes in ONE rolling pass —
+    * position i (0-based) holds the hash of bytes [i, i+n). The naive
+    * `transform(sequence(...), i -> xxhash64(substring(text, i, n)))`
+    * formulation is O(len·n) byte work plus one UTF8String allocation
+    * PER GRAM (measured 33 CPU-seconds for 1.45M grams at sf0.1 —
+    * the dominant stage of the PPJoin pipeline); the rolling update
+    * h ← h·B + in − out·B^n makes it O(len) with zero allocation
+    * beyond the output array. Texts shorter than n yield ONE hash of
+    * the whole text (the short-document fallback the gram-set callers
+    * rely on). Same polynomial+splitmix64 construction as [[simHash]].
+    */
+  def gramHashes64(s: UTF8String, n: Int): ArrayData = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    if (len < n) return new GenericArrayData(Array(mix64(rollingHash(s))))
+    var bPowN = 1L
+    var k = 0
+    while (k < n) { bPowN *= 1000003L; k += 1 }
+    val out = new Array[Long](len - n + 1)
+    var h = 0L
+    var i = 0
+    while (i < len) {
+      h = h * 1000003L + (bytes(i) & 0xffL)
+      if (i >= n) h -= (bytes(i - n) & 0xffL) * bPowN
+      if (i >= n - 1) out(i - n + 1) = mix64(h)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** splitmix64 finalizer — cheap, well-mixed 64-bit hash step. */
   @inline def mix64(x0: Long): Long = {
     var x = x0 + 0x9e3779b97f4a7c15L
@@ -679,6 +709,21 @@ case class PqAdcScore(left: Expression, right: Expression, k: Int)
     copy(left = l, right = r)
 }
 
+/** `gram_hashes64(text, n)`: per-position 64-bit n-gram hashes, one
+  * rolling pass (see [[HashKernels.gramHashes64]]).
+  */
+case class GramHashes64(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "gram_hashes64"
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.gramHashes64(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashKernels.gramHashes64($c, $n)")
+  override protected def withNewChildInternal(c: Expression): GramHashes64 =
+    copy(child = c)
+}
+
 /** `luhn_card_count(text)`: how many MAXIMAL runs of 13–19 ASCII
   * digits in the text pass the Luhn mod-10 checksum — the card-number
   * detector behind payment-PII auditing (ISO/IEC 7812 check digit;
@@ -733,4 +778,6 @@ object exprs {
     ColumnBridge.column(PqAdcScore(expr(codes), expr(table), k))
   def luhn_card_count(c: Column): Column =
     ColumnBridge.column(LuhnCardCount(expr(c)))
+  def gram_hashes64(c: Column, n: Int): Column =
+    ColumnBridge.column(GramHashes64(expr(c), n))
 }

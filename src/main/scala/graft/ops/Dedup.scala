@@ -577,12 +577,13 @@ object Dedup {
       docs: DataFrame, textCol: String, idCol: String,
       minLen: Int = 40): DataFrame = {
     require(minLen >= 2)
+    // one rolling pass per doc (gram_hashes64) — the per-position
+    // xxhash64(substring) form is O(len·minLen) bytes + an allocation
+    // per gram, which dominates the whole pipeline's CPU
     val grams = graft.sources.Tables.spreadForKernel(docs)
       .filter(length(col(textCol)) >= minLen)
       .select(col(idCol).as("id"),
-        posexplode(expr(
-          s"transform(sequence(1, length($textCol) - ${minLen - 1})," +
-            s" i -> xxhash64(substring($textCol, i, $minLen)))"))
+        posexplode(graft.functions.exprs.gram_hashes64(col(textCol), minLen))
           .as(Seq("p0", "h")))
       .select(col("id"), (col("p0") + 1).as("p"), col("h"))
     val matches = grams.as("a").join(grams.as("b"),

@@ -110,6 +110,21 @@ class KernelFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("gramHashes64 == substring+rollingHash+mix64 reference, incl. short texts") {
+    val rnd = new scala.util.Random(13)
+    val alphabet = "abc def."
+    (0 until 300).foreach { trial =>
+      val n = 2 + rnd.nextInt(14)
+      val s = Array.fill(rnd.nextInt(80))(alphabet(rnd.nextInt(alphabet.length))).mkString
+      val got = HashKernels.gramHashes64(utf8(s), n).toLongArray().toSeq
+      val want =
+        if (s.length < n) Seq(HashKernels.mix64(HashKernels.rollingHash(utf8(s))))
+        else (0 to s.length - n).map(i =>
+          HashKernels.mix64(HashKernels.rollingHash(utf8(s.substring(i, i + n)))))
+      assert(got === want, s"trial=$trial n=$n s='$s'")
+    }
+  }
+
   test("luhnCardCount matches a regex+BigInt reference on 500 random digit soups") {
     // reference: maximal digit runs via regex, Luhn via the textbook
     // reversed-digit fold — deliberately nothing like the kernel's
