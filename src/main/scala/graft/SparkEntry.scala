@@ -1557,6 +1557,32 @@ object SparkEntry {
           minLen = 40)
         .select(col("id_a"), col("id_b"), col("max_shared_len"))),
 
+    // E132: delta novelty rate — per source in an incoming delta slice,
+    // the fraction of its DISTINCT 12-grams absent from the standing
+    // corpus: the "is this crawl worth ingesting" measurement (a
+    // near-zero novelty source is re-crawling what the corpus already
+    // holds). Hashed-gram discipline (8-byte keys, rolling kernel, no
+    // strings shuffled); the anti-join runs on distinct (source, gram)
+    // rows, so cost is vocabulary-sized. Exact basis points.
+    "q_novelty" -> ((s, dir) => {
+      val docs = Tables.spreadForKernel(Tables.documents(s, dir))
+        .filter(length(col("text")) >= 12)
+      val grams = (side: DataFrame) => side.select(col("source"),
+        explode(array_distinct(
+          graft.functions.exprs.gram_hashes64(col("text"), 12))).as("g"))
+      val dg = grams(docs.filter(col("doc_id") % 7 === 3))
+        .select(col("source"), col("g")).distinct()
+      val cg = grams(docs.filter(col("doc_id") % 7 =!= 3))
+        .select(col("g")).distinct()
+      val novel = dg.join(cg, Seq("g"), "left_anti")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_novel"))
+      dg.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
+        .join(novel, Seq("source"), "left")
+        .select(col("source"), col("n_grams"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+          expr("(coalesce(n_novel, 0L) * 10000) div n_grams").as("novelty_bp"))
+    }),
+
     // E32: benchmark decontamination — containment of a held-out "eval"
     // slice in the remaining corpus (asymmetric, broadcast-eval join;
     // the near-dup planted pairs that straddle the split surface here).
@@ -4567,6 +4593,23 @@ object SparkEntry {
          |FROM q CROSS JOIN (VALUES (3000), (4000), (5000), (6000), (7000)) tt(t)
          |GROUP BY source, tt.t""".stripMargin
     },
+
+    // novelty: oracle on actual 12-char substrings vs Spark's 64-bit
+    // hashed grams — distinct-set counts agree absent hash collisions
+    // (the established hashed-shingle caveat)
+    "q_novelty" ->
+      """WITH base AS (SELECT source, doc_id, text FROM documents WHERE length(text) >= 12),
+        |dg AS (SELECT DISTINCT source, substr(text, i, 12) AS g
+        |       FROM (SELECT * FROM base WHERE doc_id % 7 = 3),
+        |            LATERAL (SELECT unnest(range(1, length(text) - 10)) AS i)),
+        |cg AS (SELECT DISTINCT substr(text, i, 12) AS g
+        |       FROM (SELECT * FROM base WHERE doc_id % 7 <> 3),
+        |            LATERAL (SELECT unnest(range(1, length(text) - 10)) AS i))
+        |SELECT dg.source, CAST(count(*) AS BIGINT) AS n_grams,
+        |       CAST(sum(CASE WHEN cg.g IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |       CAST(sum(CASE WHEN cg.g IS NULL THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) AS novelty_bp
+        |FROM dg LEFT JOIN cg ON dg.g = cg.g
+        |GROUP BY dg.source""".stripMargin,
 
     // substring dedup: the oracle joins ACTUAL 40-char substrings where
     // Spark joins 8-byte hashes and then verifies the maximal spans —
