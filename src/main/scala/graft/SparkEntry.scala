@@ -1557,6 +1557,15 @@ object SparkEntry {
           minLen = 40)
         .select(col("id_a"), col("id_b"), col("max_shared_len"))),
 
+    // E134: minLen calibration sweep for E128 — the shared-span load at
+    // every threshold on a grid, from ONE gram pass at the grid minimum
+    // (span lengths are threshold-independent once ≥ gram size; the
+    // fan-out rides the rare pair funnel, never the corpus). The curve
+    // a curator reads to PICK minLen before the full dedup run.
+    "q_substring_sweep" -> ((s, dir) =>
+      Dedup.sharedSpanSweep(Tables.documents(s, dir), "text", "doc_id",
+        grid = Seq(40, 80, 160, 320))),
+
     // E132: delta novelty rate — per source in an incoming delta slice,
     // the fraction of its DISTINCT 12-grams absent from the standing
     // corpus: the "is this crawl worth ingesting" measurement (a
@@ -1898,6 +1907,20 @@ object SparkEntry {
         .select(col("media_id"), col("mime"), col("n_bytes"), col("width"),
           col("height"), col("mean_intensity"),
           round(col("byte_entropy"), 4).as("byte_entropy"))
+    }),
+
+    // E133: REAL container decode — payloads carry genuine PNG/JPEG/WAV
+    // structure (chunk CRCs, marker segments, RIFF alignment) and the
+    // batched mapPartitions pass PARSES dimensions / sample counts from
+    // the bytes, magic-sniffed. The oracle recomputes the expected
+    // fields from the generator's id-arithmetic independently, so a
+    // misparsed offset anywhere in the walk hash-mismatches.
+    "q_media_dims" -> ((s, dir) => {
+      val media = Multimodal.mediaWithHeaders(
+        s, Tables.spreadForKernel(Tables.documents(s, dir)))
+      Multimodal.decodeMedia(s, media).toDF()
+        .select(col("media_id"), col("fmt"), col("width"), col("height"),
+          col("channels"), col("sample_rate"), col("n_samples"), col("n_bytes"))
     }),
 
     // E8: video frame sampling — deterministic offsets, 1 media row →
@@ -4633,6 +4656,43 @@ object SparkEntry {
         |SELECT ia AS id_a, ib AS id_b, max(len) AS max_shared_len
         |FROM runs GROUP BY 1, 2""".stripMargin,
 
+    // same base CTE as q_substring_dup (exact 40-char substrings stand
+    // in for the hashed grams), then the grid fan-out over the pair set
+    "q_substring_sweep" ->
+      """WITH g AS (
+        |  SELECT doc_id, i, substr(text, i, 40) AS s
+        |  FROM documents, LATERAL (SELECT unnest(range(1, length(text) - 38)) AS i)
+        |  WHERE length(text) >= 40),
+        |m AS (
+        |  SELECT a.doc_id AS ia, b.doc_id AS ib, a.i AS pa, b.i AS pb
+        |  FROM g a JOIN g b ON a.s = b.s AND a.doc_id < b.doc_id),
+        |isl AS (
+        |  SELECT ia, ib, pa - pb AS d, pa,
+        |         pa - ROW_NUMBER() OVER (PARTITION BY ia, ib, pa - pb ORDER BY pa) AS grp
+        |  FROM m),
+        |runs AS (
+        |  SELECT ia, ib, CAST(count(*) + 39 AS BIGINT) AS len
+        |  FROM isl GROUP BY ia, ib, d, grp),
+        |spans AS (SELECT ia, ib, max(len) AS msl FROM runs GROUP BY 1, 2),
+        |grid AS (SELECT unnest([40, 80, 160, 320]) AS min_len),
+        |q AS (SELECT grid.min_len AS min_len, ia, ib, msl
+        |      FROM grid JOIN spans ON msl >= grid.min_len),
+        |pairs AS (
+        |  SELECT min_len, CAST(count(*) AS BIGINT) AS n_pairs,
+        |         max(msl) AS longest, CAST(sum(msl) AS BIGINT) AS span_mass
+        |  FROM q GROUP BY 1),
+        |docs_ AS (
+        |  SELECT min_len, CAST(count(DISTINCT id) AS BIGINT) AS n_docs
+        |  FROM (SELECT min_len, ia AS id FROM q
+        |        UNION ALL SELECT min_len, ib AS id FROM q)
+        |  GROUP BY 1)
+        |SELECT g2.min_len, coalesce(n_pairs, 0) AS n_pairs,
+        |       coalesce(n_docs, 0) AS n_docs,
+        |       coalesce(longest, 0) AS longest,
+        |       coalesce(span_mass, 0) AS span_mass
+        |FROM grid g2 LEFT JOIN pairs USING (min_len)
+        |LEFT JOIN docs_ USING (min_len)""".stripMargin,
+
     "q_embed_neardup" ->
       """WITH c AS (
         |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
@@ -4783,6 +4843,32 @@ object SparkEntry {
         |       mean_raw AS mean_intensity,
         |       round(ent_raw, 4) AS byte_entropy
         |FROM b JOIN stats USING (media_id)""".stripMargin,
+
+    // the oracle derives every field from the GENERATOR's arithmetic
+    // (never looking at the bytes), while the Spark side PARSES the
+    // container structure — agreement proves the parse. Header
+    // overheads are structural constants: PNG 8 sig + 25 IHDR + 12 IDAT
+    // + 12 IEND = 57; JPEG 2 SOI + 18 APP0 + 19 SOF0 + 14 SOS + 2 EOI
+    // = 55; WAV 12 RIFF + 24 fmt + 8 data-header = 44.
+    "q_media_dims" ->
+      """WITH b AS (
+        |  SELECT doc_id AS id, CAST(strlen(text) AS BIGINT) AS bl FROM documents),
+        |f AS (
+        |  SELECT id, bl,
+        |         CASE id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'jpeg' END AS fmt,
+        |         CASE WHEN id % 3 = 1 THEN 2 * (1 + id % 2) ELSE 0 END AS block
+        |  FROM b)
+        |SELECT id AS media_id, fmt,
+        |  CAST(CASE id % 3 WHEN 0 THEN 16 + id % 317
+        |       WHEN 2 THEN 16 + id % 251 ELSE 0 END AS INTEGER) AS width,
+        |  CAST(CASE id % 3 WHEN 0 THEN 16 + (id * 7) % 211
+        |       WHEN 2 THEN 16 + (id * 5) % 173 ELSE 0 END AS INTEGER) AS height,
+        |  CAST(CASE WHEN id % 3 = 1 THEN 1 + id % 2 ELSE 0 END AS INTEGER) AS channels,
+        |  CAST(CASE WHEN id % 3 = 1 THEN 8000 * (1 + (id // 3) % 3) ELSE 0 END AS INTEGER) AS sample_rate,
+        |  CAST(CASE WHEN id % 3 = 1 THEN (bl - bl % block) // block ELSE 0 END AS BIGINT) AS n_samples,
+        |  CAST(CASE id % 3 WHEN 0 THEN 57 + bl WHEN 2 THEN 55 + bl
+        |       ELSE 44 + bl - bl % block END AS BIGINT) AS n_bytes
+        |FROM f""".stripMargin,
 
     "q_event_windows" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

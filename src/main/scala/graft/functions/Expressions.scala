@@ -68,31 +68,61 @@ object HashKernels extends Serializable {
   }
 
   /** Per-position 64-bit char n-gram hashes in ONE rolling pass —
-    * position i (0-based) holds the hash of bytes [i, i+n). The naive
+    * position i (0-based, in CHARACTERS) holds the hash of the n-char
+    * window starting at character i. Positions count Unicode code
+    * points, matching SQL `substring` semantics, so a consumer can
+    * verify the window `substring(text, i+1, n)` on BOTH the Spark and
+    * DuckDB sides for any input (the earlier byte-indexed form silently
+    * misaligned the verify windows on non-ASCII text). Each character
+    * contributes its UTF-8 bytes folded big-endian into one value —
+    * injective per code point, and for ASCII identical to the byte
+    * rolling hash. The naive
     * `transform(sequence(...), i -> xxhash64(substring(text, i, n)))`
     * formulation is O(len·n) byte work plus one UTF8String allocation
     * PER GRAM (measured 33 CPU-seconds for 1.45M grams at sf0.1 —
     * the dominant stage of the PPJoin pipeline); the rolling update
-    * h ← h·B + in − out·B^n makes it O(len) with zero allocation
-    * beyond the output array. Texts shorter than n yield ONE hash of
-    * the whole text (the short-document fallback the gram-set callers
-    * rely on). Same polynomial+splitmix64 construction as [[simHash]].
+    * h ← h·B + in − out·B^n (ring buffer of the last n char values)
+    * makes it O(len) with zero allocation beyond output + ring. Texts
+    * shorter than n CHARS yield ONE hash of the whole text (the
+    * short-document fallback the gram-set callers rely on). Same
+    * polynomial+splitmix64 construction as [[simHash]].
     */
+  /** UTF-8 lead byte → char width; continuation/invalid bytes count 1
+    * so malformed input degrades to byte-stepping instead of drifting.
+    */
+  @inline private def utf8Width(lead: Int): Int =
+    if (lead < 0xc0) 1 else if (lead < 0xe0) 2 else if (lead < 0xf0) 3 else 4
+
   def gramHashes64(s: UTF8String, n: Int): ArrayData = {
     val bytes = s.getBytes
     val len = bytes.length
-    if (len < n) return new GenericArrayData(Array(mix64(rollingHash(s))))
+    // count chars with the SAME width rule as the main loop (not
+    // numChars(), whose invalid-byte handling may differ) so the output
+    // array length always matches the positions emitted
+    var nChars = 0
+    var ii = 0
+    while (ii < len) { ii += math.min(utf8Width(bytes(ii) & 0xff), len - ii); nChars += 1 }
+    if (nChars < n) return new GenericArrayData(Array(mix64(rollingHash(s))))
     var bPowN = 1L
     var k = 0
     while (k < n) { bPowN *= 1000003L; k += 1 }
-    val out = new Array[Long](len - n + 1)
+    val out = new Array[Long](nChars - n + 1)
+    val ring = new Array[Long](n) // char values entering the window
     var h = 0L
-    var i = 0
+    var i = 0 // byte cursor
+    var ci = 0 // char cursor
     while (i < len) {
-      h = h * 1000003L + (bytes(i) & 0xffL)
-      if (i >= n) h -= (bytes(i - n) & 0xffL) * bPowN
-      if (i >= n - 1) out(i - n + 1) = mix64(h)
-      i += 1
+      val w = math.min(utf8Width(bytes(i) & 0xff), len - i)
+      var cv = 0L
+      var j = 0
+      while (j < w) { cv = (cv << 8) | (bytes(i + j) & 0xffL); j += 1 }
+      h = h * 1000003L + cv
+      val slot = ci % n
+      if (ci >= n) h -= ring(slot) * bPowN
+      ring(slot) = cv
+      if (ci >= n - 1) out(ci - n + 1) = mix64(h)
+      i += w
+      ci += 1
     }
     new GenericArrayData(out)
   }

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 
 /** SQL-side registration of the custom Catalyst expressions, so the SQL
   * front end (`spark.sql`) has the same surface as the Column API in
@@ -91,7 +91,11 @@ object GraftFunctionDefs {
     ("luhn_card_count",
       info("luhn_card_count",
         "luhn_card_count(text) - count of 13-19-digit runs passing the Luhn mod-10 check"),
-      (c: Seq[Expression]) => LuhnCardCount(c.head)),
+      // explicit cast: the kernel reads UTF8String, and ImplicitCastInputTypes
+      // is closed to this package (AbstractDataType is private[sql]) —
+      // without it luhn_card_count(int_col) ClassCastExceptions at runtime
+      (c: Seq[Expression]) =>
+        LuhnCardCount(Cast(c.head, org.apache.spark.sql.types.StringType))),
     ("percentile_spill",
       info("percentile_spill",
         "percentile_spill(value, array(p, ...)[, spill_threshold]) - exact interpolated " +
@@ -113,8 +117,13 @@ object GraftFunctionDefs {
               s"percentile_spill: non-numeric percentile $other")
           }
         }
-        if (c.length > 2) SpillablePercentile(c.head, ps, lit(c(2), "percentile_spill").toInt)
-        else SpillablePercentile(c.head, ps)
+        // explicit double cast (update() reads the child as Double; SQL
+        // callers legitimately pass int/decimal columns and the package
+        // cannot use ImplicitCastInputTypes — AbstractDataType is
+        // private[sql])
+        val v = Cast(c.head, org.apache.spark.sql.types.DoubleType)
+        if (c.length > 2) SpillablePercentile(v, ps, lit(c(2), "percentile_spill").toInt)
+        else SpillablePercentile(v, ps)
       })
   )
 }

@@ -165,6 +165,10 @@ case class SpillablePercentile(
     child: Expression, ps: Seq[Double], spillThreshold: Int = 1 << 20,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[PercentileBuf] with UnaryLike[Expression] {
+  // update() reads the child as Double; both construction paths cast
+  // the value child to double (the Column wrapper via .cast, the SQL
+  // registry via an explicit Cast node — ImplicitCastInputTypes is
+  // closed off to this package because AbstractDataType is private[sql])
   require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
     "percentile positions must be in [0, 1]")
   require(spillThreshold > 0)
@@ -194,7 +198,14 @@ case class SpillablePercentile(
   override def serialize(b: PercentileBuf): Array[Byte] = {
     // the full multiset must cross the exchange either way (exact
     // percentiles are not mergeable from summaries); stream it as raw
-    // doubles — the same bytes the built-in ships for this step
+    // doubles — the same bytes the built-in ships for this step.
+    // NOTE on the memory contract: this one allocation is per-PARTIAL
+    // (8·values-in-this-task's-group-slice bytes), not per-group — the
+    // spill-threshold bound holds while accumulating, but the exchange
+    // step materializes each partial as one heap buffer and hard-fails
+    // past ~268M values per partial. At 100 TB that bounds map-side
+    // partial size, not group size; raise parallelism (smaller
+    // per-task slices) if a single partial approaches the cap.
     val tot = b.total
     require(tot <= (Int.MaxValue - 16) / 8,
       s"partial percentile buffer too large to serialize ($tot values)")

@@ -115,22 +115,26 @@ object Dedup {
     val candIds = candidates.select(col("id_a").as("id"))
       .union(candidates.select(col("id_b").as("id")))
       .distinct()
-    val candDocs = Staging.stageToDisk(docs
-      .join(candIds, col(idCol) === candIds("id"))
-      .select(col("id"), exprs.shingle_set(col(textCol), p.shingleN).as("sh")))
-
-    val verified = candidates
-      .join(candDocs.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(candDocs.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("jaccard", exprs.jaccard_sorted(col("sh_a"), col("sh_b")))
-      .filter(col("jaccard") >= p.jaccardThreshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
-    // the small funnel output is materialized eagerly, after which the
-    // staged intermediates are released — nothing the operator persisted
-    // outlives this call (asserted in DedupSpec's hygiene test)
-    val out = verified.localCheckpoint(eager = true)
-    Staging.release(candidates, candDocs)
-    out
+    // release in finally: a failure in the consume jobs below must not
+    // leave the staged frames registered in the session cache (library
+    // callers outside Bench/Verify get no clearCache backstop)
+    try {
+      val candDocs = Staging.stageToDisk(docs
+        .join(candIds, col(idCol) === candIds("id"))
+        .select(col("id"), exprs.shingle_set(col(textCol), p.shingleN).as("sh")))
+      try {
+        val verified = candidates
+          .join(candDocs.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+          .join(candDocs.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+          .withColumn("jaccard", exprs.jaccard_sorted(col("sh_a"), col("sh_b")))
+          .filter(col("jaccard") >= p.jaccardThreshold)
+          .select(col("id_a"), col("id_b"), col("jaccard"))
+        // the small funnel output is materialized eagerly, after which the
+        // staged intermediates are released — nothing the operator persisted
+        // outlives this call (asserted in DedupSpec's hygiene test)
+        verified.localCheckpoint(eager = true)
+      } finally Staging.release(candDocs)
+    } finally Staging.release(candidates)
   }
 
   /** Smallest-id connected-component labels over an undirected pair set:
@@ -523,22 +527,26 @@ object Dedup {
       .distinct())
     val candIds = candidates.select(col("id_d").as("id"))
       .union(candidates.select(col("id_o").as("id"))).distinct()
-    val candDocs = Staging.stageToDisk(all
-      .join(candIds, "id")
-      .select(col("id"), exprs.shingle_set(col("t"), p.shingleN).as("sh")))
-    val verified = candidates
-      .join(candDocs.select(col("id").as("id_d"), col("sh").as("sh_d")), "id_d")
-      .join(candDocs.select(col("id").as("id_o"), col("sh").as("sh_o")), "id_o")
-      .withColumn("jaccard", exprs.jaccard_sorted(col("sh_d"), col("sh_o")))
-      .filter(col("jaccard") >= p.jaccardThreshold)
-    // the per-delta summary is delta-sized — eagerly materialized so the
-    // staged candidate frames can be released before this returns
-    val perDelta = verified.groupBy(col("id_d"))
-      .agg(
-        max(when(!col("o_is_delta"), 1L).otherwise(0L)).as("dup_ex"),
-        sum(when(col("o_is_delta"), 1L).otherwise(0L)).as("n_delta_dups"))
-      .localCheckpoint(eager = true)
-    Staging.release(candidates, candDocs)
+    // staged frames released in finally — see minhashNearDupPairs
+    val perDelta = try {
+      val candDocs = Staging.stageToDisk(all
+        .join(candIds, "id")
+        .select(col("id"), exprs.shingle_set(col("t"), p.shingleN).as("sh")))
+      try {
+        val verified = candidates
+          .join(candDocs.select(col("id").as("id_d"), col("sh").as("sh_d")), "id_d")
+          .join(candDocs.select(col("id").as("id_o"), col("sh").as("sh_o")), "id_o")
+          .withColumn("jaccard", exprs.jaccard_sorted(col("sh_d"), col("sh_o")))
+          .filter(col("jaccard") >= p.jaccardThreshold)
+        // the per-delta summary is delta-sized — eagerly materialized so
+        // the staged candidate frames can be released before this returns
+        verified.groupBy(col("id_d"))
+          .agg(
+            max(when(!col("o_is_delta"), 1L).otherwise(0L)).as("dup_ex"),
+            sum(when(col("o_is_delta"), 1L).otherwise(0L)).as("n_delta_dups"))
+          .localCheckpoint(eager = true)
+      } finally Staging.release(candDocs)
+    } finally Staging.release(candidates)
     delta.select(col(idCol).as("id_d"))
       .join(perDelta, Seq("id_d"), "left")
       .select(col("id_d").as(idCol),
@@ -557,9 +565,12 @@ object Dedup {
     * as a shuffle-bounded Spark plan instead of a monolithic suffix
     * array:
     *
-    *  1. every position's `minLen`-gram, hashed to 8 bytes map-side —
-    *     the ONLY corpus-sized shuffle is (hash, id, pos) triples,
-    *     ~16B/char, the Spark analog of the suffix-array sort;
+    *  1. every CHARACTER position's `minLen`-gram, hashed to 8 bytes
+    *     map-side (gram_hashes64 emits code-point-indexed positions, so
+    *     the SQL-`substring` verify in step 4 compares the intended
+    *     windows on non-ASCII text too) — the ONLY corpus-sized shuffle
+    *     is (hash, id, pos) triples, ~16B/char, the Spark analog of the
+    *     suffix-array sort;
     *  2. hash-equality self-join (id_a < id_b) = matching positions —
     *     RARE outside true duplication at minLen ≥ 40;
     *  3. consecutive matches on one DIAGONAL (pa − pb constant) merge
@@ -606,5 +617,48 @@ object Dedup {
       .groupBy(col("ia"), col("ib"))
       .agg(max(col("len")).cast("long").as("max_shared_len"))
       .select(col("ia").as("id_a"), col("ib").as("id_b"), col("max_shared_len"))
+  }
+
+  /** minLen CALIBRATION sweep for [[sharedSubstringSpans]] (E128): the
+    * shared-span load at every threshold in `grid`, from ONE pass at
+    * the grid minimum. Correct because span lengths are
+    * threshold-independent once ≥ the gram size: a verified maximal
+    * shared span of length L ≥ m is found identically at gram size
+    * `grid.min` (it contains every `grid.min`-gram on its diagonal), so
+    * "pairs with a span ≥ m" ≡ "pairs from the base pass with
+    * max_shared_len ≥ m" — no second gram shuffle per grid point. The
+    * per-threshold fan-out happens on the PAIR funnel (rare by
+    * construction), not the corpus.
+    *
+    * Returns one row per grid value: `(min_len, n_pairs, n_docs,
+    * longest, span_mass)` — pairs ≥ threshold, distinct docs involved,
+    * longest shared span, total shared-span mass. Zeros (not absent
+    * rows) for thresholds nothing reaches, so the curve is always
+    * grid-shaped.
+    */
+  def sharedSpanSweep(
+      docs: DataFrame, textCol: String, idCol: String,
+      grid: Seq[Int] = Seq(40, 80, 160, 320)): DataFrame = {
+    require(grid.nonEmpty && grid.forall(_ >= 2))
+    val base = sharedSubstringSpans(docs, textCol, idCol, grid.min)
+    val gridDf = docs.sparkSession.range(1)
+      .select(explode(array(grid.distinct.sorted.map(m => lit(m)): _*)).as("min_len"))
+    // qualifying (threshold, pair) rows — funnel-sized × |grid|
+    val q = base.join(gridDf, base("max_shared_len") >= gridDf("min_len"))
+    val pairAgg = q.groupBy(col("min_len"))
+      .agg(count(lit(1)).as("n_pairs"),
+        max(col("max_shared_len")).as("longest"),
+        sum(col("max_shared_len")).as("span_mass"))
+    val docAgg = q.select(col("min_len"),
+        explode(array(col("id_a"), col("id_b"))).as("id"))
+      .groupBy(col("min_len"))
+      .agg(count_distinct(col("id")).as("n_docs"))
+    gridDf.join(pairAgg, Seq("min_len"), "left")
+      .join(docAgg, Seq("min_len"), "left")
+      .select(col("min_len"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("longest"), lit(0L)).as("longest"),
+        coalesce(col("span_mass"), lit(0L)).as("span_mass"))
   }
 }

@@ -183,7 +183,11 @@ object Similarity {
             zip_with(col("cv").cast("array<double>"),
               element_at(centsByCell, col("cell") + 1), (a, b) => (a - b) * (a - b)),
             lit(0.0), (acc, x) => acc + x)).as("d"))
-        .groupBy(col("cell")).agg(expr("percentile(d, 0.9)").as("r"))
+        // SpillablePercentile, not the built-in: each cell group holds
+        // ~N/numCells corpus rows, exactly the unspillable
+        // one-buffer-per-group shape the spill aggregate exists for
+        .groupBy(col("cell")).agg(element_at(
+          graft.functions.SpillablePercentile.agg(col("d"), Seq(0.9)), 1).as("r"))
         .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
       Array.tabulate(numCells)(radMap.getOrElse(_, 0.0))
     }

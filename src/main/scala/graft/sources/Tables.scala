@@ -118,6 +118,32 @@ object Tables {
       .json(path)
   }
 
+  /** STREAMING JSONL ingest with the same malformed-line policy dial as
+    * [[jsonLinesRobust]] — the landing-zone reader as a `readStream`
+    * source, so a continuously-arriving corpus gets the identical
+    * quarantine semantics per micro-batch: PERMISSIVE retains each bad
+    * line verbatim in `corruptCol` (route the non-null rows to a
+    * quarantine sink), DROPMALFORMED skips them, FAILFAST fails the
+    * QUERY (surfaced via `StreamingQuery.exception`, not a silent
+    * stall). Schema is mandatory on streaming file sources anyway —
+    * the no-inference discipline batch ingest opts into is forced here.
+    */
+  def jsonLinesRobustStream(
+      spark: SparkSession, path: String, schema: StructType,
+      mode: String = "PERMISSIVE",
+      corruptCol: String = "_corrupt_record"): DataFrame = {
+    val withCorrupt =
+      if (mode.equalsIgnoreCase("PERMISSIVE") &&
+          !schema.fieldNames.contains(corruptCol))
+        schema.add(StructField(corruptCol, StringType, nullable = true))
+      else schema
+    spark.readStream
+      .schema(withCorrupt)
+      .option("mode", mode)
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .json(path)
+  }
+
   /** CSV ingest with the reference's options. Prefer an explicit schema:
     * `inferSchema` forces an extra full pass over the data — fine on a
     * 270 KB CSV, catastrophic on 100 TB.

@@ -208,6 +208,25 @@ class DedupSpec extends SparkSpecBase {
       "unrelated doc reports no pair")
   }
 
+  test("sharedSpanSweep: one base pass yields the exact per-threshold curve") {
+    val rnd = new scala.util.Random(11)
+    def junk(n: Int): String = Array.fill(n)(('a' + rnd.nextInt(26)).toChar).mkString
+    val block = junk(100)
+    val a = junk(30) + "Q" + block + "R" + junk(30) // shares 100 with b
+    val b = junk(25) + "S" + block + "T" + junk(35)
+    val small = junk(55)
+    val c = junk(60) + "U" + small + "V" + junk(20) // shares 55 with d
+    val d = junk(22) + "W" + small + "X" + junk(70)
+    val docs = Seq((1L, a), (2L, b), (3L, c), (4L, d)).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.sharedSpanSweep(docs, "text", "doc_id",
+        grid = Seq(40, 80, 160))
+      .select("min_len", "n_pairs", "n_docs", "longest", "span_mass")
+      .as[(Int, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(40) === ((40, 2L, 4L, 100L, 155L)), "both pairs qualify at 40")
+    assert(got(80) === ((80, 1L, 2L, 100L, 100L)), "only the 100-block pair at 80")
+    assert(got(160) === ((160, 0L, 0L, 0L, 0L)), "empty thresholds emit zero rows, not absent rows")
+  }
+
   test("simhash: identical texts get identical hashes, near-dups low hamming") {
     val pairs = Dedup.simhashNearDupPairs(docs, "text", "doc_id", maxHamming = 8)
       .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()

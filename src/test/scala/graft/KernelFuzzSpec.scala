@@ -110,6 +110,48 @@ class KernelFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("gramHashes64 char positions align with String windows on non-ASCII text") {
+    // independent reference: per CHAR window, fold each char's UTF-8
+    // bytes big-endian into a value, then the same polynomial+mix64 —
+    // built from String/codePoint machinery the kernel never touches
+    def charVals(str: String): Array[Long] =
+      str.codePoints().toArray.map { cp =>
+        new String(Character.toChars(cp)).getBytes("UTF-8")
+          .foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL))
+      }
+    def refWindow(str: String, n: Int): Seq[Long] = {
+      val cv = charVals(str)
+      (0 to cv.length - n).map { i =>
+        var h = 0L
+        (i until i + n).foreach(j => h = h * 1000003L + cv(j))
+        HashKernels.mix64(h)
+      }
+    }
+    val rnd = new scala.util.Random(29)
+    val alphabet = "aβc €好😀." // 1-, 2-, 3- and 4-byte chars
+    val glyphs = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < alphabet.length) {
+        val cp = alphabet.codePointAt(i)
+        out += new String(Character.toChars(cp)); i += Character.charCount(cp)
+      }
+      out.toSeq
+    }
+    (0 until 200).foreach { trial =>
+      val n = 2 + rnd.nextInt(8)
+      val s = Seq.fill(rnd.nextInt(40))(glyphs(rnd.nextInt(glyphs.size))).mkString
+      val nChars = s.codePointCount(0, s.length)
+      val got = HashKernels.gramHashes64(utf8(s), n).toLongArray().toSeq
+      if (nChars < n)
+        assert(got === Seq(HashKernels.mix64(HashKernels.rollingHash(utf8(s)))))
+      else {
+        assert(got.length === nChars - n + 1, s"trial=$trial n=$n s='$s'")
+        assert(got === refWindow(s, n), s"trial=$trial n=$n s='$s'")
+      }
+    }
+  }
+
   test("gramHashes64 == substring+rollingHash+mix64 reference, incl. short texts") {
     val rnd = new scala.util.Random(13)
     val alphabet = "abc def."

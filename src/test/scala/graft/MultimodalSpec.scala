@@ -28,4 +28,65 @@ class MultimodalSpec extends SparkSpecBase {
     val again = Multimodal.extractFeatures(spark, media).collect()
     assert(rows.sortBy(_.media_id).toSeq === again.sortBy(_.media_id).toSeq)
   }
+
+  test("HeaderDecoder parses PNG/JPEG/WAV container structure from bytes") {
+    import Multimodal.{HeaderDecoder, MediaCodecs}
+    val body = ("some payload text " * 20).getBytes("UTF-8")
+
+    val png = HeaderDecoder.decode(1L, MediaCodecs.png(640, 480, body))
+    assert(png.fmt === "png" && png.width === 640 && png.height === 480)
+
+    val jpg = HeaderDecoder.decode(2L, MediaCodecs.jpeg(1920, 1080, body))
+    assert(jpg.fmt === "jpeg" && jpg.width === 1920 && jpg.height === 1080)
+
+    val wav = HeaderDecoder.decode(3L, MediaCodecs.wav(2, 44100, body))
+    assert(wav.fmt === "wav" && wav.channels === 2 && wav.sample_rate === 44100)
+    assert(wav.n_samples === (body.length - body.length % 4) / 4)
+
+    // PNG CRC must cover type+data (spec-correct writer): verify one
+    val pngBytes = MediaCodecs.png(10, 20, Array[Byte](1, 2, 3))
+    val crc = new java.util.zip.CRC32
+    crc.update(pngBytes, 12, 4 + 13) // IHDR type + data
+    val stored = java.nio.ByteBuffer.wrap(pngBytes, 12 + 17, 4).getInt
+    assert(stored === crc.getValue.toInt)
+  }
+
+  test("HeaderDecoder quarantines truncated and foreign payloads as unknown") {
+    import Multimodal.{HeaderDecoder, MediaCodecs}
+    val body = "abcdefghij".getBytes("UTF-8")
+    val png = MediaCodecs.png(64, 64, body)
+    // cut mid-IHDR: magic matches but the chunk walk must bail cleanly
+    assert(HeaderDecoder.decode(1L, png.take(12)).fmt === "unknown")
+    val jpeg = MediaCodecs.jpeg(64, 64, body)
+    assert(HeaderDecoder.decode(2L, jpeg.take(6)).fmt === "unknown")
+    assert(HeaderDecoder.decode(3L, "not media at all".getBytes).fmt === "unknown")
+    assert(HeaderDecoder.decode(4L, Array.emptyByteArray).fmt === "unknown")
+    // RIFF with no fmt chunk
+    val bad = "RIFF".getBytes ++ Array[Byte](8, 0, 0, 0) ++ "WAVE".getBytes
+    assert(HeaderDecoder.decode(5L, bad).fmt === "unknown")
+  }
+
+  test("decodeMedia over mediaWithHeaders: every doc parses to its generated dims") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val media = Multimodal.mediaWithHeaders(spark, docs)
+    val dims = Multimodal.decodeMedia(spark, media).collect()
+    assert(dims.length === docs.count())
+    assert(!dims.exists(_.fmt === "unknown"), "all generated payloads must parse")
+    dims.foreach { d =>
+      (d.media_id % 3) match {
+        case 0 =>
+          assert(d.fmt === "png")
+          assert(d.width === 16 + (d.media_id % 317).toInt, s"id=${d.media_id}")
+          assert(d.height === 16 + (d.media_id * 7 % 211).toInt)
+        case 1 =>
+          assert(d.fmt === "wav")
+          assert(d.channels === 1 + (d.media_id % 2).toInt)
+          assert(d.sample_rate === 8000 * (1 + (d.media_id / 3 % 3)).toInt)
+        case _ =>
+          assert(d.fmt === "jpeg")
+          assert(d.width === 16 + (d.media_id % 251).toInt)
+          assert(d.height === 16 + (d.media_id * 5 % 173).toInt)
+      }
+    }
+  }
 }

@@ -104,6 +104,26 @@ class SqlFunctionsSpec extends SparkSpecBase {
     assert(luhn === 1)
   }
 
+  test("SQL registry coerces non-canonical input types (int value columns)") {
+    // r6 ADVICE: the SQL path passed the value child uncast, so an INT
+    // column ClassCastException'd in percentile_spill.update (and
+    // luhn_card_count on non-string input likewise) — the registry now
+    // casts explicitly; pin both
+    Seq(("a", 1), ("a", 2), ("a", 3), ("a", 4), ("b", 10))
+      .toDF("g", "vi").createOrReplaceTempView("sqlfn_pct_int")
+    val got = spark.sql(
+      """SELECT g, percentile_spill(vi, array(0.5)) AS ps,
+        |       percentile(vi, array(0.5)) AS builtin
+        |FROM sqlfn_pct_int GROUP BY g""".stripMargin)
+      .select(col("g"), col("ps")(0), col("builtin")(0))
+      .as[(String, Double, Double)].collect()
+    got.foreach { case (g, s, b) => assert(s === b, s"group $g") }
+
+    val luhn = spark.sql("SELECT luhn_card_count(4532015112830366)")
+      .as[Int].head()
+    assert(luhn === 1, "digits-of-a-bigint input routes through the string cast")
+  }
+
   test("non-literal shape parameter is rejected with a clear error") {
     Seq(("x", 3)).toDF("t", "n").createOrReplaceTempView("sqlfn_bad")
     val e = intercept[Exception] {

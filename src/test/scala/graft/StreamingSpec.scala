@@ -676,4 +676,60 @@ class StreamingSpec extends SparkSpecBase {
       assert(batch.contains((1L, "2024-01-01 11:30:00", "2024-01-01 12:00:00", 1L, 4000L)))
     } finally q.stop()
   }
+
+  test("streaming JSONL quarantine: all 3 malformed-line policies match batch semantics") {
+    // E131's landing-zone reader as a readStream source: a continuously
+    // arriving corpus must get the IDENTICAL quarantine semantics the
+    // batch path proves in TablesSpec — bad line retained verbatim
+    // (PERMISSIVE), skipped (DROPMALFORMED), query-failing (FAILFAST)
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import graft.sources.Tables
+    val src = Files.createTempDirectory("graft-jsonl-src")
+    Files.writeString(src.resolve("part-0.jsonl"),
+      """{"id":1,"name":"alpha"}
+        |{"id":2,"name":"beta"
+        |{"id":3,"name":"gamma"}
+        |""".stripMargin) // line 2 truncated mid-object
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+
+    def drain(mode: String, sinkTable: String): Unit = {
+      val ckpt = Files.createTempDirectory(s"graft-jsonl-ckpt-$mode").toString
+      val q = Tables.jsonLinesRobustStream(spark, src.toString, schema, mode = mode)
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .format("memory").queryName(sinkTable)
+        .start()
+      q.awaitTermination()
+    }
+
+    drain("PERMISSIVE", "jsonl_permissive")
+    val rows = spark.table("jsonl_permissive").collect()
+    val good = rows.filter(_.isNullAt(2))
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(good === Set((1L, "alpha"), (3L, "gamma")))
+    // the bad line survives VERBATIM per micro-batch — quarantine-routable
+    val bad = rows.filter(!_.isNullAt(2)).map(_.getString(2))
+    assert(bad.toSeq === Seq("{\"id\":2,\"name\":\"beta\""))
+
+    drain("DROPMALFORMED", "jsonl_dropped")
+    val dropped = spark.table("jsonl_dropped")
+      .select(col("id")).as[Long].collect().toSet
+    assert(dropped === Set(1L, 3L))
+
+    // FAILFAST: the malformed line fails the QUERY (visible exception,
+    // not a silent stall) — parity with the batch path's throw
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain("FAILFAST", "jsonl_failfast")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("").toLowerCase).toSeq
+    assert(msgs(e).exists(m => m.contains("malformed") || m.contains("failfast")),
+      s"expected a malformed-record failure, got: ${msgs(e).mkString(" | ")}")
+  }
 }
