@@ -2965,10 +2965,20 @@ object SparkEntry {
       // shuffle join on the 8-byte gram key, still never a string.
       // gram_hashes64 = ONE rolling pass per doc; the per-position
       // xxhash64(substring(...)) form it replaces was O(len·n) bytes +
-      // one allocation per gram, 33 CPU-seconds at sf0.1
-      val grams = Tables.spreadForKernel(Tables.documents(s, dir))
-        .select(col("doc_id"), explode(array_distinct(
-          graft.functions.exprs.gram_hashes64(col("text"), 12))).as("g"))
+      // one allocation per gram, 33 CPU-seconds at sf0.1.
+      // PER-DOC gram ARRAYS are staged (chained), not the exploded
+      // stream: the freq count and the doc-join branches below both
+      // consume grams, and unstaged each re-ran the kernel +
+      // array_distinct over the corpus (two ~40 CPU-s map stages under
+      // load — the r6 contention residual). Staging the 1.4M-row
+      // EXPLODED stream was measured-and-rejected in r6 (+1 s disk
+      // round-trip); the per-doc array frame is corpus-row-count rows
+      // (~12 MB at sf0.1) and keeps the explode a cheap cache read.
+      val docGrams = graft.ops.Staging.stageToDiskChained(
+        Tables.spreadForKernel(Tables.documents(s, dir))
+          .select(col("doc_id"), array_distinct(
+            graft.functions.exprs.gram_hashes64(col("text"), 12)).as("ga")))
+      val grams = docGrams.select(col("doc_id"), explode(col("ga")).as("g"))
       val freq = grams.groupBy(col("g")).agg(count(lit(1)).as("f"))
       // keyed feeds FOUR scan branches (prefix self-join a/b, verify
       // set join a/b) — EAGERLY staged to disk: with a lazy checkpoint
@@ -2984,16 +2994,27 @@ object SparkEntry {
         .agg(sort_array(collect_list(struct(col("f"), col("g")))).as("toks"))
         .withColumn("m", size(col("toks")))
         .withColumn("plen", col("m") - ceil(lit(tau) * col("m")).cast("int") + 1))
+      // docGrams' only consumers live inside keyed's materialization —
+      // release as soon as keyed's blocks exist
+      graft.ops.Staging.release(docGrams)
       // positional prefix filter (the "PP" in PPJoin): a shared element
       // at 1-based sorted position rn caps the possible overlap at
       // 1 + min(ma − rn_a, mb − rn_b); pairs that can't reach the
       // τ-equivalent overlap α = ⌈τ/(1+τ)·(ma+mb)⌉ die at the join,
       // before the distinct (measured 90k → 17k candidates at sf0.1)
+      // explicit pg-keyed repartition: the prefix stream is only ~6 MB,
+      // so AQE coalesces the self-join's input to a handful of
+      // partitions — but the JOIN's work is quadratic in bucket size,
+      // not linear in input bytes, and under load the coalesced stage
+      // serialized on 10 tasks (r7 profile). A user repartition pins
+      // the join at full parallelism; AQE honors user-specified
+      // partition counts.
       val prefixes = keyed
         .select(col("doc_id"), col("m"),
           posexplode(expr("slice(toks, 1, plen)")).as(Seq("pos", "p")))
         .select(col("doc_id"), col("m"), (col("pos") + 1).as("rn"),
           col("p.g").as("pg"))
+        .repartition(32, col("pg"))
       val cand = prefixes.as("a").join(prefixes.as("b"),
           col("a.pg") === col("b.pg") && col("a.doc_id") < col("b.doc_id") &&
             greatest(col("a.m"), col("b.m")) * tau <= least(col("a.m"), col("b.m")) &&
@@ -3007,8 +3028,13 @@ object SparkEntry {
       // allocation profile is what ages the heap in long sessions
       val sets = keyed.select(col("doc_id"),
         sort_array(expr("transform(toks, t -> t.g)")).as("gs"))
-      cand
-        .join(sets.select(col("doc_id").as("id_a"), col("gs").as("ga")), "id_a")
+      // broadcast the candidate PAIRS into the first set join: cand is
+      // funnel-sized (ids only) at any scale, while sets carries the
+      // per-doc gram arrays — an SMJ here shuffles ~20 MB of arrays to
+      // meet ~300 KB of pairs. The second join's left side carries ga
+      // payloads (∝ candidates), so it stays a shuffle join.
+      sets.select(col("doc_id").as("id_a"), col("gs").as("ga"))
+        .join(broadcast(cand), "id_a")
         .join(sets.select(col("doc_id").as("id_b"), col("gs").as("gb")), "id_b")
         .withColumn("jaccard", graft.functions.exprs.jaccard_sorted_l(col("ga"), col("gb")))
         .filter(col("jaccard") >= tau)

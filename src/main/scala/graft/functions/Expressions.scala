@@ -217,6 +217,18 @@ object HashKernels extends Serializable {
     new GenericArrayData(mins)
   }
 
+  /** Agreeing-position fraction of two equal-length MinHash signatures
+    * (the MinHash Jaccard estimator; see [[SigAgree]]).
+    */
+  def sigAgree(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    if (n == 0) return 0.0
+    var eq = 0
+    var i = 0
+    while (i < n) { if (a.getLong(i) == b.getLong(i)) eq += 1; i += 1 }
+    eq.toDouble / n
+  }
+
   /** Sorted distinct int-domain char n-gram shingle hashes — the set used
     * for exact Jaccard verification of LSH candidate pairs.
     */
@@ -551,6 +563,28 @@ case class MinHashSig(child: Expression, n: Int, k: Int, seed: Long)
   override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
 }
 
+/** `sig_agree(sig_a, sig_b)`: fraction of agreeing MinHash signature
+  * positions — the unbiased MinHash estimate of Jaccard similarity.
+  * The pre-verify candidate filter: banding recalls far below the
+  * verify threshold (a band needs only rowsPerBand consecutive
+  * agreements), so on boilerplate-heavy corpora the raw candidate set
+  * is dominated by ~0.2-Jaccard pairs the exact verify exists to
+  * reject; this estimate, computed from signatures the pipeline
+  * already holds, separates them at 64-compare cost per pair instead
+  * of a shingle-set build + sorted-merge per pair.
+  */
+case class SigAgree(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sig_agree"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashKernels.sigAgree(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.HashKernels.sigAgree($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SigAgree =
+    copy(left = l, right = r)
+}
+
 /** `shingle_set(text, n)`: sorted distinct int shingle hashes. */
 case class ShingleSet(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
@@ -785,6 +819,8 @@ object exprs {
     ColumnBridge.column(ShingleSet(expr(c), n))
   def jaccard_sorted(a: Column, b: Column): Column =
     ColumnBridge.column(JaccardSorted(expr(a), expr(b)))
+  def sig_agree(a: Column, b: Column): Column =
+    ColumnBridge.column(SigAgree(expr(a), expr(b)))
   def jaccard_sorted_l(a: Column, b: Column): Column =
     ColumnBridge.column(JaccardSortedL(expr(a), expr(b)))
   def cosine_f(a: Column, b: Column): Column =

@@ -54,11 +54,17 @@ object Dedup {
     *     custom expression, stays in WholeStageCodegen);
     *  2. explode to `bands` rows/doc keyed by (band, hash-of-band-slice)
     *     — the ONLY data that shuffles is (key, doc_id);
-    *  3. self-join on the band key = candidates (skew note: a degenerate
-    *     band bucket is capped upstream by signature entropy; AQE skew
-    *     join handles the rest);
-    *  4. join the candidate IDS back to the SOURCE, computing shingle
-    *     sets only for candidate docs, and verify exact Jaccard.
+    *  3. self-join on the band key = raw candidates (skew note: a
+    *     degenerate band bucket is capped upstream by signature
+    *     entropy; AQE skew join handles the rest);
+    *  4. est-FILTER the raw candidates on MinHash signature agreement
+    *     (the Jaccard estimator, cut 4σ under the threshold) — banding
+    *     alone admits ~0.5-Jaccard pairs, which on boilerplate-heavy
+    *     corpora is almost everything (measured sf0.1: 199,505 raw
+    *     candidates, 256 true pairs); the estimate costs 64 long
+    *     compares per pair against a shingle build + merge per pair;
+    *  5. join the SURVIVING ids back to the SOURCE, computing shingle
+    *     sets only for plausible docs, and verify exact Jaccard.
     *
     * Returns (id_a, id_b, jaccard) with id_a < id_b.
     *
@@ -67,25 +73,32 @@ object Dedup {
     * it — but exploded shingle sets are ~10× the corpus, which is
     * uncacheable at 100 TB and was ~half the query's wall-clock even at
     * sf0.1 (materializing 5000 string arrays into the memory store).
-    * Candidates are RARE by construction, so the scale-correct verify
-    * is a second source scan joined to the candidate ids (AQE sees the
-    * tiny runtime size and broadcasts), shingling only matched rows.
-    * Cost: one extra corpus scan; only funnel-sized frames are staged.
+    * Verify-worthy candidates are rare AFTER the est-filter, so the
+    * scale-correct verify is a second source scan joined to the
+    * surviving ids (AQE sees the tiny runtime size and broadcasts),
+    * shingling only matched rows. Cost: one extra corpus scan; only
+    * signature- and funnel-sized frames are staged.
     *
-    * Staging: the candidate pairs and candidate shingle sets are
-    * [[Staging.stageToDisk]]-materialized (each feeds two consumer
-    * branches) and released before return; the verified pair set — the
-    * small funnel output downstream closure loops and anti-joins reuse —
-    * is an eager localCheckpoint, so nothing this operator persists
-    * stays registered in the session cache after it returns.
+    * Staging: the signature frame, filtered candidate pairs, and
+    * candidate shingle sets are [[Staging]]-materialized (each feeds
+    * two+ consumer branches) and released before return; the verified
+    * pair set — the small funnel output downstream closure loops and
+    * anti-joins reuse — is an eager localCheckpoint, so nothing this
+    * operator persists stays registered in the session cache after it
+    * returns.
     */
   def minhashNearDupPairs(
       docs: DataFrame, textCol: String, idCol: String,
       p: MinhashParams = MinhashParams()): DataFrame = {
     // spread: the signature kernel must not serialize on a one-split scan
-    val sigs = graft.sources.Tables.spreadForKernel(docs).select(
-      col(idCol).as("id"),
-      exprs.minhash_sig(col(textCol), p.shingleN, p.numHashes, p.seed).as("sig"))
+    // STAGED (chained): the signature frame feeds both sides of the LSH
+    // self-join AND both sides of the est-filter join below — unstaged,
+    // each consumer re-runs the most expensive map kernel in the
+    // pipeline over the whole corpus. (id, 64 longs) ≈ 0.5KB/row.
+    val sigs = Staging.stageToDiskChained(
+      graft.sources.Tables.spreadForKernel(docs).select(
+        col(idCol).as("id"),
+        exprs.minhash_sig(col(textCol), p.shingleN, p.numHashes, p.seed).as("sig")))
 
     val bandCols = (0 until p.bands).map { i =>
       struct(lit(i).as("band"),
@@ -97,17 +110,36 @@ object Dedup {
 
     val a = buckets.as("a")
     val b = buckets.as("b")
-    // candidates feeds BOTH the shingle join-back and the final verify —
-    // staged to disk so the LSH self-join runs exactly once (a lazy
-    // checkpoint let concurrently-launched consumer stages race and
-    // each recompute it; see Staging's scaladoc). CHAINED: candDocs'
-    // one materialization job below computes this subtree and fills
-    // its cache — no separate count job.
-    val candidates = Staging.stageToDiskChained(a.join(b,
+    val rawCandidates = a.join(b,
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct())
+      .distinct()
+
+    // PRE-VERIFY est-filter — the step that keeps the funnel "rare by
+    // construction" honest on boilerplate-heavy corpora. Banding's
+    // collision threshold ((1/bands)^(1/rowsPerBand) ≈ 0.5 at 16×4)
+    // sits far below jaccardThreshold, so template-sharing corpora
+    // produce candidate sets dominated by ~0.2-Jaccard pairs (measured
+    // at sf0.1: 199,505 candidates spanning 98% of docs, of which 256
+    // are true ≥0.8 pairs). Filtering on the MinHash Jaccard ESTIMATE
+    // (signature agreement — already computed, 64 compares/pair)
+    // collapses the funnel before the expensive shingle-set build +
+    // sorted-merge verify. Cut = threshold − 2/√numHashes (4σ of the
+    // estimator at the threshold, σ = √(j(1−j)/k) ≤ 1/(2√k)): a true
+    // threshold pair falls below it w.p. ~3e-5; the measured corpus
+    // separates by a full 0.2 gap. The EXACT verify still decides
+    // membership — this only prunes pairs the verify would reject.
+    val estCut = math.max(0.0, p.jaccardThreshold - 2.0 / math.sqrt(p.numHashes.toDouble))
+    // candidates (now the PLAUSIBLE set) feeds the shingle join-back and
+    // the final verify — staged so the LSH self-join + est-filter run
+    // exactly once. CHAINED: candDocs' one materialization job below
+    // computes this subtree (and sigs') and fills both caches.
+    val candidates = Staging.stageToDiskChained(rawCandidates
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .filter(exprs.sig_agree(col("sig_a"), col("sig_b")) >= estCut)
+      .select(col("id_a"), col("id_b")))
 
     // Shingle only the docs that appear in some candidate pair. The id
     // set and the shingled candidate docs are both tiny; stage the
@@ -134,7 +166,7 @@ object Dedup {
         // outlives this call (asserted in DedupSpec's hygiene test)
         verified.localCheckpoint(eager = true)
       } finally Staging.release(candDocs)
-    } finally Staging.release(candidates)
+    } finally Staging.release(candidates, sigs)
   }
 
   /** Smallest-id connected-component labels over an undirected pair set:
@@ -501,9 +533,13 @@ object Dedup {
       p: MinhashParams = MinhashParams()): DataFrame = {
     val all = existing.select(col(idCol).as("id"), col(textCol).as("t"), lit(false).as("is_delta"))
       .union(delta.select(col(idCol).as("id"), col(textCol).as("t"), lit(true).as("is_delta")))
-    val sigs = graft.sources.Tables.spreadForKernel(all).select(
-      col("id"), col("is_delta"),
-      exprs.minhash_sig(col("t"), p.shingleN, p.numHashes, p.seed).as("sig"))
+    // staged like minhashNearDupPairs' sigs: probe, index, and the
+    // est-filter below all read this frame; unstaged, each re-runs the
+    // sig kernel over existing ∪ delta
+    val sigs = Staging.stageToDiskChained(
+      graft.sources.Tables.spreadForKernel(all).select(
+        col("id"), col("is_delta"),
+        exprs.minhash_sig(col("t"), p.shingleN, p.numHashes, p.seed).as("sig")))
     val bandCols = (0 until p.bands).map { i =>
       struct(lit(i).as("band"),
         xxhash64(slice(col("sig"), i * p.rowsPerBand + 1, p.rowsPerBand)).as("bh"))
@@ -516,15 +552,23 @@ object Dedup {
     // only because the test fixture derives both sides from one frame.
     val probe = buckets.filter(col("is_delta")).as("a")
     val index = buckets.as("b")
-    // staged (each feeds two consumer branches — see Staging); chained:
-    // candDocs' materialization fills this cache too; both released
-    // after the per-delta summary materializes below
-    val candidates = Staging.stageToDiskChained(probe.join(index,
+    val rawCandidates = probe.join(index,
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.id") =!= col("b.id"))
       .select(col("a.id").as("id_d"), col("b.id").as("id_o"),
         col("b.is_delta").as("o_is_delta"))
-      .distinct())
+      .distinct()
+    // pre-verify est-filter on signature agreement — same cut and
+    // rationale as minhashNearDupPairs; the exact verify still decides
+    val estCut = math.max(0.0, p.jaccardThreshold - 2.0 / math.sqrt(p.numHashes.toDouble))
+    // staged (feeds two consumer branches — see Staging); chained:
+    // candDocs' materialization fills this cache too; released with
+    // sigs after the per-delta summary materializes below
+    val candidates = Staging.stageToDiskChained(rawCandidates
+      .join(sigs.select(col("id").as("id_d"), col("sig").as("sig_d")), "id_d")
+      .join(sigs.select(col("id").as("id_o"), col("sig").as("sig_o")), "id_o")
+      .filter(exprs.sig_agree(col("sig_d"), col("sig_o")) >= estCut)
+      .select(col("id_d"), col("id_o"), col("o_is_delta")))
     val candIds = candidates.select(col("id_d").as("id"))
       .union(candidates.select(col("id_o").as("id"))).distinct()
     // staged frames released in finally — see minhashNearDupPairs
@@ -546,7 +590,7 @@ object Dedup {
             sum(when(col("o_is_delta"), 1L).otherwise(0L)).as("n_delta_dups"))
           .localCheckpoint(eager = true)
       } finally Staging.release(candDocs)
-    } finally Staging.release(candidates)
+    } finally Staging.release(candidates, sigs)
     delta.select(col(idCol).as("id_d"))
       .join(perDelta, Seq("id_d"), "left")
       .select(col("id_d").as(idCol),

@@ -1,0 +1,79 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Throwaway funnel-size dump for the MinHash pipeline (band-bucket
+  * fan-out, candidate pairs, candidate docs) — sizing data for staging
+  * decisions. `runMain graft.tools.DebugCounts [sfDir]`.
+  */
+object DebugCounts {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val p = graft.ops.Dedup.MinhashParams()
+    val sigs = graft.sources.Tables.spreadForKernel(docs).select(
+      col("doc_id").as("id"),
+      graft.functions.exprs.minhash_sig(col("text"), p.shingleN, p.numHashes, p.seed).as("sig"))
+    val bandCols = (0 until p.bands).map { i =>
+      struct(lit(i).as("band"),
+        xxhash64(slice(col("sig"), i * p.rowsPerBand + 1, p.rowsPerBand)).as("bh"))
+    }
+    val buckets = sigs
+      .select(col("id"), explode(array(bandCols: _*)).as("b"))
+      .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
+      .persist()
+    println(s"buckets rows: ${buckets.count()}")
+    val sizes = buckets.groupBy("band", "bh").count()
+    sizes.select(sum(col("count") * (col("count") - 1) / 2).as("rawPairs"),
+      max("count").as("maxBucket"), count(lit(1)).as("nBuckets"))
+      .show(false)
+    val a = buckets.as("a"); val b = buckets.as("b")
+    val cand = a.join(b,
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    println(s"candidate rows pre-distinct: ${cand.count()}")
+    val candD = cand.distinct().persist()
+    println(s"candidate pairs distinct: ${candD.count()}")
+    val ids = candD.select(col("id_a").as("id"))
+      .union(candD.select(col("id_b").as("id"))).distinct()
+    println(s"candidate docs: ${ids.count()} of ${docs.count()}")
+
+    // signature-agreement (minhash jaccard estimate) histogram over the
+    // candidate pairs — sizing data for the pre-verify est-filter cut
+    val sigsP = sigs.persist()
+    sigsP.count()
+    val est = candD
+      .join(sigsP.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigsP.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / p.numHashes).as("est"))
+    est.groupBy(floor(col("est") * 10).as("decile")).count()
+      .orderBy("decile").show(20, false)
+    println("est >= 0.55: " + est.filter(col("est") >= 0.55).count())
+    println("est >= 0.60: " + est.filter(col("est") >= 0.60).count())
+    println("true jaccard >= 0.75 (shingle exact): " + {
+      val sh = docs.select(col("doc_id").as("id"),
+        graft.functions.exprs.shingle_set(col("text"), p.shingleN).as("sh")).persist()
+      sh.count()
+      val j = candD
+        .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .select(graft.functions.exprs.jaccard_sorted(col("sh_a"), col("sh_b")).as("j"))
+      val n75 = j.filter(col("j") >= 0.75).count()
+      val n80 = j.filter(col("j") >= 0.8).count()
+      s"$n75 (>=0.8: $n80)"
+    })
+    spark.stop()
+  }
+}

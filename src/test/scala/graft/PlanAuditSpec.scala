@@ -115,7 +115,10 @@ class PlanAuditSpec extends SparkSpecBase {
       "q_tpch_q22", "q_tpch_q11", "q_chi_square", "q_bm25",
       // rank-transform's corpus-count and winsorize's global-bounds
       // frames: same 1-row broadcast shape
-      "q_rank_transform", "q_winsorize")
+      "q_rank_transform", "q_winsorize",
+      // substring-sweep fans the rare pair funnel across a |grid|-row
+      // broadcast threshold frame (span ≥ min_len inequality) — k·pairs
+      "q_substring_sweep")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = SparkEntry.queries(name)(spark, Sf0001)
         .queryExecution.executedPlan.toString
