@@ -133,13 +133,19 @@ object Similarity {
     * rows instead of every probed candidate (structural cap, asserted
     * via plan metrics in SimilaritySpec).
     */
-  def ivfTopK(
+  /** Shared IVF front half: coarse-quantizer fit, corpus cell
+    * assignment, and the per-query cell ranking by the ball-tree
+    * optimistic bound — WITHOUT the nProbe cut, so callers can either
+    * probe a fixed prefix ([[ivfTopK]]) or sweep several prefixes from
+    * ONE assignment+ranking pass ([[ivfRecallSweep]]). Returns
+    * `(cells(neighbor_id, cv, cell), ranked(query_id, qv, cell, rn))`
+    * with `rn` = 1-based probe order.
+    */
+  private def ivfCellsAndRankedProbes(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
-      k: Int, numCells: Int = 16, nProbe: Int = 4, seed: Long = 42L,
-      fitFraction: Double = 1.0,
-      rerankShortlist: Int = 0, sketchDim: Int = 16, dim: Int = 64,
-      fitMaxIter: Int = 10): DataFrame = {
+      numCells: Int, seed: Long, fitFraction: Double,
+      fitMaxIter: Int): (DataFrame, DataFrame) = {
     val vecs = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("cv"))
     // Coarse-quantizer fit: driver-local Lloyd over the collected
     // sample (deterministic, fitMaxIter iterations — a coarse quantizer
@@ -211,7 +217,20 @@ object Similarity {
         col("c.r").as("r"))
       .withColumn("bound", greatest(lit(0.0), sqrt(col("dist")) - col("r")))
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cell"), col("rn"))
+    (cells, probes)
+  }
+
+  def ivfTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, numCells: Int = 16, nProbe: Int = 4, seed: Long = 42L,
+      fitFraction: Double = 1.0,
+      rerankShortlist: Int = 0, sketchDim: Int = 16, dim: Int = 64,
+      fitMaxIter: Int = 10): DataFrame = {
+    val (cells, ranked) = ivfCellsAndRankedProbes(corpus, corpusId, corpusVec,
+      queries, queryId, queryVec, numCells, seed, fitFraction, fitMaxIter)
+    val probes = ranked.filter(col("rn") <= nProbe)
       .select(col("query_id"), col("qv"), col("cell"))
 
     val candidates = cells.join(broadcast(probes), Seq("cell"))
@@ -239,6 +258,47 @@ object Similarity {
           round(exprs.cosine_f(col("cv"), col("qv")), 9).as("cosine"))
       topKPerQuery(scored, k)
     }
+  }
+
+  /** Recall-vs-nProbe SWEEP from one assignment + one scoring pass: the
+    * approximate top-k for EVERY probe depth in `nProbes`, derived from
+    * a single candidate set scored at the deepest probe. Correct
+    * because probing is a prefix property — the candidate set at probe
+    * depth n is exactly the rows whose cell rank ≤ n — so one exact
+    * cosine pass over the max-depth candidates plus a per-(depth,
+    * query) top-k reproduces each fixed-depth search bit-for-bit
+    * (same rounding, same tiebreak). The per-row depth fan-out is a
+    * higher-order array filter (no join, stays codegen); the scored
+    * frame is queries × max-depth-coverage, never corpus².
+    *
+    * Returns `(n_probe, query_id, rank, neighbor_id, cosine)` — the
+    * operating-point calibration curve for [[ivfTopK]].
+    */
+  def ivfRecallSweep(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, numCells: Int = 16, nProbes: Seq[Int] = Seq(2, 4, 8, 12, 16),
+      seed: Long = 42L, fitFraction: Double = 1.0,
+      fitMaxIter: Int = 10): DataFrame = {
+    require(nProbes.nonEmpty && nProbes.forall(n => n >= 1 && n <= numCells))
+    val grid = nProbes.distinct.sorted
+    val (cells, ranked) = ivfCellsAndRankedProbes(corpus, corpusId, corpusVec,
+      queries, queryId, queryVec, numCells, seed, fitFraction, fitMaxIter)
+    val cand = cells
+      .join(broadcast(ranked.filter(col("rn") <= grid.max)), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("rn"), col("neighbor_id"),
+        round(exprs.cosine_f(col("cv"), col("qv")), 9).as("cosine"))
+    // a candidate in the rank-rn cell belongs to every depth ≥ rn
+    val gridArr = array(grid.map(lit): _*)
+    val swept = cand.withColumn("n_probe",
+      explode(filter(gridArr, n => n >= col("rn"))))
+    val wk = Window.partitionBy(col("n_probe"), col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    swept.withColumn("rank", row_number().over(wk))
+      .filter(col("rank") <= k)
+      .select(col("n_probe"), col("query_id"), col("rank"),
+        col("neighbor_id"), col("cosine"))
   }
 
   /** Deterministic driver-side PQ codebook training: per subspace, Lloyd

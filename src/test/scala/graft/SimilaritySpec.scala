@@ -102,16 +102,18 @@ class SimilaritySpec extends SparkSpecBase {
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val approx = ops.Similarity.ivfPqTopK(
         e, "vec_id", "embedding", queries, "qid", "qv",
-        k = 5, numCells = 16, nProbe = 8, m = 8, codebookSize = 16,
-        rerank = 96, fitFraction = 0.5)
+        k = 5, numCells = 16, nProbe = 12, m = 8, codebookSize = 16,
+        rerank = 128, fitFraction = 0.5)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = (exact & approx).size.toDouble / exact.size
     info(f"IVF+PQ recall@5 over 20 queries: $recall%.3f")
     assert(exact.size === 100)
     // compound loss: nProbe cell misses + residual quantization — the
     // probed-cell coverage bound dominates on isotropic vectors.
-    // Measured 0.80 at nProbe=8/16; bound leaves seed headroom.
-    assert(recall >= 0.7)
+    // Measured 0.87 at the r7 operating point (nProbe=12/16,
+    // rerank=128, chosen off the q_ann_ivf_sweep curve); bound leaves
+    // seed headroom.
+    assert(recall >= 0.8)
   }
 
   test("IVF+PQ index layout: residual codes beat raw-vector codes at equal budget") {
@@ -354,11 +356,13 @@ class SimilaritySpec extends SparkSpecBase {
     // balanced driver-Lloyd quantizer's 35% at the same nProbe. Balanced
     // cells are what you want at scale (no hot-cell task skew, recall
     // per candidate scanned is HIGHER); the honest isotropic number at
-    // nProbe 8/16 (~50% coverage) is 0.80 with the ball-tree
+    // nProbe 8/16 (~50% coverage) was 0.80 with the ball-tree
     // optimistic-bound cell ranking (max(0, dist − r90); plain
-    // centroid-distance ranking measured 0.79). Asserted at the
-    // published 0.8. Blob-structured data — IVF's design target —
-    // stays ≥ 0.9 above.
+    // centroid-distance ranking measured 0.79). The r7 operating point
+    // moved to nProbe=12/16 off the published q_ann_ivf_sweep curve
+    // (2→0.41, 4→0.49, 8→0.80, 12→0.96, 16→1.00 at sf0.01): measured
+    // 0.95-0.96, asserted at 0.85. Blob-structured data — IVF's design
+    // target — stays ≥ 0.9 above.
     val e = sources.Tables.embeddings(spark, Sf001)
     val queries = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
@@ -366,12 +370,45 @@ class SimilaritySpec extends SparkSpecBase {
         e, "vec_id", "embedding", queries, "qid", "qv", k = 5)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val approx = Similarity.ivfTopK(e, "vec_id", "embedding", queries, "qid", "qv",
-        k = 5, numCells = 16, nProbe = 8,
+        k = 5, numCells = 16, nProbe = 12,
         fitFraction = 0.25, rerankShortlist = 240, sketchDim = 32)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = (exact & approx).size.toDouble / exact.size
     info(f"IVF recall@5, sampled fit + rerank, isotropic sf0.01: $recall%.3f")
-    assert(recall >= 0.8, f"got $recall%.3f — published isotropic number is 0.80")
+    assert(recall >= 0.85, f"got $recall%.3f — published isotropic number is 0.95")
+  }
+
+  test("ivfRecallSweep: monotone curve, exact at full coverage, matches fixed-depth search") {
+    val e = sources.Tables.embeddings(spark, Sf001)
+    val queries = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val exact = Similarity.bruteForceTopK(
+        e, "vec_id", "embedding", queries, "qid", "qv", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val sweep = Similarity.ivfRecallSweep(e, "vec_id", "embedding",
+        queries, "qid", "qv", k = 5, numCells = 16,
+        nProbes = Seq(2, 4, 8, 12, 16), fitFraction = 0.25)
+      .select("n_probe", "query_id", "neighbor_id")
+      .as[(Int, Long, Long)].collect()
+    val recallAt = sweep.groupBy(_._1).view.mapValues { rows =>
+      rows.count(r => exact((r._2, r._3))).toDouble / exact.size
+    }.toMap
+    info(s"recall curve: ${recallAt.toSeq.sorted.map { case (n, r) => f"$n->$r%.2f" }.mkString(", ")}")
+    // deeper probing can only add candidates — the curve is monotone
+    val curve = Seq(2, 4, 8, 12, 16).map(recallAt)
+    assert(curve.zip(curve.tail).forall { case (a, b) => b >= a - 1e-9 },
+      s"non-monotone curve: $curve")
+    // full coverage = a brute-force scan = recall 1.0 by construction
+    assert(recallAt(16) === 1.0)
+    // the published operating point clears the r7 floor
+    assert(recallAt(12) >= 0.85)
+    // the sweep's depth-12 slice IS the fixed-depth search (bit-equal
+    // scoring: same rounding, same tiebreak, no sketch stage)
+    val fixed = Similarity.ivfTopK(e, "vec_id", "embedding", queries, "qid", "qv",
+        k = 5, numCells = 16, nProbe = 12, fitFraction = 0.25)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val slice = sweep.filter(_._1 == 12).map(r => (r._2, r._3)).toSet
+    assert(slice === fixed, "sweep slice must equal the fixed-depth search")
   }
 
   test("lshTopK returns a subset of brute-force candidates with exact scores") {
