@@ -3068,6 +3068,114 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), col("jaccard"))
     }),
 
+    // E136: hybrid retrieval — BM25 more-like-this (text channel) and
+    // embedding cosine (vector channel) fused by Reciprocal Rank
+    // Fusion, the standard two-tower RAG retrieval shape. Determinism
+    // discipline: per-term BM25 contributions are integer-ized to
+    // micro-units BEFORE the per-doc sum (float summation order is
+    // engine-dependent; integer addition is not), ranks use the
+    // integer score + id tiebreaks, and RRF is integer division
+    // 10^9 div (60 + rank) per channel — every cross-engine comparison
+    // happens on exact integers. Fusion depth 20/channel, final k=10.
+    "q_hybrid_rrf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val k1 = 1.2; val b = 0.75
+      val docs = Tables.documents(s, dir)
+      val tokens = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .filter(length(col("term")) > 0)
+      val dl = tokens.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val tf = tokens.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df = tokens.select(col("doc_id"), col("term")).distinct()
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val corpus = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
+      // query side: the distinct terms of the 5 query docs
+      val qterms = tokens.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"), col("term")).distinct()
+      val textScored = qterms
+        .join(tf.join(df, "term").join(dl, "doc_id"), "term")
+        .filter(col("doc_id") =!= col("query_id"))
+        .crossJoin(broadcast(corpus))
+        .withColumn("avgdl",
+          col("tot_dl").cast("double") / col("n_docs").cast("double"))
+        .withColumn("idf",
+          log((col("n_docs").cast("double") - col("df") + 0.5)
+            / (col("df").cast("double") + 0.5) + 1.0))
+        .withColumn("contrib_micro",
+          floor(col("idf") * (col("tf") * (k1 + 1.0))
+            / (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+            * 1000000.0 + 0.5).cast("long"))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(sum(col("contrib_micro")).as("bm25_micro"))
+      val wt = Window.partitionBy(col("query_id"))
+        .orderBy(col("bm25_micro").desc, col("doc_id").asc)
+      val textTop = textScored.withColumn("rt", row_number().over(wt))
+        .filter(col("rt") <= 20).select(col("query_id"), col("doc_id"), col("rt"))
+      // vector channel: cosine between the query doc's embedding and all
+      // others (ids align 1:1 with documents); ranked on the rounded
+      // score + id tiebreak, same as the ANN family
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"))
+      val qv = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val wv = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("doc_id").asc)
+      val vecTop = emb.crossJoin(broadcast(qv))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("doc_id"),
+          round(graft.functions.exprs.cosine_f(col("embedding"), col("qe")), 9).as("cos"))
+        .withColumn("rv", row_number().over(wv))
+        .filter(col("rv") <= 20).select(col("query_id"), col("doc_id"), col("rv"))
+      // RRF fusion: integer nanos, absent channel contributes 0
+      val wf = Window.partitionBy(col("query_id"))
+        .orderBy(col("rrf_nano").desc, col("doc_id").asc)
+      textTop.join(vecTop, Seq("query_id", "doc_id"), "full_outer")
+        .withColumn("rrf_nano",
+          coalesce(expr("CAST(1000000000 div (60 + rt) AS BIGINT)"), lit(0L)) +
+            coalesce(expr("CAST(1000000000 div (60 + rv) AS BIGINT)"), lit(0L)))
+        .withColumn("rank", row_number().over(wf))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("doc_id"), col("rrf_nano"))
+    }),
+
+    // E137: LSH banding S-curve planner — P[candidate] = 1−(1−j^r)^b
+    // for every (bands, rowsPerBand) split of 64 hashes × a Jaccard
+    // grid: the table a curator reads to pick banding before a dedup
+    // run (and the quantitative story behind the E2 est-filter: at
+    // 16×4 the curve passes ~0.5-Jaccard pairs that the 0.8 verify
+    // rejects). Cross-engine determinism: j = c/100 (one correctly-
+    // rounded division), then ONLY repeated-squaring multiplications —
+    // r and b are powers of two, so no pow()/exp()/ln(), and IEEE
+    // basic ops are bit-identical in any engine. p published in exact
+    // basis points of the resulting double.
+    "q_lsh_scurve" -> ((s, dir) => {
+      val grid = s.range(1, 20).select((col("id") * 5).as("j_centi"))
+      val confs = Seq((32, 2), (16, 4), (8, 8), (4, 16))
+      val confDf = s.createDataFrame(confs).toDF("bands", "rows_per_band")
+      grid.crossJoin(broadcast(confDf))
+        .withColumn("j", col("j_centi").cast("double") / 100.0)
+        .withColumn("j2", col("j") * col("j"))
+        .withColumn("j4", col("j2") * col("j2"))
+        .withColumn("j8", col("j4") * col("j4"))
+        .withColumn("j16", col("j8") * col("j8"))
+        .withColumn("x", lit(1.0) - when(col("rows_per_band") === 2, col("j2"))
+          .when(col("rows_per_band") === 4, col("j4"))
+          .when(col("rows_per_band") === 8, col("j8"))
+          .otherwise(col("j16")))
+        .withColumn("x2", col("x") * col("x"))
+        .withColumn("x4", col("x2") * col("x2"))
+        .withColumn("x8", col("x4") * col("x4"))
+        .withColumn("x16", col("x8") * col("x8"))
+        .withColumn("x32", col("x16") * col("x16"))
+        .withColumn("p", lit(1.0) - when(col("bands") === 4, col("x4"))
+          .when(col("bands") === 8, col("x8"))
+          .when(col("bands") === 16, col("x16"))
+          .otherwise(col("x32")))
+        .select(col("bands"), col("rows_per_band"), col("j_centi"),
+          floor(col("p") * 10000.0 + 0.5).cast("long").as("p_bp"))
+    }),
+
     // E99: data-contract quarantine — declarative expectation rules
     // evaluated in ONE scan (conditional partial aggs, no per-rule
     // pass): per rule the violation count and rate, plus the fully-clean
@@ -5439,6 +5547,88 @@ object SparkEntry {
         |                 ORDER BY bm25 DESC, term ASC) AS rnk
         |      FROM scored)
         |WHERE rnk <= 5""".stripMargin,
+
+    // same BM25 arithmetic conventions as q_bm25's oracle (2.2 literal,
+    // (0.75·dl)/avgdl grouping); contributions integer-ized per term
+    // BEFORE the per-doc sum so aggregation order cannot matter, RRF in
+    // exact integer nanos — every ranked comparison is on integers
+    "q_hybrid_rrf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tok2 AS (SELECT doc_id, term FROM tok WHERE length(term) > 0),
+        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok2 GROUP BY doc_id),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM tok2 GROUP BY doc_id, term),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        |       FROM (SELECT DISTINCT doc_id, term FROM tok2) GROUP BY term),
+        |corpus AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |                  CAST(sum(dl) AS DOUBLE) AS tot_dl FROM dl),
+        |qterms AS (SELECT DISTINCT doc_id AS query_id, term FROM tok2 WHERE doc_id < 5),
+        |text_scored AS (
+        |  SELECT q.query_id, tf.doc_id,
+        |         CAST(sum(CAST(floor(
+        |           ln((c.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+        |           * (tf.tf * 2.2)
+        |           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / (c.tot_dl / c.n_docs)))
+        |           * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS bm25_micro
+        |  FROM qterms q
+        |  JOIN tf ON tf.term = q.term AND tf.doc_id <> q.query_id
+        |  JOIN df ON df.term = q.term
+        |  JOIN dl ON dl.doc_id = tf.doc_id
+        |  CROSS JOIN corpus c
+        |  GROUP BY 1, 2),
+        |text_top AS (
+        |  SELECT query_id, doc_id, rt FROM (
+        |    SELECT query_id, doc_id,
+        |           ROW_NUMBER() OVER (PARTITION BY query_id
+        |             ORDER BY bm25_micro DESC, doc_id ASC) AS rt
+        |    FROM text_scored) WHERE rt <= 20),
+        |vec_top AS (
+        |  SELECT query_id, doc_id, rv FROM (
+        |    SELECT q.vec_id AS query_id, e.vec_id AS doc_id,
+        |           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |             ORDER BY round(list_cosine_similarity(
+        |               e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 9) DESC,
+        |               e.vec_id ASC) AS rv
+        |    FROM embeddings e, embeddings q
+        |    WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id) WHERE rv <= 20),
+        |fused AS (
+        |  SELECT query_id, doc_id,
+        |         CAST(coalesce(1000000000 // (60 + rt), 0)
+        |            + CAST(coalesce(1000000000 // (60 + rv), 0) AS BIGINT) AS BIGINT) AS rrf_nano
+        |  FROM text_top FULL OUTER JOIN vec_top USING (query_id, doc_id))
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, rrf_nano
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |                 ORDER BY rrf_nano DESC, doc_id ASC) AS rank
+        |      FROM fused)
+        |WHERE rank <= 10""".stripMargin,
+
+    // pure repeated-squaring arithmetic — every step is an IEEE basic
+    // op (one division + multiplications), bit-identical in any engine;
+    // no pow()/ln() whose libm rounding could differ
+    "q_lsh_scurve" ->
+      """WITH grid AS (SELECT unnest(range(1, 20)) * 5 AS j_centi),
+        |confs AS (SELECT * FROM (VALUES (32, 2), (16, 4), (8, 8), (4, 16))
+        |          AS t(bands, rows_per_band)),
+        |c AS (SELECT bands, rows_per_band, j_centi,
+        |             CAST(j_centi AS DOUBLE) / 100.0 AS j
+        |      FROM grid CROSS JOIN confs),
+        |s1 AS (SELECT *, j * j AS j2 FROM c),
+        |s2 AS (SELECT *, j2 * j2 AS j4 FROM s1),
+        |s3 AS (SELECT *, j4 * j4 AS j8 FROM s2),
+        |s4 AS (SELECT *, j8 * j8 AS j16 FROM s3),
+        |x0 AS (SELECT bands, rows_per_band, j_centi,
+        |              1.0 - CASE rows_per_band WHEN 2 THEN j2 WHEN 4 THEN j4
+        |                    WHEN 8 THEN j8 ELSE j16 END AS x FROM s4),
+        |x1 AS (SELECT *, x * x AS x2 FROM x0),
+        |x2_ AS (SELECT *, x2 * x2 AS x4 FROM x1),
+        |x3_ AS (SELECT *, x4 * x4 AS x8 FROM x2_),
+        |x4_ AS (SELECT *, x8 * x8 AS x16 FROM x3_),
+        |x5_ AS (SELECT *, x16 * x16 AS x32 FROM x4_)
+        |SELECT bands, rows_per_band, CAST(j_centi AS BIGINT) AS j_centi,
+        |       CAST(floor((1.0 - CASE bands WHEN 4 THEN x4 WHEN 8 THEN x8
+        |            WHEN 16 THEN x16 ELSE x32 END) * 10000.0 + 0.5) AS BIGINT) AS p_bp
+        |FROM x5_""".stripMargin,
 
     "q_weighted_sample" ->
       """WITH cum AS (

@@ -98,10 +98,10 @@ class PlanAuditSpec extends SparkSpecBase {
     val intentional = Set(
       "q_ann_topk", "q_ann_ivf_recall", "q_ann_lsh_recall", "q_tfidf",
       "q_ann_pq", "q_ann_pq_recall",
-      // ivfpq_recall embeds the brute-force EXACT baseline it measures
-      // against (the ivfpq search itself plans with no quadratic join —
-      // it is deliberately absent from this list)
-      "q_ann_ivfpq_recall",
+      // ivfpq_recall and the ivf sweep embed the brute-force EXACT
+      // baseline they measure against (the ivfpq search itself plans
+      // with no quadratic join — deliberately absent from this list)
+      "q_ann_ivfpq_recall", "q_ann_ivf_sweep",
       // mix-temperature's denominator is a 1-row broadcast (ordered-fold
       // Σ√tokens over the source list — the q_tfidf scalar shape)
       "q_mix_temperature",
@@ -118,7 +118,11 @@ class PlanAuditSpec extends SparkSpecBase {
       "q_rank_transform", "q_winsorize",
       // substring-sweep fans the rare pair funnel across a |grid|-row
       // broadcast threshold frame (span ≥ min_len inequality) — k·pairs
-      "q_substring_sweep")
+      "q_substring_sweep",
+      // hybrid-rrf: 1-row corpus stats + 5-row query-vector broadcast
+      // (the q_tfidf scalar shape, twice); lsh-scurve: 19-row grid ×
+      // 4-row config broadcast — constants, not data
+      "q_hybrid_rrf", "q_lsh_scurve")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = SparkEntry.queries(name)(spark, Sf0001)
         .queryExecution.executedPlan.toString
