@@ -1924,6 +1924,30 @@ object SparkEntry {
           (coalesce(col("n_hit"), lit(0L)) / 5.0).as("recall"))
     }),
 
+    // E138: the IVF+PQ recall curve, one ADC pass (probe depth sliced
+    // by cell rank, per-depth shortlist + shared exact re-rank) — the
+    // PQ-side companion of q_ann_ivf_sweep, in the same integer basis
+    // points. The r7 operating point (nProbe=12, rerank=128 → 0.87)
+    // is read off this curve.
+    "q_ann_ivfpq_sweep" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val queries = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val exact = Similarity.bruteForceTopK(
+          e, "vec_id", "embedding", queries, "qid", "qv", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val nq = 20L
+      val approx = Similarity.ivfPqRecallSweep(e, "vec_id", "embedding",
+          queries, "qid", "qv", k = 5, numCells = 16,
+          nProbes = Seq(2, 4, 8, 12, 16), m = 8, codebookSize = 16,
+          rerank = 128, fitFraction = 0.5)
+        .select(col("n_probe"), col("query_id"), col("neighbor_id"))
+      approx.join(exact, Seq("query_id", "neighbor_id"), "leftsemi")
+        .groupBy(col("n_probe")).agg(count(lit(1)).as("n_hit"))
+        .select(col("n_probe"),
+          expr(s"CAST(n_hit * 10000 div (5 * $nq) AS BIGINT)").as("recall_bp"))
+    }),
+
     // E8: multimodal plumbing — batched feature extraction over payloads
     "q_multimodal_meta" -> ((s, dir) => {
       val media = Multimodal.mediaFromDocuments(Tables.documents(s, dir))

@@ -588,7 +588,10 @@ object Similarity {
           lit(0.0), (acc, x) => acc + x).as("dot_qc"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= nProbe)
-      .select(col("query_id"), col("qv"), col("qt"), col("cell"), col("dot_qc"))
+      // rn (the probe order) rides along so sweep callers can slice
+      // the frame by depth; fixed-depth callers ignore it
+      .select(col("query_id"), col("qv"), col("qt"), col("cell"),
+        col("dot_qc"), col("rn"))
   }
 
   /** ADC scan + shortlist + exact re-rank over a prepared probe frame. */
@@ -628,6 +631,60 @@ object Similarity {
       numCells, nProbe, m, codebookSize)
     ivfPqScan(index, probes, corpus, corpusId, corpusVec,
       queries, queryId, queryVec, k, codebookSize, rerank)
+  }
+
+  /** Recall-vs-nProbe sweep for [[ivfPqTopK]], one ADC pass: the probe
+    * frame is computed once at the deepest grid point with its probe
+    * order kept, each candidate's ADC score is computed once, and the
+    * per-depth shortlist + exact re-rank are derived by slicing on
+    * cell rank (probe depth is a prefix property, as in
+    * [[ivfRecallSweep]]). The exact re-rank joins vectors once for the
+    * DISTINCT (query, neighbor) shortlist union — depths share
+    * re-ranked scores, they differ only in which candidates qualify.
+    *
+    * Returns `(n_probe, query_id, rank, neighbor_id, cosine)`.
+    */
+  def ivfPqRecallSweep(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, numCells: Int = 16, nProbes: Seq[Int] = Seq(2, 4, 8, 12, 16),
+      m: Int = 8, codebookSize: Int = 16, seed: Long = 42L,
+      fitFraction: Double = 1.0, rerank: Int = 64): DataFrame = {
+    require(rerank >= k, "re-rank shortlist must be at least k")
+    require(nProbes.nonEmpty && nProbes.forall(n => n >= 1 && n <= numCells))
+    val grid = nProbes.distinct.sorted
+    val (index, coarseCb, pqCb) =
+      buildIvfPqIndex(corpus, corpusId, corpusVec, numCells, m, codebookSize,
+        seed, fitFraction)
+    val probes = ivfPqProbes(queries, queryId, queryVec, coarseCb, pqCb,
+      numCells, grid.max, m, codebookSize)
+    val pre = index.join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("rn"), col("neighbor_id"),
+        round(col("dot_qc") +
+          exprs.pq_adc_score(col("codes"), col("qt"), codebookSize), 9).as("adc"))
+    val gridArr = array(grid.map(lit): _*)
+    val swept = pre.withColumn("n_probe",
+      explode(filter(gridArr, n => n >= col("rn"))))
+    val ws = Window.partitionBy(col("n_probe"), col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id").asc)
+    val shortlists = swept.withColumn("sr", row_number().over(ws))
+      .filter(col("sr") <= rerank)
+      .select(col("n_probe"), col("query_id"), col("neighbor_id"))
+    val exact = shortlists.select(col("query_id"), col("neighbor_id")).distinct()
+      .join(corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("cv")),
+        "neighbor_id")
+      .join(broadcast(queries.select(col(queryId).as("query_id"), col(queryVec).as("qv"))),
+        "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(exprs.cosine_f(col("cv"), col("qv")), 9).as("cosine"))
+    val wk = Window.partitionBy(col("n_probe"), col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    shortlists.join(exact, Seq("query_id", "neighbor_id"))
+      .withColumn("rank", row_number().over(wk))
+      .filter(col("rank") <= k)
+      .select(col("n_probe"), col("query_id"), col("rank"),
+        col("neighbor_id"), col("cosine"))
   }
 
   /** IVF+PQ search against the PERSISTED cell-partitioned index table

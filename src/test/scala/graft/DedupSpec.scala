@@ -189,6 +189,25 @@ class DedupSpec extends SparkSpecBase {
       "the keyed signatures+shingles frame must be unpersisted once pairs materialize")
   }
 
+  test("minhashNearDupPairs releases staged frames even when a downstream job FAILS") {
+    // r6 ADVICE: an exception between stage and release used to leave
+    // the staged candidate frames registered in the session cache for
+    // library callers with no clearCache backstop — the release now
+    // rides try/finally. Force a mid-pipeline failure with a poisoned
+    // id column (cast blows up inside the staged subtree's consumer).
+    spark.catalog.clearCache()
+    val poisoned = docs.withColumn("bad_id",
+      when(col("doc_id") === 0L, lit("boom")).otherwise(col("doc_id").cast("string")))
+    intercept[Exception] {
+      // ANSI cast of "boom" fails inside the verify chain's jobs
+      Dedup.minhashNearDupPairs(
+        poisoned.select(expr("CAST(bad_id AS BIGINT) AS doc_id"), col("text")),
+        "text", "doc_id").count()
+    }
+    assert(org.apache.spark.sql.graft.CacheBridge.noCachedPlans(spark),
+      "staged frames must be unpersisted on the failure path too")
+  }
+
   test("sharedSubstringSpans: longest embedded shared block, exactly") {
     val rnd = new scala.util.Random(5)
     def junk(n: Int): String = Array.fill(n)(('a' + rnd.nextInt(26)).toChar).mkString

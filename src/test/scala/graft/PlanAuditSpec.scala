@@ -101,7 +101,7 @@ class PlanAuditSpec extends SparkSpecBase {
       // ivfpq_recall and the ivf sweep embed the brute-force EXACT
       // baseline they measure against (the ivfpq search itself plans
       // with no quadratic join — deliberately absent from this list)
-      "q_ann_ivfpq_recall", "q_ann_ivf_sweep",
+      "q_ann_ivfpq_recall", "q_ann_ivf_sweep", "q_ann_ivfpq_sweep",
       // mix-temperature's denominator is a 1-row broadcast (ordered-fold
       // Σ√tokens over the source list — the q_tfidf scalar shape)
       "q_mix_temperature",

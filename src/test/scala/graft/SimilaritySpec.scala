@@ -411,6 +411,39 @@ class SimilaritySpec extends SparkSpecBase {
     assert(slice === fixed, "sweep slice must equal the fixed-depth search")
   }
 
+  test("ivfPqRecallSweep: monotone curve, operating point holds, slice matches fixed-depth recall") {
+    val e = sources.Tables.embeddings(spark, Sf001)
+    val queries = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val exact = Similarity.bruteForceTopK(
+        e, "vec_id", "embedding", queries, "qid", "qv", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val sweep = Similarity.ivfPqRecallSweep(e, "vec_id", "embedding",
+        queries, "qid", "qv", k = 5, numCells = 16,
+        nProbes = Seq(2, 4, 8, 12, 16), m = 8, codebookSize = 16,
+        rerank = 128, fitFraction = 0.5)
+      .select("n_probe", "query_id", "neighbor_id")
+      .as[(Int, Long, Long)].collect()
+    val recallAt = sweep.groupBy(_._1).view.mapValues { rows =>
+      rows.count(r => exact((r._2, r._3))).toDouble / exact.size
+    }.toMap
+    info(s"IVF+PQ recall curve: ${recallAt.toSeq.sorted.map { case (n, r) => f"$n->$r%.2f" }.mkString(", ")}")
+    val curve = Seq(2, 4, 8, 12, 16).map(recallAt)
+    assert(curve.zip(curve.tail).forall { case (a, b) => b >= a - 1e-9 },
+      s"non-monotone curve: $curve")
+    // r7 operating point read off this curve
+    assert(recallAt(12) >= 0.8)
+    // the sweep's depth-12 recall equals the fixed-depth search's —
+    // same ADC scores, same shortlist size, same exact re-rank
+    val fixed = Similarity.ivfPqTopK(e, "vec_id", "embedding", queries, "qid", "qv",
+        k = 5, numCells = 16, nProbe = 12, m = 8, codebookSize = 16,
+        rerank = 128, fitFraction = 0.5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val fixedRecall = (exact & fixed).size.toDouble / exact.size
+    assert(math.abs(recallAt(12) - fixedRecall) < 1e-9,
+      s"sweep slice recall ${recallAt(12)} vs fixed-depth $fixedRecall")
+  }
+
   test("lshTopK returns a subset of brute-force candidates with exact scores") {
     val queries = Seq((0L, Array(1.0f, 0.0f, 0.0f))).toDF("qid", "qv")
     val lsh = Similarity.lshTopK(

@@ -20,10 +20,10 @@ class SurfaceSpec extends AnyFunSuite {
     "q_ann_pq", "q_ann_pq_recall",
     "q_approx_distinct", "q_approx_quantile",
     "q_kmeans_clusters",
-    // the recall curve measures the ANN against the exact baseline —
+    // the recall curves measure the ANN against the exact baseline —
     // same family, same rows+spec posture (SimilaritySpec pins the
-    // curve's shape and the operating-point floor)
-    "q_ann_ivf_sweep")
+    // curves' shape and the operating-point floors)
+    "q_ann_ivf_sweep", "q_ann_ivfpq_sweep")
 
   test("every query has an oracle or a documented exemption") {
     val q = SparkEntry.queries.keySet
