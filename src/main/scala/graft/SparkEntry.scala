@@ -1539,6 +1539,40 @@ object SparkEntry {
           col("best.q_milli").as("quality_milli"), col("n_members"))
     }),
 
+    // E139: jaccard-threshold calibration sweep — the near-dup load
+    // (pairs, docs touched) at every candidate threshold, from ONE
+    // banding+verify pass at the grid minimum (a pair verified at the
+    // minimum carries its jaccard; higher thresholds are filters over
+    // the same verified set, never a re-shingle). The curve a curator
+    // reads to pick jaccardThreshold before committing a dedup run —
+    // the E2-side companion of E134/E135. Counts only (the jaccard
+    // VALUE is hashed-shingle vs the oracle's string-shingle — same
+    // pair set, not bit-identical values; every pair in the test
+    // corpora sits ≥0.92, far from every grid point).
+    "q_dedup_sweep" -> ((s, dir) => {
+      val grid = Seq(60, 70, 80, 90)
+      val pairs = Dedup.minhashNearDupPairs(
+        Tables.spreadForKernel(Tables.documents(s, dir)), "text", "doc_id",
+        Dedup.MinhashParams(jaccardThreshold = 0.6))
+      val gridDf = s.range(1)
+        .select(explode(array(grid.map(lit): _*)).as("threshold_centi"))
+      // per-row threshold fan-out via a higher-order array filter — no
+      // inequality join, stays codegen; zeros restored by the grid join
+      val q = pairs.withColumn("threshold_centi",
+        explode(filter(array(grid.map(lit): _*), t => col("jaccard") * 100 >= t)))
+      val pairAgg = q.groupBy(col("threshold_centi"))
+        .agg(count(lit(1)).as("n_pairs"))
+      val docAgg = q.select(col("threshold_centi"),
+          explode(array(col("id_a"), col("id_b"))).as("id"))
+        .groupBy(col("threshold_centi"))
+        .agg(count_distinct(col("id")).as("n_docs"))
+      gridDf.join(pairAgg, Seq("threshold_centi"), "left")
+        .join(docAgg, Seq("threshold_centi"), "left")
+        .select(col("threshold_centi"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+    }),
+
     // E2+E4: the verified near-dup pairs themselves (ids only — the
     // jaccard value is over hashed shingles, the oracle's over string
     // shingles; identical pair SET, bit-identical value not guaranteed)
@@ -4675,6 +4709,39 @@ object SparkEntry {
          |JOIN sizes sa ON sa.doc_id = ia
          |JOIN sizes sb ON sb.doc_id = ib
          |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8""".stripMargin,
+
+    // exact string-shingle jaccard per pair (same CTE shape as
+    // q_dedup_minhash_pairs), fanned across the threshold grid; the
+    // pair SET per threshold matches the hashed-shingle side because
+    // every pair in the corpus sits ≥0.92 — far from every grid point
+    "q_dedup_sweep" ->
+      s"""WITH grams AS (
+         |  SELECT DISTINCT doc_id, substr(text, i, 5) AS g
+         |  FROM (SELECT doc_id, text,
+         |               unnest(range(1, greatest(length(text) - 3, 2))) AS i
+         |        FROM documents)),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+         |          FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT ia, ib, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS j
+         |  FROM inter
+         |  JOIN sizes sa ON sa.doc_id = ia
+         |  JOIN sizes sb ON sb.doc_id = ib),
+         |grid AS (SELECT unnest([60, 70, 80, 90]) AS threshold_centi),
+         |q AS (SELECT grid.threshold_centi AS threshold_centi, ia, ib
+         |      FROM grid JOIN pairs ON j * 100 >= grid.threshold_centi),
+         |p AS (SELECT threshold_centi, CAST(count(*) AS BIGINT) AS n_pairs
+         |      FROM q GROUP BY 1),
+         |d AS (SELECT threshold_centi, CAST(count(DISTINCT id) AS BIGINT) AS n_docs
+         |      FROM (SELECT threshold_centi, ia AS id FROM q
+         |            UNION ALL SELECT threshold_centi, ib AS id FROM q)
+         |      GROUP BY 1)
+         |SELECT g2.threshold_centi, coalesce(n_pairs, 0) AS n_pairs,
+         |       coalesce(n_docs, 0) AS n_docs
+         |FROM grid g2 LEFT JOIN p USING (threshold_centi)
+         |LEFT JOIN d USING (threshold_centi)""".stripMargin,
 
     "q_decontaminate" ->
       """WITH g2 AS (

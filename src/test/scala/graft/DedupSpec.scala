@@ -227,6 +227,28 @@ class DedupSpec extends SparkSpecBase {
       "unrelated doc reports no pair")
   }
 
+  test("sharedSubstringSpans measures CHARACTER spans correctly on non-ASCII text") {
+    // r6 ADVICE: gram positions were byte offsets but the verify used
+    // SQL substring (characters), so multi-byte text silently misaligned
+    // the compared windows. gram_hashes64 is now code-point-indexed;
+    // prove it end-to-end: a shared block of 2- and 3-byte characters
+    // must report its CHARACTER length, exactly.
+    val rnd = new scala.util.Random(7)
+    val glyphs = "αβγδεζηθικλμνξοπρσтуфхцчшщεπ好语料重复检测".toCharArray.map(_.toString)
+    def junk(n: Int): String = Array.fill(n)(glyphs(rnd.nextInt(glyphs.length))).mkString
+    val block = junk(73) // 73 CHARS, 146+ bytes
+    val a = junk(50) + "Q" + block + "R" + junk(40)
+    val b = junk(45) + "S" + block + "T" + junk(55)
+    val d = junk(200)
+    val docs = Seq((1L, a), (2L, b), (4L, d)).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.sharedSubstringSpans(docs, "text", "doc_id", minLen = 40)
+      .select("id_a", "id_b", "max_shared_len").as[(Long, Long, Long)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got.get((1L, 2L)) === Some(73L),
+      s"non-ASCII shared block must measure 73 CHARACTERS, got ${got.get((1L, 2L))}")
+    assert(!got.keySet.exists { case (x, y) => x == 4L || y == 4L })
+  }
+
   test("sharedSpanSweep: one base pass yields the exact per-threshold curve") {
     val rnd = new scala.util.Random(11)
     def junk(n: Int): String = Array.fill(n)(('a' + rnd.nextInt(26)).toChar).mkString

@@ -66,6 +66,43 @@ class MultimodalSpec extends SparkSpecBase {
     assert(HeaderDecoder.decode(5L, bad).fmt === "unknown")
   }
 
+  test("HeaderDecoder never throws on arbitrary byte garbage (1000-case fuzz)") {
+    // the 100 TB posture: a landing zone WILL contain truncated,
+    // bit-flipped, and mislabeled files; the parser's contract is
+    // "unknown, never exception". Fuzz random bytes, random-length
+    // prefixes of VALID containers (magic intact, structure cut at
+    // every possible byte), and valid containers with corrupted length
+    // fields.
+    import Multimodal.{HeaderDecoder, MediaCodecs}
+    val rnd = new scala.util.Random(41)
+    val body = Array.fill(200)(rnd.nextInt(256).toByte)
+    val wholes = Seq(
+      MediaCodecs.png(123, 77, body),
+      MediaCodecs.jpeg(640, 480, body),
+      MediaCodecs.wav(2, 22050, body))
+    var checked = 0
+    // pure random garbage
+    (0 until 400).foreach { i =>
+      val g = Array.fill(rnd.nextInt(64))(rnd.nextInt(256).toByte)
+      val d = HeaderDecoder.decode(i.toLong, g) // must not throw
+      assert(d.n_bytes === g.length); checked += 1
+    }
+    // every truncation point of each valid container (magic survives,
+    // structure doesn't)
+    wholes.foreach { w =>
+      (0 until w.length by 3).foreach { cut =>
+        HeaderDecoder.decode(1L, w.take(cut)); checked += 1
+      }
+    }
+    // corrupted length fields at random offsets
+    (0 until 200).foreach { i =>
+      val w = wholes(i % 3).clone()
+      w(rnd.nextInt(math.min(w.length, 60))) = rnd.nextInt(256).toByte
+      HeaderDecoder.decode(i.toLong, w); checked += 1
+    }
+    assert(checked > 700)
+  }
+
   test("decodeMedia over mediaWithHeaders: every doc parses to its generated dims") {
     val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
     val media = Multimodal.mediaWithHeaders(spark, docs)
