@@ -1591,6 +1591,29 @@ object SparkEntry {
           minLen = 40)
         .select(col("id_a"), col("id_b"), col("max_shared_len"))),
 
+    // E140: exact containment — pairs where the verified longest shared
+    // span covers the WHOLE shorter document (doc-inside-doc: quoted
+    // articles, mirrored pages, concatenated shards). Derived from the
+    // E128 span pass + a length join; container = the longer doc
+    // (min id on exact-duplicate ties). The removal policy differs
+    // from near-dup dedup: the contained doc carries zero novel bytes.
+    "q_containment" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val lens = docs.select(col("doc_id"), length(col("text")).as("len"))
+      Dedup.sharedSubstringSpans(docs, "text", "doc_id", minLen = 40)
+        .join(lens.select(col("doc_id").as("id_a"), col("len").as("len_a")), "id_a")
+        .join(lens.select(col("doc_id").as("id_b"), col("len").as("len_b")), "id_b")
+        .filter(col("max_shared_len") >= least(col("len_a"), col("len_b")))
+        .select(
+          when(col("len_a") > col("len_b"), col("id_a"))
+            .when(col("len_b") > col("len_a"), col("id_b"))
+            .otherwise(least(col("id_a"), col("id_b"))).as("container_id"),
+          when(col("len_a") > col("len_b"), col("id_b"))
+            .when(col("len_b") > col("len_a"), col("id_a"))
+            .otherwise(greatest(col("id_a"), col("id_b"))).as("contained_id"),
+          least(col("len_a"), col("len_b")).cast("long").as("contained_len"))
+    }),
+
     // E134: minLen calibration sweep for E128 — the shared-span load at
     // every threshold on a grid, from ONE gram pass at the grid minimum
     // (span lengths are threshold-independent once ≥ gram size; the
@@ -4907,6 +4930,37 @@ object SparkEntry {
         |  FROM isl GROUP BY ia, ib, d, grp)
         |SELECT ia AS id_a, ib AS id_b, max(len) AS max_shared_len
         |FROM runs GROUP BY 1, 2""".stripMargin,
+
+    // same span CTE as q_substring_dup + a length join; containment =
+    // the longest shared span covers the shorter doc entirely
+    "q_containment" ->
+      """WITH g AS (
+        |  SELECT doc_id, i, substr(text, i, 40) AS s
+        |  FROM documents, LATERAL (SELECT unnest(range(1, length(text) - 38)) AS i)
+        |  WHERE length(text) >= 40),
+        |m AS (
+        |  SELECT a.doc_id AS ia, b.doc_id AS ib, a.i AS pa, b.i AS pb
+        |  FROM g a JOIN g b ON a.s = b.s AND a.doc_id < b.doc_id),
+        |isl AS (
+        |  SELECT ia, ib, pa - pb AS d, pa,
+        |         pa - ROW_NUMBER() OVER (PARTITION BY ia, ib, pa - pb ORDER BY pa) AS grp
+        |  FROM m),
+        |runs AS (
+        |  SELECT ia, ib, CAST(count(*) + 39 AS BIGINT) AS len
+        |  FROM isl GROUP BY ia, ib, d, grp),
+        |spans AS (SELECT ia, ib, max(len) AS msl FROM runs GROUP BY 1, 2),
+        |lens AS (SELECT doc_id, length(text) AS len FROM documents)
+        |SELECT CASE WHEN la.len > lb.len THEN ia
+        |            WHEN lb.len > la.len THEN ib
+        |            ELSE least(ia, ib) END AS container_id,
+        |       CASE WHEN la.len > lb.len THEN ib
+        |            WHEN lb.len > la.len THEN ia
+        |            ELSE greatest(ia, ib) END AS contained_id,
+        |       CAST(least(la.len, lb.len) AS BIGINT) AS contained_len
+        |FROM spans
+        |JOIN lens la ON la.doc_id = ia
+        |JOIN lens lb ON lb.doc_id = ib
+        |WHERE msl >= least(la.len, lb.len)""".stripMargin,
 
     // same base CTE as q_substring_dup (exact 40-char substrings stand
     // in for the hashed grams), then the grid fan-out over the pair set
