@@ -1573,6 +1573,21 @@ object SparkEntry {
           coalesce(col("n_docs"), lit(0L)).as("n_docs"))
     }),
 
+    // E141: near-dup DEGREE distribution — how many verified ≥0.8
+    // partners each duplicated doc has, rolled up to (degree → n_docs).
+    // The template-storm detector: organic duplication shows degree 1-2,
+    // a boilerplate/template burst shows a fat tail (one hub document
+    // near-matching hundreds). Derived from the verified pair set, so
+    // the cost is the funnel, not the corpus.
+    "q_dup_degree" -> ((s, dir) => {
+      val pairs = Dedup.minhashNearDupPairs(
+        Tables.spreadForKernel(Tables.documents(s, dir)), "text", "doc_id")
+      pairs.select(col("id_a").as("id"))
+        .union(pairs.select(col("id_b").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+        .groupBy(col("degree")).agg(count(lit(1)).as("n_docs"))
+    }),
+
     // E2+E4: the verified near-dup pairs themselves (ids only — the
     // jaccard value is over hashed shingles, the oracle's over string
     // shingles; identical pair SET, bit-identical value not guaranteed)
@@ -4732,6 +4747,30 @@ object SparkEntry {
          |JOIN sizes sa ON sa.doc_id = ia
          |JOIN sizes sb ON sb.doc_id = ib
          |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8""".stripMargin,
+
+    // degree rollup over the same exact-jaccard pair CTE as
+    // q_dedup_minhash_pairs
+    "q_dup_degree" ->
+      s"""WITH grams AS (
+         |  SELECT DISTINCT doc_id, substr(text, i, 5) AS g
+         |  FROM (SELECT doc_id, text,
+         |               unnest(range(1, greatest(length(text) - 3, 2))) AS i
+         |        FROM documents)),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+         |          FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT ia, ib FROM inter
+         |  JOIN sizes sa ON sa.doc_id = ia
+         |  JOIN sizes sb ON sb.doc_id = ib
+         |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+         |deg AS (
+         |  SELECT id, CAST(count(*) AS BIGINT) AS degree
+         |  FROM (SELECT ia AS id FROM pairs UNION ALL SELECT ib AS id FROM pairs)
+         |  GROUP BY 1)
+         |SELECT degree, CAST(count(*) AS BIGINT) AS n_docs
+         |FROM deg GROUP BY 1""".stripMargin,
 
     // exact string-shingle jaccard per pair (same CTE shape as
     // q_dedup_minhash_pairs), fanned across the threshold grid; the
