@@ -2266,6 +2266,27 @@ object SparkEntry {
           length(col("chunk")).cast("long").as("chunk_len"),
           md5(col("chunk")).as("chunk_md5"))),
 
+    // E142: CHUNK-level exact dedup — duplicated chunks across the
+    // corpus (same md5 at any (doc, offset)), with the deterministic
+    // keeper (lexicographic min (doc_id, start) via one min(struct)
+    // partial agg, no window). The sequence-level dedup a trainer runs
+    // AFTER chunking and BEFORE packing: document-level dedup misses
+    // repeated blocks inside distinct documents, and training on the
+    // same chunk twice is the thing being prevented. Shuffles
+    // (hash, ids) only — chunk text never leaves the map side.
+    "q_chunk_dedup" -> ((s, dir) =>
+      graft.ops.Chunking.chunkFixed(
+          Tables.documents(s, dir), "text", "doc_id", size = 120, overlap = 20)
+        .select(col("doc_id"), col("start"), md5(col("chunk")).as("h"))
+        .groupBy(col("h"))
+        .agg(count(lit(1)).as("n_copies"),
+          count_distinct(col("doc_id")).as("n_docs"),
+          min(struct(col("doc_id"), col("start"))).as("k"))
+        .filter(col("n_copies") > 1)
+        .select(col("h").as("chunk_md5"), col("n_copies"), col("n_docs"),
+          col("k.doc_id").as("keep_doc_id"),
+          col("k.start").cast("long").as("keep_start"))),
+
     // E65: sequence packing — chunks filled into 128-token packs per
     // source shard by running token total (the window-parallel packing
     // policy; see Chunking.packByBudget). Output is the per-pack
@@ -5451,6 +5472,25 @@ object SparkEntry {
         |FROM (SELECT doc_id, text,
         |             unnest(generate_series(1, greatest(length(text) - 20, 1), 100)) AS i
         |      FROM documents)""".stripMargin,
+
+    // same chunk derivation as q_chunk_docs; keeper via the rn=1 row of
+    // the (doc_id, start) order — the SQL analog of min(struct)
+    "q_chunk_dedup" ->
+      """WITH c AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS start, md5(substr(text, i, 120)) AS h
+        |  FROM (SELECT doc_id, text,
+        |               unnest(generate_series(1, greatest(length(text) - 20, 1), 100)) AS i
+        |        FROM documents)),
+        |sel AS (SELECT h, doc_id, start,
+        |               ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, start) AS rn
+        |        FROM c),
+        |agg AS (SELECT h, CAST(count(*) AS BIGINT) AS n_copies,
+        |               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |        FROM c GROUP BY 1)
+        |SELECT a.h AS chunk_md5, n_copies, n_docs,
+        |       s.doc_id AS keep_doc_id, s.start AS keep_start
+        |FROM agg a JOIN sel s ON s.h = a.h AND s.rn = 1
+        |WHERE n_copies > 1""".stripMargin,
 
     "q_mix_upsample" ->
       """WITH w AS (
