@@ -57,7 +57,12 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
 
-    final case class R(name: String, sec: Double, err: Option[String])
+    // firstSec is present iff the query was retried (adaptive best-of-2
+    // below): both samples are published so baseline refreshes and
+    // vs_prev readers can account for the asymmetric keep-the-minimum
+    // sampling instead of mistaking best-of-2 numbers for best-of-1.
+    final case class R(name: String, sec: Double, err: Option[String],
+        firstSec: Option[Double] = None)
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -103,14 +108,16 @@ object Bench {
         (sec, err)
       }
       var (sec, err) = once()
+      var firstSec: Option[Double] = None
       if (err.isEmpty && retriesLeft > 0 &&
           base.get(name).exists(b => sec > 1.5 * b && sec - b > 0.5)) {
         retriesLeft -= 1
         nRetried += 1
+        firstSec = Some(sec)
         val (sec2, err2) = once()
         if (err2.isEmpty && sec2 < sec) sec = sec2
       }
-      R(name, sec, err)
+      R(name, sec, err, firstSec)
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -119,9 +126,11 @@ object Bench {
       } + "\""
     def fmt(sec: Double): String = f"$sec%.3f"
     val qsFull = results.map { r =>
-      val v = r.err match {
-        case None    => fmt(r.sec)
-        case Some(m) => s"""{"sec":${fmt(r.sec)},"err":${jstr(m)}}"""
+      val v = (r.err, r.firstSec) match {
+        case (Some(m), _) => s"""{"sec":${fmt(r.sec)},"err":${jstr(m)}}"""
+        case (None, Some(f)) =>
+          s"""{"sec":${fmt(r.sec)},"first_sec":${fmt(f)},"retried":true}"""
+        case (None, None) => fmt(r.sec)
       }
       jstr(r.name) + ":" + v
     }.mkString("{", ",", "}")

@@ -41,8 +41,15 @@ object Dedup {
 
   final case class MinhashParams(
       shingleN: Int = 5, numHashes: Int = 64, bands: Int = 16, seed: Long = 42L,
-      jaccardThreshold: Double = 0.8) {
+      jaccardThreshold: Double = 0.8,
+      // width of the pre-verify estimate cut, in estimator sigmas below
+      // jaccardThreshold (σ ≤ 1/(2√numHashes)). Larger = lower cut =
+      // fewer residual false negatives but weaker pruning; a very large
+      // value (e.g. 1e9) effectively disables the est-filter and
+      // verifies every banding candidate.
+      estFilterSigmas: Double = 4.0) {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    require(estFilterSigmas >= 0.0, "estFilterSigmas must be non-negative")
     def rowsPerBand: Int = numHashes / bands
   }
 
@@ -125,12 +132,18 @@ object Dedup {
     // are true ≥0.8 pairs). Filtering on the MinHash Jaccard ESTIMATE
     // (signature agreement — already computed, 64 compares/pair)
     // collapses the funnel before the expensive shingle-set build +
-    // sorted-merge verify. Cut = threshold − 2/√numHashes (4σ of the
-    // estimator at the threshold, σ = √(j(1−j)/k) ≤ 1/(2√k)): a true
-    // threshold pair falls below it w.p. ~3e-5; the measured corpus
-    // separates by a full 0.2 gap. The EXACT verify still decides
-    // membership — this only prunes pairs the verify would reject.
-    val estCut = math.max(0.0, p.jaccardThreshold - 2.0 / math.sqrt(p.numHashes.toDouble))
+    // sorted-merge verify. Cut = threshold − estFilterSigmas·σ with
+    // σ ≤ 1/(2√k) (default 4σ): a true threshold pair falls below it
+    // w.p. ~3e-5 PER PAIR, so the output is banding ∘ est-filter ∘
+    // exact-verify — NOT exactly banding ∘ exact-verify. That residual
+    // false-negative probability composes with banding's own misses
+    // (which dominate: a 0.8-Jaccard pair escapes 16×4 banding w.p.
+    // ~2%); at billions of candidate pairs the expected est-filter miss
+    // count is nonzero. Widen estFilterSigmas if that residual matters
+    // more than the pruning. The EXACT verify still decides membership
+    // for every pair that reaches it.
+    val estCut = math.max(0.0,
+      p.jaccardThreshold - p.estFilterSigmas / (2.0 * math.sqrt(p.numHashes.toDouble)))
     // candidates (now the PLAUSIBLE set) feeds the shingle join-back and
     // the final verify — staged so the LSH self-join + est-filter run
     // exactly once. CHAINED: candDocs' one materialization job below
@@ -457,13 +470,26 @@ object Dedup {
 
     val a = buckets.as("a")
     val b = buckets.as("b")
+    // Hamming filter BEFORE the pair-dedup shuffle (the SimHash analog
+    // of minhash's pre-verify est-filter, r7): a boilerplate-heavy
+    // corpus storms the 16-bit chunk buckets with pairs that share one
+    // chunk but sit far apart in the other 48 bits, and those pairs
+    // previously rode the distinct's shuffle (its hash-agg buffers and
+    // exchange bytes scale with RAW candidates: measured 314,559 raw
+    // bucket-join rows at sf0.1 vs 1,503 hamming≤3 rows — 209× less
+    // distinct input after the reorder). The hamming is already computed
+    // in the join project (two columns of the joined row, no extra
+    // scan), so filtering first is free, and — unlike minhash's
+    // estimate cut — EXACT: simhash membership IS signature hamming,
+    // so this reorder cannot miss a pair. Only (ci,cv)-duplicate
+    // survivors remain for the distinct.
     a.join(b,
         col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   // -------------------------------------------- embedding-cosine near-dup

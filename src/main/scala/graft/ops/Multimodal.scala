@@ -213,15 +213,20 @@ object Multimodal {
     private def parsePng(id: Long, p: Array[Byte], n: Long): MediaDims = {
       // chunk walk: [len][type][data][crc]; IHDR must come first but a
       // defensive parser walks until it finds it
+      // all chunk arithmetic in Long: a corrupt 4-byte length near
+      // Int.MaxValue would wrap `i + 12 + len` negative in Int, slip the
+      // bounds guard, and index out of bounds — untrusted bytes must come
+      // back `unknown`, never throw (mirrors parseWav)
       var i = 8
       while (i + 8 <= p.length) {
-        val len = be32i(p, i)
+        val len = be32i(p, i).toLong
+        val end = i.toLong + 12L + len
         val isIhdr = p(i + 4) == 'I' && p(i + 5) == 'H' && p(i + 6) == 'D' && p(i + 7) == 'R'
-        if (isIhdr && len >= 8 && i + 8 + len <= p.length)
+        if (isIhdr && len >= 8 && i.toLong + 8L + len <= p.length)
           return MediaDims(id, "png", be32i(p, i + 8), be32i(p, i + 12), 0, 0, 0L, n)
-        if (len < 0 || i + 12 + len > p.length)
+        if (len < 0 || end > p.length)
           return MediaDims(id, "unknown", 0, 0, 0, 0, 0L, n)
-        i += 12 + len
+        i = end.toInt
       }
       MediaDims(id, "unknown", 0, 0, 0, 0, 0L, n)
     }

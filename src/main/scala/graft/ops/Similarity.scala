@@ -141,6 +141,30 @@ object Similarity {
     * `(cells(neighbor_id, cv, cell), ranked(query_id, qv, cell, rn))`
     * with `rn` = 1-based probe order.
     */
+  /** Intrinsic driver-safety cap on every collected codebook-fit
+    * sample: whatever `fitFraction` a caller passes (including the
+    * default 1.0), at most ~`MaxFitSample` vectors are ever collected
+    * driver-side — a default that cannot OOM the driver on a big corpus
+    * is the right default, and codebook quality saturates far below
+    * this size anyway (Faiss trains billion-vector indexes on 100k-1M
+    * samples). The cap is a deterministic hash cut (content-stable
+    * under repartitioning and corpus growth, like the fitFraction cut
+    * itself) and engages only when the selected sample exceeds the cap,
+    * so small-corpus results — including every published recall curve —
+    * are unchanged. Costs one count() of the fit selection per fit.
+    */
+  private[graft] val MaxFitSample: Long = 100000L
+
+  private[graft] def capFitSample(sel: DataFrame, idCol: String): DataFrame = {
+    val cnt = sel.count()
+    if (cnt <= MaxFitSample) sel
+    else {
+      val mod = 1000000000L
+      val cut = math.max(1L, mod * MaxFitSample / cnt)
+      sel.filter(pmod(xxhash64(lit("fit-cap"), col(idCol)), lit(mod)) < lit(cut))
+    }
+  }
+
   private def ivfCellsAndRankedProbes(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
@@ -156,9 +180,9 @@ object Similarity {
     // design at any corpus size (Faiss trains on ~100k-1M vectors for
     // billion-vector indexes), so the caller bounds `fitFraction`
     // accordingly and the fit becomes one collect + in-memory Lloyd.
-    val sampled =
+    val sampled = capFitSample(
       if (fitFraction < 1.0) vecs.sample(withReplacement = false, fitFraction, seed)
-      else vecs
+      else vecs, "neighbor_id")
     val fitRows = sampled.select(col("cv")).collect().map(_.getSeq[Float](0).toArray)
     val cb = pqTrainCodebook(fitRows, m = 1, k = numCells,
       iters = fitMaxIter, seed = seed, normalize = false)
@@ -434,9 +458,12 @@ object Similarity {
       fitFraction: Double = 1.0, rerank: Int = 64): DataFrame = {
     require(rerank >= k, "re-rank shortlist must be at least k")
     // deterministic hash-based fit sample: stable under repartitioning
-    // and corpus growth, unlike .sample() whose RNG is partition-seeded
-    val fitRows = corpus
-      .filter(pmod(xxhash64(col(corpusId)), lit(10000)) < lit((fitFraction * 10000).toInt))
+    // and corpus growth, unlike .sample() whose RNG is partition-seeded;
+    // capFitSample bounds the driver-side collect to ~MaxFitSample
+    // vectors regardless of fitFraction
+    val fitRows = capFitSample(corpus
+        .filter(pmod(xxhash64(col(corpusId)), lit(10000)) < lit((fitFraction * 10000).toInt)),
+        corpusId)
       .select(col(corpusVec))
       .collect()
       .map(_.getSeq[Float](0).toArray)
@@ -490,11 +517,13 @@ object Similarity {
       numCells: Int = 16, m: Int = 8, codebookSize: Int = 16,
       seed: Long = 42L, fitFraction: Double = 1.0):
       (DataFrame, Array[Double], Array[Double]) = {
-    // the fit sample is collected DRIVER-SIDE: fitFraction must shrink
-    // it to driver scale (codebook fitting needs thousands of vectors,
-    // not the corpus — at 100 TB pass e.g. 1e-6, never the default 1.0)
-    val fitRows = corpus
-      .filter(pmod(xxhash64(col(corpusId)), lit(10000)) < lit((fitFraction * 10000).toInt))
+    // the fit sample is collected DRIVER-SIDE; capFitSample intrinsically
+    // bounds it to ~MaxFitSample vectors, so the default fitFraction=1.0
+    // is driver-safe at any corpus size (fitFraction below the cap still
+    // shrinks the fit further when callers want a cheaper build)
+    val fitRows = capFitSample(corpus
+        .filter(pmod(xxhash64(col(corpusId)), lit(10000)) < lit((fitFraction * 10000).toInt)),
+        corpusId)
       .select(col(corpusVec))
       .collect()
       .map(_.getSeq[Float](0).toArray)
@@ -649,10 +678,42 @@ object Similarity {
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int, numCells: Int = 16, nProbes: Seq[Int] = Seq(2, 4, 8, 12, 16),
       m: Int = 8, codebookSize: Int = 16, seed: Long = 42L,
-      fitFraction: Double = 1.0, rerank: Int = 64): DataFrame = {
-    require(rerank >= k, "re-rank shortlist must be at least k")
+      fitFraction: Double = 1.0, rerank: Int = 64): DataFrame =
+    ivfPqGridSweep(corpus, corpusId, corpusVec, queries, queryId, queryVec,
+      k, numCells, nProbes, m, codebookSize, seed, fitFraction, Seq(rerank))
+      .select(col("n_probe"), col("query_id"), col("rank"),
+        col("neighbor_id"), col("cosine"))
+
+  /** The full 2-D OPERATING SURFACE of [[ivfPqTopK]]: recall-relevant
+    * top-k results for every (nProbe, rerank) grid point, still from
+    * ONE ADC pass. Probe depth is a prefix property of the cell
+    * ranking ([[ivfPqRecallSweep]]) — and rerank depth is a prefix
+    * property of the per-(depth, query) ADC ranking, so a candidate
+    * belongs to shortlist(nProbe = d, rerank = r) iff its cell rank
+    * ≤ d and its ADC rank at depth d ≤ r. Both grids are derived by
+    * exploding rank-qualifying grid points over the SAME scored
+    * candidate set; exact cosines are joined once for the distinct
+    * (query, neighbor) union across the whole grid.
+    *
+    * This is how the (nProbe × rerank) → recall surface a deployment
+    * tunes against gets published without grid² passes: the scan cost
+    * is the deepest grid point's, everything else is bookkeeping over
+    * funnel-sized frames (≤ queries × rerank_max × |grid| rows).
+    *
+    * Returns `(n_probe, rerank, query_id, rank, neighbor_id, cosine)`.
+    */
+  def ivfPqGridSweep(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, numCells: Int = 16, nProbes: Seq[Int] = Seq(2, 4, 8, 12, 16),
+      m: Int = 8, codebookSize: Int = 16, seed: Long = 42L,
+      fitFraction: Double = 1.0,
+      reranks: Seq[Int] = Seq(32, 64, 96, 128)): DataFrame = {
+    require(reranks.nonEmpty && reranks.forall(_ >= k),
+      "every re-rank shortlist must be at least k")
     require(nProbes.nonEmpty && nProbes.forall(n => n >= 1 && n <= numCells))
     val grid = nProbes.distinct.sorted
+    val rGrid = reranks.distinct.sorted
     val (index, coarseCb, pqCb) =
       buildIvfPqIndex(corpus, corpusId, corpusVec, numCells, m, codebookSize,
         seed, fitFraction)
@@ -668,9 +729,12 @@ object Similarity {
       explode(filter(gridArr, n => n >= col("rn"))))
     val ws = Window.partitionBy(col("n_probe"), col("query_id"))
       .orderBy(col("adc").desc, col("neighbor_id").asc)
+    val rGridArr = array(rGrid.map(lit): _*)
+    // sr ≤ rerank ⇒ member of that rerank's shortlist at this depth
     val shortlists = swept.withColumn("sr", row_number().over(ws))
-      .filter(col("sr") <= rerank)
-      .select(col("n_probe"), col("query_id"), col("neighbor_id"))
+      .filter(col("sr") <= rGrid.max)
+      .withColumn("rerank", explode(filter(rGridArr, r => r >= col("sr"))))
+      .select(col("n_probe"), col("rerank"), col("query_id"), col("neighbor_id"))
     val exact = shortlists.select(col("query_id"), col("neighbor_id")).distinct()
       .join(corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("cv")),
         "neighbor_id")
@@ -678,12 +742,12 @@ object Similarity {
         "query_id")
       .select(col("query_id"), col("neighbor_id"),
         round(exprs.cosine_f(col("cv"), col("qv")), 9).as("cosine"))
-    val wk = Window.partitionBy(col("n_probe"), col("query_id"))
+    val wk = Window.partitionBy(col("n_probe"), col("rerank"), col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     shortlists.join(exact, Seq("query_id", "neighbor_id"))
       .withColumn("rank", row_number().over(wk))
       .filter(col("rank") <= k)
-      .select(col("n_probe"), col("query_id"), col("rank"),
+      .select(col("n_probe"), col("rerank"), col("query_id"), col("rank"),
         col("neighbor_id"), col("cosine"))
   }
 

@@ -5,11 +5,13 @@ import org.apache.spark.sql.functions._
 
 /** Throwaway funnel-size dump for the MinHash pipeline (band-bucket
   * fan-out, candidate pairs, candidate docs) — sizing data for staging
-  * decisions. `runMain graft.tools.DebugCounts [sfDir]`.
+  * decisions. `runMain graft.tools.DebugCounts [sfDir] [mode]`;
+  * mode `simhash` dumps the SimHash chunk-bucket funnel instead.
   */
 object DebugCounts {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    if (args.lift(1).contains("simhash")) { simhashFunnel(sfDir); return }
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -74,6 +76,51 @@ object DebugCounts {
       val n80 = j.filter(col("j") >= 0.8).count()
       s"$n75 (>=0.8: $n80)"
     })
+    spark.stop()
+  }
+
+  /** SimHash chunk-bucket funnel: raw bucket-join pairs vs hamming
+    * survivors — sizing data for the filter-before-distinct reorder. */
+  def simhashFunnel(sfDir: String): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val hashed = graft.sources.Tables.spreadForKernel(docs).select(
+      col("doc_id").as("id"),
+      graft.functions.exprs.simhash64(col("text"), 3).as("sh")).persist()
+    println(s"docs: ${hashed.count()}")
+    val chunkCols = (0 until 4).map { i =>
+      struct(lit(i).as("ci"),
+        shiftright(col("sh"), i * 16).bitwiseAND(lit(0xffffL)).as("cv"))
+    }
+    val buckets = hashed
+      .select(col("id"), col("sh"), explode(array(chunkCols: _*)).as("c"))
+      .select(col("id"), col("sh"), col("c.ci").as("ci"), col("c.cv").as("cv"))
+      .persist()
+    buckets.count()
+    val sizes = buckets.groupBy("ci", "cv").count()
+    sizes.select(sum(col("count") * (col("count") - 1) / 2).as("rawBucketPairs"),
+      max("count").as("maxBucket"), count(lit(1)).as("nBuckets")).show(false)
+    val a = buckets.as("a"); val b = buckets.as("b")
+    val joined = a.join(b,
+        col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+      .persist()
+    val raw = joined.count()
+    println(s"raw candidate rows (pre-distinct): $raw")
+    println(s"raw distinct pairs: ${joined.select("id_a", "id_b").distinct().count()}")
+    val surv = joined.filter(col("hamming") <= 3)
+    println(s"hamming<=3 rows: ${surv.count()}")
+    println(s"hamming<=3 distinct pairs: ${surv.distinct().count()}")
+    joined.groupBy((col("hamming") / 8).cast("int").as("hamming_octile")).count()
+      .orderBy("hamming_octile").show(false)
     spark.stop()
   }
 }

@@ -103,6 +103,33 @@ class MultimodalSpec extends SparkSpecBase {
     assert(checked > 700)
   }
 
+  test("HeaderDecoder survives huge chunk-length fields (Int-overflow probe)") {
+    // single-byte corruption can't reach near-Int.MaxValue lengths, so
+    // target them directly: a PNG whose first chunk claims 0x7FFFFFFx /
+    // 0xFFFFFFFF bytes must come back unknown, not wrap `i + 12 + len`
+    // negative and throw ArrayIndexOutOfBoundsException
+    import Multimodal.{HeaderDecoder, MediaCodecs}
+    val body = "abcdefghij".getBytes("UTF-8")
+    for (lenBytes <- Seq(
+        Array[Byte](0x7f, -1, -1, -1),      // 0x7FFFFFFF
+        Array[Byte](0x7f, -1, -1, -12),     // 0x7FFFFFF4 — wraps i+12+len to negative
+        Array[Byte](-1, -1, -1, -1),        // 0xFFFFFFFF → len < 0
+        Array[Byte](0x7f, 0x7f, 0x7f, 0x7f))) {
+      val png = MediaCodecs.png(64, 64, body)
+      System.arraycopy(lenBytes, 0, png, 8, 4) // overwrite IHDR length field
+      assert(HeaderDecoder.decode(1L, png).fmt === "unknown")
+      // same corruption on a later chunk (IHDR intact → png still parses)
+      val png2 = MediaCodecs.png(64, 64, body)
+      System.arraycopy(lenBytes, 0, png2, 8 + 25, 4)
+      val d = HeaderDecoder.decode(2L, png2)
+      assert(d.fmt === "png" && d.width === 64)
+      // WAV with a huge RIFF sub-chunk length (parseWav already Long-safe)
+      val wav = MediaCodecs.wav(2, 22050, body)
+      System.arraycopy(lenBytes, 0, wav, 16, 4)
+      HeaderDecoder.decode(3L, wav) // must not throw
+    }
+  }
+
   test("decodeMedia over mediaWithHeaders: every doc parses to its generated dims") {
     val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
     val media = Multimodal.mediaWithHeaders(spark, docs)

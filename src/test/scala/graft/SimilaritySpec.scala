@@ -444,6 +444,46 @@ class SimilaritySpec extends SparkSpecBase {
       s"sweep slice recall ${recallAt(12)} vs fixed-depth $fixedRecall")
   }
 
+  test("ivfPqGridSweep: 2-D surface monotone in rerank, operating cell matches fixed search") {
+    val e = sources.Tables.embeddings(spark, Sf001)
+    val queries = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val exact = Similarity.bruteForceTopK(
+        e, "vec_id", "embedding", queries, "qid", "qv", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val nProbes = Seq(2, 4, 8, 12, 16); val reranks = Seq(32, 64, 96, 128)
+    val grid = Similarity.ivfPqGridSweep(e, "vec_id", "embedding",
+        queries, "qid", "qv", k = 5, numCells = 16,
+        nProbes = nProbes, m = 8, codebookSize = 16,
+        fitFraction = 0.5, reranks = reranks)
+      .select("n_probe", "rerank", "query_id", "neighbor_id")
+      .as[(Int, Int, Long, Long)].collect()
+    val recallAt = grid.groupBy(r => (r._1, r._2)).view.mapValues { rows =>
+      rows.count(r => exact((r._3, r._4))).toDouble / exact.size
+    }.toMap
+    assert(recallAt.size === nProbes.size * reranks.size, "every grid cell present")
+    info("IVF+PQ grid: " + nProbes.map(n =>
+      s"nProbe=$n: " + reranks.map(r => f"$r->${recallAt((n, r))}%.2f").mkString(" ")).mkString("; "))
+    // monotone in rerank for every fixed depth: a larger shortlist is a
+    // SUPERSET, and exact-cosine re-ranking of a superset cannot evict
+    // a globally-top-k member except for another one
+    nProbes.foreach { n =>
+      val row = reranks.map(r => recallAt((n, r)))
+      assert(row.zip(row.tail).forall { case (a, b) => b >= a - 1e-9 },
+        s"recall not monotone in rerank at nProbe=$n: $row")
+    }
+    // the (12, 128) grid cell IS the r7 operating point: equal to the
+    // fixed-parameter search and above its published floor
+    val fixed = Similarity.ivfPqTopK(e, "vec_id", "embedding", queries, "qid", "qv",
+        k = 5, numCells = 16, nProbe = 12, m = 8, codebookSize = 16,
+        rerank = 128, fitFraction = 0.5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val fixedRecall = (exact & fixed).size.toDouble / exact.size
+    assert(math.abs(recallAt((12, 128)) - fixedRecall) < 1e-9,
+      s"grid cell (12,128) ${recallAt((12, 128))} vs fixed $fixedRecall")
+    assert(recallAt((12, 128)) >= 0.85)
+  }
+
   test("lshTopK returns a subset of brute-force candidates with exact scores") {
     val queries = Seq((0L, Array(1.0f, 0.0f, 0.0f))).toDF("qid", "qv")
     val lsh = Similarity.lshTopK(
@@ -457,5 +497,30 @@ class SimilaritySpec extends SparkSpecBase {
     lsh.foreach { case (id, c) => assert(math.abs(c - bf(id)) < 1e-12) }
     // near-parallel vectors (6°/14° from the query) share its bucket
     assert(lsh.contains(1L) && lsh.contains(4L))
+  }
+
+  test("codebook-fit collect is intrinsically capped at default fitFraction (driver-safe)") {
+    // the ADVISORY scenario: a caller leaves fitFraction at its default
+    // 1.0 on a big corpus. capFitSample must bound what reaches the
+    // driver regardless — here a 300k-row frame must cap to
+    // ~MaxFitSample (binomial around 100k), deterministically.
+    val big = spark.range(300000).select(col("id").as("vec_id"))
+    val n1 = Similarity.capFitSample(big, "vec_id").count()
+    val n2 = Similarity.capFitSample(big, "vec_id").count()
+    assert(n1 === n2, "hash cut must be deterministic")
+    assert(n1 <= (Similarity.MaxFitSample * 1.02).toLong,
+      s"cap overshot: $n1 collected rows")
+    assert(n1 >= (Similarity.MaxFitSample * 0.98).toLong,
+      s"cap undershot: $n1 — codebook fit would starve")
+    // content-stable: repartitioning must not change the selected set
+    val s1 = Similarity.capFitSample(big, "vec_id")
+      .agg(sum(xxhash64(col("vec_id")).cast("decimal(38,0)")).cast("string")).as[String].head()
+    val s2 = Similarity.capFitSample(big.repartition(7), "vec_id")
+      .agg(sum(xxhash64(col("vec_id")).cast("decimal(38,0)")).cast("string")).as[String].head()
+    assert(s1 === s2, "cap selection must be content-stable under repartitioning")
+    // below the cap: pass-through, selection untouched (published
+    // recalls at test scale depend on this)
+    val small = spark.range(5000).select(col("id").as("vec_id"))
+    assert(Similarity.capFitSample(small, "vec_id").count() === 5000L)
   }
 }

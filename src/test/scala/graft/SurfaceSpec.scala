@@ -18,12 +18,13 @@ class SurfaceSpec extends AnyFunSuite {
     "q_ann_ivf", "q_ann_ivf_recall", "q_ann_ivfpq", "q_ann_ivfpq_recall",
     "q_ann_lsh", "q_ann_lsh_recall",
     "q_ann_pq", "q_ann_pq_recall",
-    "q_approx_distinct", "q_approx_quantile",
+    // q_approx_distinct / q_approx_quantile moved OFF this list in r8:
+    // their bounded-error verdicts are DuckDB-oracled now
     "q_kmeans_clusters",
     // the recall curves measure the ANN against the exact baseline —
     // same family, same rows+spec posture (SimilaritySpec pins the
     // curves' shape and the operating-point floors)
-    "q_ann_ivf_sweep", "q_ann_ivfpq_sweep")
+    "q_ann_ivf_sweep", "q_ann_ivfpq_sweep", "q_ann_ivfpq_grid")
 
   test("every query has an oracle or a documented exemption") {
     val q = SparkEntry.queries.keySet
