@@ -3189,8 +3189,19 @@ object SparkEntry {
         .agg(sort_array(collect_list(struct(col("f"), col("g")))).as("toks"))
         .withColumn("m", size(col("toks")))
         .withColumn("plen", col("m") - ceil(lit(tau) * col("m")).cast("int") + 1))
-      // docGrams' only consumers live inside keyed's materialization —
-      // release as soon as keyed's blocks exist
+      // MinHash signatures over the SAME gram arrays the verify compares
+      // (so the estimate targets exactly the verify's Jaccard), via the
+      // codegen'd minhash_sig_l kernel — one pass over the staged per-doc
+      // long arrays, 64 min-updates per element, no text re-scan. (A
+      // higher-order-function formulation of the same signature was
+      // measured at 27 CPU-s at sf0.1 — interpreted per-element lambda
+      // eval; the kernel does it in under a second.) Feeds the
+      // pre-verify est-filter below; staged because both est-join sides
+      // consume it. O(corpus · 64) long ops — corpus-linear.
+      val sigs = graft.ops.Staging.stageToDisk(docGrams.select(col("doc_id"),
+        graft.functions.exprs.minhash_sig_l(col("ga"), 64, 42L).as("sig")))
+      // docGrams' consumers are keyed's and sigs' materializations —
+      // release as soon as both frames' blocks exist
       graft.ops.Staging.release(docGrams)
       // positional prefix filter (the "PP" in PPJoin): a shared element
       // at 1-based sorted position rn caps the possible overlap at
@@ -3217,19 +3228,46 @@ object SparkEntry {
               ceil(lit(tau / (1 + tau)) * (col("a.m") + col("b.m")))))
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
         .distinct()
+      // PRE-VERIFY est-filter (r8, the Dedup.minhashNearDupPairs shape):
+      // the prefix funnel's survivors are overwhelmingly junk — measured
+      // at sf0.1: 16,871 candidates of which 16,612 have TRUE jaccard
+      // < 0.1 and only 259 reach τ = 0.8 (the positional filter can't
+      // see past one shared gram; an aggregated positional bound was
+      // measured to kill ZERO of them). Each junk candidate previously
+      // dragged two ~500-long gram arrays through the verify exchange —
+      // 46 MB of shuffle + the per-pair sorted merge, the query's
+      // biggest stage (5.4 CPU-s at sf0.1). The signature agreement cut
+      // (τ − 4σ, σ = 1/(2√64) ⇒ 0.55) collapses the funnel ~65× before
+      // any array moves; the corpus separates by a 0.7 jaccard gap, so
+      // a true pair falls under the cut w.p. ~3e-7 (the exact verify
+      // still decides membership of every survivor — same residual
+      // false-negative posture as the minhash family, documented there).
+      // No broadcast hint on the sig joins: locally the ~2.6 MB sig
+      // frame auto-broadcasts; at corpus scale the planner shuffles the
+      // funnel-sized id pairs against it instead.
+      val candF = graft.ops.Staging.stageToDisk(cand
+        .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
+        .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
+        .filter(graft.functions.exprs.sig_agree(col("sig_a"), col("sig_b"))
+          >= tau - 4.0 / (2.0 * math.sqrt(64.0)))
+        .select(col("id_a"), col("id_b")))
+      graft.ops.Staging.release(sigs)
       // verify via the sorted-merge Jaccard kernel (zero allocation per
-      // pair) instead of array_intersect (hash set per pair) — the
-      // verify runs once per candidate over ~500-element arrays, so the
-      // allocation profile is what ages the heap in long sessions
-      val sets = keyed.select(col("doc_id"),
+      // pair) instead of array_intersect (hash set per pair). Sets are
+      // built (and their ~500-long arrays SORTED) only for docs that
+      // actually reach the verify — post-est-filter that is funnel-sized
+      // (~500 docs at sf0.1, vs all 5,000 before).
+      val candIds = candF.select(col("id_a").as("doc_id"))
+        .union(candF.select(col("id_b").as("doc_id"))).distinct()
+      val sets = keyed.join(candIds, "doc_id").select(col("doc_id"),
         sort_array(expr("transform(toks, t -> t.g)")).as("gs"))
-      // broadcast the candidate PAIRS into the first set join: cand is
+      // broadcast the candidate PAIRS into the first set join: candF is
       // funnel-sized (ids only) at any scale, while sets carries the
-      // per-doc gram arrays — an SMJ here shuffles ~20 MB of arrays to
-      // meet ~300 KB of pairs. The second join's left side carries ga
-      // payloads (∝ candidates), so it stays a shuffle join.
+      // per-doc gram arrays. The second join's array payloads are now
+      // est-filter survivors only — the exchange that carried 46 MB of
+      // junk arrays at sf0.1 carries ~2 MB.
       sets.select(col("doc_id").as("id_a"), col("gs").as("ga"))
-        .join(broadcast(cand), "id_a")
+        .join(broadcast(candF), "id_a")
         .join(sets.select(col("doc_id").as("id_b"), col("gs").as("gb")), "id_b")
         .withColumn("jaccard", graft.functions.exprs.jaccard_sorted_l(col("ga"), col("gb")))
         .filter(col("jaccard") >= tau)

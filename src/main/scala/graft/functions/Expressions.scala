@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Custom Catalyst expressions for the hashing hot paths. Both generate
@@ -215,6 +215,113 @@ object HashKernels extends Serializable {
       i += 1
     }
     new GenericArrayData(mins)
+  }
+
+  /** k-permutation MinHash signature over an ALREADY-HASHED element
+    * array (e.g. `gram_hashes64` output): one pass over the longs, k
+    * min-updates per element. Estimates the Jaccard of exactly the set
+    * the caller holds — no re-tokenization, so a pipeline that already
+    * computed per-doc gram arrays gets its pre-verify estimate at
+    * O(|ga|·k) long ops instead of a second text scan. Duplicate
+    * elements are harmless (min over a multiset == min over its set).
+    */
+  def minhashSigL(ga: ArrayData, k: Int, seed: Long): ArrayData = {
+    val (as, bs) = coeffs(k, seed)
+    val mins = Array.fill(k)(Long.MaxValue)
+    val n = ga.numElements()
+    var i = 0
+    while (i < n) {
+      val x = (mix64(ga.getLong(i)) & 0x7fffffffL) % MinhashPrime
+      var p = 0
+      while (p < k) {
+        val v = (as(p) * x + bs(p)) % MinhashPrime
+        if (v < mins(p)) mins(p) = v
+        p += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** Robust-winnowing anchor selection over a per-position hash array
+    * (Schleimer/Wilkerson/Aiken, "Winnowing: Local Algorithms for
+    * Document Fingerprinting" — public literature): for every window of
+    * `w` consecutive positions, select the RIGHTMOST minimal hash;
+    * return the distinct selected (position, hash) pairs in order.
+    *
+    * The selection is a pure function of window CONTENT, so two
+    * documents sharing a run of ≥ w consecutive equal hashes select at
+    * least one anchor at the same relative offset — the guarantee that
+    * makes an anchors-only equi-join complete for spans of ≥
+    * (gramSize + w − 1) characters while carrying ~1/w of the
+    * positions. Output density: exactly one anchor per window, adjacent
+    * windows usually share theirs.
+    */
+  def winnowAnchors(hashes: ArrayData, w: Int): ArrayData = {
+    val n = hashes.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val win = math.min(w, n)
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    var lastSel = -1
+    var i = 0
+    while (i + win <= n) {
+      // rightmost minimum of hashes[i .. i+win-1]
+      var best = i
+      var j = i + 1
+      while (j < i + win) {
+        if (hashes.getLong(j) <= hashes.getLong(best)) best = j
+        j += 1
+      }
+      if (best != lastSel) {
+        out += new GenericInternalRow(
+          Array[Any](best, hashes.getLong(best)))
+        lastSel = best
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Longest run of equal code points between two strings along one
+    * alignment diagonal, scanned over a bounded char window — the exact
+    * span measurement behind [[graft.ops.Dedup.sharedSubstringSpans]].
+    *
+    * `packed` carries (d, lo, hi): d = pa − pb (the diagonal), lo/hi =
+    * first/last matching anchor gram position (1-based, code-point
+    * indexed) — packed into one long so the expression stays a ternary
+    * (Catalyst has no 5-ary codegen base; see [[LongestCommonRun]]).
+    * The scan window [lo − w + 1, hi + m + w − 2] is the provable
+    * extent of any span containing those anchors (first/last anchor
+    * each sit within w − 1 gram positions of the span's ends). Hash
+    * collisions can only ADD scan windows — equality here is on real
+    * code points, so a collision can neither fabricate nor extend a
+    * span. ASCII fast path compares bytes; otherwise code points.
+    */
+  def longestCommonRun(
+      ta: UTF8String, tb: UTF8String, packed: Long, w: Int, m: Int): Int = {
+    val d = ((packed >> 42) & 0x1fffffL).toInt - (1 << 20)
+    val lo = ((packed >> 21) & 0x1fffffL).toInt
+    val hi = (packed & 0x1fffffL).toInt
+    val ascii = ta.numBytes == ta.numChars && tb.numBytes == tb.numChars
+    val (ca, cb): (Array[Int], Array[Int]) =
+      if (ascii) (null, null)
+      else (ta.toString.codePoints().toArray, tb.toString.codePoints().toArray)
+    val lenA = if (ascii) ta.numBytes else ca.length
+    val lenB = if (ascii) tb.numBytes else cb.length
+    // 1-based a-side char positions; b-side is a − d
+    var a = math.max(math.max(1, lo - w + 1), d + 1)
+    val aEnd = math.min(math.min(lenA, lenB + d), hi + m + w - 2)
+    var best = 0
+    var run = 0
+    while (a <= aEnd) {
+      val same =
+        if (ascii) ta.getByte(a - 1) == tb.getByte(a - d - 1)
+        else ca(a - 1) == cb(a - d - 1)
+      if (same) { run += 1; if (run > best) best = run }
+      else run = 0
+      a += 1
+    }
+    best
   }
 
   /** Agreeing-position fraction of two equal-length MinHash signatures
@@ -563,6 +670,58 @@ case class MinHashSig(child: Expression, n: Int, k: Int, seed: Long)
   override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
 }
 
+/** `minhash_sig_l(long_array, k, seed)`: k-long MinHash signature over
+  * pre-hashed set elements (see [[HashKernels.minhashSigL]]).
+  */
+case class MinHashSigL(child: Expression, k: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig_l"
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.minhashSigL(v.asInstanceOf[ArrayData], k, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashKernels.minhashSigL($c, $k, ${seed}L)")
+  override protected def withNewChildInternal(c: Expression): MinHashSigL = copy(child = c)
+}
+
+/** `winnow_anchors(hash_array, w)`: robust-winnowing anchor positions
+  * (see [[HashKernels.winnowAnchors]]) as `array<struct<p:int,h:long>>`.
+  */
+case class WinnowAnchors(child: Expression, w: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("p", IntegerType, nullable = false),
+      StructField("h", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "winnow_anchors"
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.winnowAnchors(v.asInstanceOf[ArrayData], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashKernels.winnowAnchors($c, $w)")
+  override protected def withNewChildInternal(c: Expression): WinnowAnchors = copy(child = c)
+}
+
+/** `longest_common_run(ta, tb, packed_dlohi)`: exact longest equal
+  * code-point run along one diagonal within the anchors' provable span
+  * window (see [[HashKernels.longestCommonRun]]). The (d, lo, hi)
+  * triple rides one packed long so the expression fits Catalyst's
+  * ternary codegen base.
+  */
+case class LongestCommonRun(first: Expression, second: Expression,
+    third: Expression, w: Int, m: Int) extends TernaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "longest_common_run"
+  override def nullSafeEval(a: Any, b: Any, p: Any): Any =
+    HashKernels.longestCommonRun(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[UTF8String], p.asInstanceOf[Long], w, m)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, p) =>
+      s"graft.functions.HashKernels.longestCommonRun($a, $b, $p, $w, $m)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): LongestCommonRun =
+    copy(first = f, second = s, third = t)
+}
+
 /** `sig_agree(sig_a, sig_b)`: fraction of agreeing MinHash signature
   * positions — the unbiased MinHash estimate of Jaccard similarity.
   * The pre-verify candidate filter: banding recalls far below the
@@ -815,6 +974,12 @@ object exprs {
   def simhash64(c: Column, n: Int = 3): Column = ColumnBridge.column(SimHash64(expr(c), n))
   def minhash_sig(c: Column, n: Int, k: Int, seed: Long): Column =
     ColumnBridge.column(MinHashSig(expr(c), n, k, seed))
+  def minhash_sig_l(c: Column, k: Int, seed: Long): Column =
+    ColumnBridge.column(MinHashSigL(expr(c), k, seed))
+  def winnow_anchors(c: Column, w: Int): Column =
+    ColumnBridge.column(WinnowAnchors(expr(c), w))
+  def longest_common_run(ta: Column, tb: Column, packed: Column, w: Int, m: Int): Column =
+    ColumnBridge.column(LongestCommonRun(expr(ta), expr(tb), expr(packed), w, m))
   def shingle_set(c: Column, n: Int): Column =
     ColumnBridge.column(ShingleSet(expr(c), n))
   def jaccard_sorted(a: Column, b: Column): Column =

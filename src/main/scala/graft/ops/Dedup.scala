@@ -656,34 +656,60 @@ object Dedup {
     */
   def sharedSubstringSpans(
       docs: DataFrame, textCol: String, idCol: String,
-      minLen: Int = 40): DataFrame = {
+      minLen: Int = 40, anchorStride: Int = 8): DataFrame = {
     require(minLen >= 2)
-    // one rolling pass per doc (gram_hashes64) — the per-position
-    // xxhash64(substring) form is O(len·minLen) bytes + an allocation
-    // per gram, which dominates the whole pipeline's CPU
-    val grams = graft.sources.Tables.spreadForKernel(docs)
+    // winnow window w and gram size m chosen so the detection threshold
+    // m + w − 1 equals minLen EXACTLY: every shared span of ≥ minLen
+    // chars spans ≥ w consecutive m-gram positions, hence ≥ one full
+    // winnowing window, hence ≥ one matching anchor — completeness is
+    // the winnowing guarantee, not a probability.
+    val w = math.min(math.max(anchorStride, 1), minLen - 1)
+    val m = minLen - w + 1
+    // r8 SCALE REWORK, measured at a synthetic sf1 (50k docs, 10%
+    // sharing a 180-char boilerplate prefix): the previous per-position
+    // hash self-join + per-(pair, diagonal) window emitted 1.76 BILLION
+    // match rows on that corpus (141 template positions × 12.5M
+    // template pairs) and killed the session inside the window sort.
+    // Anchors cut the position axis ~w-fold BEFORE the join, and the
+    // run-merge window is replaced by a plain hash AGGREGATE per
+    // (pair, diagonal) (min/max anchor position) + one bounded
+    // char-exact scan per diagonal — no row-level sort anywhere. The
+    // pair axis is irreducible (the TRUE answer on such a corpus is
+    // quadratic in the cluster), but the per-pair cost is now O(span)
+    // with map-side-combinable aggregates, and the whole plan survives
+    // where the old one died. One rolling pass per doc (gram_hashes64,
+    // code-point-indexed positions) feeds the winnow kernel map-side.
+    val anchors = graft.sources.Tables.spreadForKernel(docs)
       .filter(length(col(textCol)) >= minLen)
       .select(col(idCol).as("id"),
-        posexplode(graft.functions.exprs.gram_hashes64(col(textCol), minLen))
-          .as(Seq("p0", "h")))
-      .select(col("id"), (col("p0") + 1).as("p"), col("h"))
-    val matches = grams.as("a").join(grams.as("b"),
+        explode(graft.functions.exprs.winnow_anchors(
+          graft.functions.exprs.gram_hashes64(col(textCol), m), w)).as("a"))
+      .select(col("id"), (col("a.p") + 1).as("p"), col("a.h").as("h"))
+    val matches = anchors.as("a").join(anchors.as("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id"))
       .select(col("a.id").as("ia"), col("b.id").as("ib"),
         col("a.p").as("pa"), col("b.p").as("pb"))
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("ia"), col("ib"), col("d")).orderBy(col("pa"))
-    val spans = matches
+    // one row per (pair, diagonal): the full anchor extent. Multi-span
+    // diagonals collapse into one scan window — the kernel scan finds
+    // every run inside it, so merging loses nothing (and the window is
+    // bounded by min(doc length) regardless of anchor layout).
+    val diag = matches
       .withColumn("d", col("pa") - col("pb"))
-      .withColumn("grp", col("pa") - row_number().over(w))
-      .groupBy(col("ia"), col("ib"), col("d"), col("grp"))
-      .agg(min(col("pa")).as("sa"), min(col("pb")).as("sb"),
-        (count(lit(1)) + (minLen - 1)).cast("int").as("len"))
+      .groupBy(col("ia"), col("ib"), col("d"))
+      .agg(min(col("pa")).as("lo"), max(col("pa")).as("hi"))
+    // (d, lo, hi) packed into one long so the char-scan expression fits
+    // Catalyst's ternary codegen base; positions are code-point counts
+    // < 2^21 (docs over 2M chars would need a wider packing)
+    val packed = ((col("d") + lit(1 << 20)).cast("long") * lit(1L << 42)
+      + col("lo").cast("long") * lit(1L << 21) + col("hi").cast("long")).as("pk")
     val ta = docs.select(col(idCol).as("ia"), col(textCol).as("__ta"))
     val tb = docs.select(col(idCol).as("ib"), col(textCol).as("__tb"))
-    spans
+    diag.select(col("ia"), col("ib"), packed)
       .join(ta, "ia").join(tb, "ib")
-      .filter(expr("substring(__ta, sa, len)") === expr("substring(__tb, sb, len)"))
+      .select(col("ia"), col("ib"),
+        graft.functions.exprs.longest_common_run(
+          col("__ta"), col("__tb"), col("pk"), w, m).as("len"))
+      .filter(col("len") >= minLen)
       .groupBy(col("ia"), col("ib"))
       .agg(max(col("len")).cast("long").as("max_shared_len"))
       .select(col("ia").as("id_a"), col("ib").as("id_b"), col("max_shared_len"))

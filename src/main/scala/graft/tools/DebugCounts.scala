@@ -12,6 +12,8 @@ object DebugCounts {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     if (args.lift(1).contains("simhash")) { simhashFunnel(sfDir); return }
+    if (args.lift(1).contains("simjoin")) { simjoinFunnel(sfDir); return }
+    if (args.lift(1).contains("embed")) { embedFunnel(sfDir); return }
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -76,6 +78,110 @@ object DebugCounts {
       val n80 = j.filter(col("j") >= 0.8).count()
       s"$n75 (>=0.8: $n80)"
     })
+    spark.stop()
+  }
+
+  /** Embedding-LSH funnel: bucket sizes, raw candidate pairs, verified
+    * survivors at the q_embed_neardup parameters. */
+  def embedFunnel(sfDir: String): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val keyed = embs.select(col("vec_id").as("id"), col("embedding").as("v")).persist()
+    println(s"vectors: ${keyed.count()}")
+    for (numPlanes <- Seq(12, 16, 20, 24)) {
+      val tableCols = (0 until 4).map { t =>
+        struct(lit(t).as("t"),
+          graft.ops.Similarity.hyperplaneSignature(col("v"), numPlanes, 64, 42L + t).as("sig"))
+      }
+      val buckets = keyed
+        .select(col("id"), explode(array(tableCols: _*)).as("b"))
+        .select(col("id"), col("b.t").as("t"), col("b.sig").as("sig"))
+      val sizes = buckets.groupBy("t", "sig").count()
+      val stats = sizes.agg(
+        sum(col("count") * (col("count") - 1) / 2).as("rawPairs"),
+        max("count").as("maxBucket"), count(lit(1)).as("nBuckets")).collect()(0)
+      println(s"planes=$numPlanes rawPairs=${stats.get(0)} maxBucket=${stats.get(1)} nBuckets=${stats.get(2)}")
+    }
+    val verified = graft.ops.Dedup.embeddingNearDupPairs(embs, "embedding", "vec_id")
+    println(s"verified pairs (planes=12): ${verified.count()}")
+    spark.stop()
+  }
+
+  /** PPJoin funnel: prefix-join candidates, distinct pairs, distinct
+    * candidate docs, exact survivors, and the true-jaccard distribution
+    * of candidates — sizing data for verify pruning decisions. */
+  def simjoinFunnel(sfDir: String): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val tau = 0.8
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val keyed = graft.sources.Tables.spreadForKernel(docs)
+      .select(col("doc_id"), array_distinct(
+        graft.functions.exprs.gram_hashes64(col("text"), 12)).as("ga"))
+      .select(col("doc_id"), explode(col("ga")).as("g"))
+      .groupBy(col("g")).agg(collect_list(col("doc_id")).as("ids"), count(lit(1)).as("f"))
+      .select(explode(col("ids")).as("doc_id"), col("g"), col("f"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("f"), col("g")))).as("toks"))
+      .withColumn("m", size(col("toks")))
+      .withColumn("plen", col("m") - ceil(lit(tau) * col("m")).cast("int") + 1)
+      .persist()
+    println(s"docs: ${keyed.count()}")
+    keyed.select(avg(col("m")), max(col("m")), avg(col("plen"))).show(false)
+    val prefixes = keyed
+      .select(col("doc_id"), col("m"),
+        posexplode(expr("slice(toks, 1, plen)")).as(Seq("pos", "p")))
+      .select(col("doc_id"), col("m"), (col("pos") + 1).as("rn"), col("p.g").as("pg"))
+      .persist()
+    println(s"prefix rows: ${prefixes.count()}")
+    val joined = prefixes.as("a").join(prefixes.as("b"),
+        col("a.pg") === col("b.pg") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.m").as("ma"), col("b.m").as("mb"),
+        col("a.rn").as("rna"), col("b.rn").as("rnb")).persist()
+    println(s"pg-join rows (no filters): ${joined.count()}")
+    val sized = joined.filter(
+      greatest(col("ma"), col("mb")) * tau <= least(col("ma"), col("mb")))
+    println(s"after size filter: ${sized.count()}")
+    val pos = sized.filter(
+      lit(1) + least(col("ma") - col("rna"), col("mb") - col("rnb")) >=
+        ceil(lit(tau / (1 + tau)) * (col("ma") + col("mb"))))
+    println(s"after positional filter: ${pos.count()}")
+    val cand = pos.select(col("id_a"), col("id_b")).distinct().persist()
+    println(s"distinct candidate pairs: ${cand.count()}")
+    // aggregated bound over ALL shared prefix grams per pair:
+    // overlap <= c + min(ma - max(rna), mb - max(rnb))
+    val aggB = pos.groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("c"), max(col("rna")).as("xa"), max(col("rnb")).as("xb"),
+        first(col("ma")).as("ma"), first(col("mb")).as("mb"))
+      .filter(col("c") + least(col("ma") - col("xa"), col("mb") - col("xb")) >=
+        ceil(lit(tau / (1 + tau)) * (col("ma") + col("mb"))))
+    println(s"after aggregated-positional bound: ${aggB.count()}")
+    val candDocs = cand.select(col("id_a").as("doc_id"))
+      .union(cand.select(col("id_b").as("doc_id"))).distinct()
+    println(s"distinct candidate docs: ${candDocs.count()}")
+    val sets = keyed.select(col("doc_id"),
+      sort_array(expr("transform(toks, t -> t.g)")).as("gs"))
+    val verified = sets.select(col("doc_id").as("id_a"), col("gs").as("ga"))
+      .join(broadcast(cand), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("gs").as("gb")), "id_b")
+      .withColumn("jaccard",
+        graft.functions.exprs.jaccard_sorted_l(col("ga"), col("gb")))
+      .persist()
+    println(s"verified >= tau: ${verified.filter(col("jaccard") >= tau).count()}")
+    verified.groupBy(floor(col("jaccard") * 10).as("jdecile")).count()
+      .orderBy("jdecile").show(20, false)
     spark.stop()
   }
 

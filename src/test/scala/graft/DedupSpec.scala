@@ -249,6 +249,81 @@ class DedupSpec extends SparkSpecBase {
     assert(!got.keySet.exists { case (x, y) => x == 4L || y == 4L })
   }
 
+  test("sharedSubstringSpans: exact threshold boundary and multi-span diagonals") {
+    val rnd = new scala.util.Random(13)
+    def junk(n: Int): String = Array.fill(n)(('a' + rnd.nextInt(26)).toChar).mkString
+    // boundary: a shared block of EXACTLY minLen chars must be found
+    // (the winnowing threshold m + w − 1 equals minLen by construction),
+    // one of minLen − 1 must not
+    val at = junk(40); val under = junk(39)
+    val docs1 = Seq(
+      (1L, junk(30) + "Q" + at + "R" + junk(30)),
+      (2L, junk(28) + "S" + at + "T" + junk(33)),
+      (3L, junk(30) + "U" + under + "V" + junk(30)),
+      (4L, junk(28) + "W" + under + "X" + junk(33))).toDF("doc_id", "text")
+    val got1 = graft.ops.Dedup.sharedSubstringSpans(docs1, "text", "doc_id", minLen = 40)
+      .select("id_a", "id_b", "max_shared_len").as[(Long, Long, Long)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got1.get((1L, 2L)) === Some(40L), "exactly-minLen span must be detected")
+    assert(!got1.contains((3L, 4L)), "minLen-1 span must not appear")
+    // multi-span SAME diagonal: two disjoint shared blocks at identical
+    // offsets in both docs land on one diagonal; the merged scan window
+    // must still measure the LONGER block (guards differ so runs break)
+    val b1 = junk(60); val b2 = junk(90)
+    val mid = junk(20)
+    val docs2 = Seq(
+      (1L, b1 + "Y" + mid + "Y" + b2),
+      (2L, b1 + "Z" + mid + "Z" + b2)).toDF("doc_id", "text")
+    val got2 = graft.ops.Dedup.sharedSubstringSpans(docs2, "text", "doc_id", minLen = 40)
+      .select("id_a", "id_b", "max_shared_len").as[(Long, Long, Long)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got2.get((1L, 2L)) === Some(90L),
+      s"longest of two same-diagonal spans, got ${got2.get((1L, 2L))}")
+  }
+
+  test("sharedSubstringSpans agrees with a quadratic DP reference (fuzz)") {
+    // the r8 anchors rework replaced per-position joins + a window with
+    // winnowed anchors + a char-exact scan; prove output equivalence
+    // against an independent longest-common-substring DP on random
+    // word-salad docs with planted blocks at random offsets
+    val rnd = new scala.util.Random(17)
+    val words = Array("spark", "sort", "join", "agg", "scan", "row", "key", "batch")
+    def salad(n: Int): String =
+      Array.fill(n)(words(rnd.nextInt(words.length))).mkString(" ")
+    def lcsLen(a: String, b: String): Int = {
+      val prev = new Array[Int](b.length + 1)
+      var best = 0
+      for (i <- 1 to a.length) {
+        var diag = 0
+        for (j <- 1 to b.length) {
+          val tmp = prev(j)
+          prev(j) = if (a(i - 1) == b(j - 1)) diag + 1 else 0
+          if (prev(j) > best) best = prev(j)
+          diag = tmp
+        }
+      }
+      best
+    }
+    val texts = (0 until 14).map { i =>
+      if (i % 3 == 2) {
+        val base = salad(20 + rnd.nextInt(30))
+        salad(rnd.nextInt(10)) + " " + base + " " + salad(rnd.nextInt(10))
+      } else salad(15 + rnd.nextInt(40))
+    }
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = graft.ops.Dedup.sharedSubstringSpans(docs, "text", "doc_id", minLen = 40)
+      .select("id_a", "id_b", "max_shared_len").as[(Long, Long, Long)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    for (i <- texts.indices; j <- texts.indices if i < j) {
+      val want = lcsLen(texts(i), texts(j))
+      val have = got.getOrElse((i.toLong, j.toLong), 0L).toInt
+      if (want >= 40) assert(have === want,
+        s"pair ($i,$j): reference LCS $want, operator reported $have")
+      else assert(have === 0, s"pair ($i,$j): sub-threshold LCS $want reported as $have")
+    }
+  }
+
   test("sharedSpanSweep: one base pass yields the exact per-threshold curve") {
     val rnd = new scala.util.Random(11)
     def junk(n: Int): String = Array.fill(n)(('a' + rnd.nextInt(26)).toChar).mkString

@@ -102,6 +102,7 @@ class PlanAuditSpec extends SparkSpecBase {
       // baseline they measure against (the ivfpq search itself plans
       // with no quadratic join — deliberately absent from this list)
       "q_ann_ivfpq_recall", "q_ann_ivf_sweep", "q_ann_ivfpq_sweep",
+      "q_ann_ivfpq_grid",
       // mix-temperature's denominator is a 1-row broadcast (ordered-fold
       // Σ√tokens over the source list — the q_tfidf scalar shape)
       "q_mix_temperature",
