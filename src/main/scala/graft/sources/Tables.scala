@@ -58,6 +58,15 @@ object Tables {
         raw.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr("ts div 1000")))
+      // some generator versions write TIMESTAMP(MICROS, isAdjustedToUTC
+      // =false) instead of nanos — that reads natively as TIMESTAMP_NTZ.
+      // Normalize to session-zone TIMESTAMP so every consumer (windows,
+      // watermarks, the DuckDB oracle under the UTC session zone) sees
+      // ONE ts type regardless of which writer produced the file; under
+      // the UTC session zone the cast is value-identity.
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
       case _ => raw
     }
   }

@@ -1,0 +1,116 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-up generator for the one-off scale-validation run (SURVEY §7):
+  * replicates the driver's sf0.1 tables K-fold with shifted keys so the
+  * full query suite can be exercised at ~sf1 without inventing new data
+  * distributions. Output goes under the repo (gitignored) — only the
+  * measured findings are committed.
+  *
+  * Replication rules, chosen so per-replica structure is the driver's
+  * own and CROSS-replica artifacts don't distort the workload:
+  *  - region/nation stay fixed (TPC-H dimension tables are
+  *    scale-invariant; growing them would break the star-join fanout).
+  *  - customer/supplier/part/orders/lineitem/events: replica i shifts
+  *    every key by i·(max+1) of its table, preserving referential
+  *    integrity and per-key fanout exactly.
+  *  - documents: replica i Caesar-rotates letters by 3·i (identity for
+  *    i=0). Within a replica the dup/near-dup cluster structure is the
+  *    driver's own; across replicas similarity collapses to noise, so
+  *    cluster COUNT scales ×K while cluster sizes stay realistic. (A
+  *    plain copy would instead put every doc in a K-member near-dup
+  *    clique — a boilerplate storm, not a scale-up.)
+  *  - embeddings: replica i applies a seeded coordinate permutation —
+  *    an orthogonal transform, so within-replica distances/cosines are
+  *    preserved EXACTLY (ANN ground truth per replica is unchanged)
+  *    while cross-replica cosines decorrelate.
+  *
+  * Big fact tables are written as multiple files so downstream scans
+  * parallelize naturally (spreadForKernel then no-ops, as on a real
+  * multi-file landing zone).
+  */
+object ScaleGen {
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val dst = args.lift(1).getOrElse("/root/repo/sfgen/sf1")
+    val k = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
+    def write(df: DataFrame, t: String, files: Int): Unit =
+      df.repartition(files).write.mode("overwrite").parquet(s"$dst/$t.parquet")
+
+    // dimension tables: copy through unchanged
+    for (t <- Seq("region", "nation")) write(read(t), t, 1)
+
+    def shifted(t: String, keys: Seq[String], files: Int): Unit = {
+      val df = read(t)
+      val spans: Map[String, Long] = keys.map { c =>
+        c -> (df.agg(max(col(c))).collect()(0).getLong(0) + 1L)
+      }.toMap
+      val reps = (0 until k).map { i =>
+        keys.foldLeft(df) { (d, c) =>
+          d.withColumn(c, col(c) + lit(i * spans(c))) }
+      }
+      write(reps.reduce(_ unionAll _), t, files)
+    }
+
+    shifted("customer", Seq("c_custkey"), 4)
+    shifted("supplier", Seq("s_suppkey"), 1)
+    shifted("part", Seq("p_partkey"), 4)
+    shifted("orders", Seq("o_orderkey", "o_custkey"), 8)
+    shifted("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"), 16)
+    shifted("events", Seq("event_id", "user_id"), 8)
+
+    // documents: key shift + per-replica letter rotation (rot 3·i)
+    val docs = read("documents")
+    val nDocs = docs.agg(max(col("doc_id"))).collect()(0).getLong(0) + 1L
+    val docReps = (0 until k).map { i =>
+      val rot = (3 * i) % 26
+      val t =
+        if (rot == 0) col("text")
+        else {
+          val lower = ('a' to 'z').mkString
+          val upper = ('A' to 'Z').mkString
+          val rl = lower.drop(rot) + lower.take(rot)
+          val ru = upper.drop(rot) + upper.take(rot)
+          translate(col("text"), lower + upper, rl + ru)
+        }
+      docs.select(
+        (col("doc_id") + lit(i * nDocs)).as("doc_id"), t.as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }
+    write(docReps.reduce(_ unionAll _), "documents", 8)
+
+    // embeddings: key shift + per-replica seeded coordinate permutation
+    val embs = read("embeddings")
+    val nVec = embs.agg(max(col("vec_id"))).collect()(0).getLong(0) + 1L
+    val dim = embs.select(size(col("embedding"))).head().getInt(0)
+    val permute = udf { (v: Seq[Float], rep: Int) =>
+      if (rep == 0) v
+      else {
+        val perm = new scala.util.Random(9001L + rep)
+          .shuffle((0 until dim).toVector)
+        perm.map(v)
+      }
+    }
+    val embReps = (0 until k).map { i =>
+      embs.select(
+        (col("vec_id") + lit(i * nVec)).as("vec_id"),
+        permute(col("embedding"), lit(i)).as("embedding"), col("label"))
+    }
+    write(embReps.reduce(_ unionAll _), "embeddings", 4)
+
+    for (t <- graft.sources.Tables.starTables)
+      println(f"$t%-12s ${spark.read.parquet(s"$dst/$t.parquet").count()}%10d rows")
+    spark.stop()
+  }
+}
