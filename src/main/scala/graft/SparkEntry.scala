@@ -2232,8 +2232,19 @@ object SparkEntry {
     "q_approx_quantile" -> ((s, dir) => {
       Tables.lineitem(s, dir)
         .agg(
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx"),
-          expr("percentile(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5)")
+          // accuracy 2000 bounds rank error at 0.05% — 20× inside the
+          // 1% verdict bound below; the r8-initial 10000 spent ~1 s of
+          // summary compress/merge CPU buying precision the verdict
+          // can't observe
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(2000)).as("approx"),
+          // exact median via the library's spill-aware percentile (the
+          // built-in `percentile` keeps a per-group OpenHashMap of
+          // counts — ~1.5 s of hash upkeep here and an unspillable
+          // buffer at scale; the sorted-run buffer streams instead).
+          // Integer cents ⇒ the lerp midpoint is .0/.5, IEEE-exact on
+          // both engines
+          element_at(graft.functions.SpillablePercentile.agg(
+            round(col("l_extendedprice") * 100).cast("long"), Seq(0.5)), 1)
             .as("median_cents"),
           count(lit(1)).as("n"))
         .select(col("n"), col("median_cents"),
@@ -3628,7 +3639,39 @@ object SparkEntry {
         .select(col("user_id"),
           date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
           date_format(col("sw.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
-          col("n_events"), col("value_milli")))
+          col("n_events"), col("value_milli"))),
+
+    // E144: DSIR importance weights (ops/Dsir.scala) — hashed-unigram
+    // target-vs-raw log-likelihood ratios per document, target slice =
+    // English docs. Integer micro-nat weights keep the oracle compare
+    // on exact integers (see Dsir scaladoc for the libm posture).
+    "q_dsir_weights" -> ((s, dir) =>
+      graft.ops.Dsir.importanceWeights(
+          Tables.documents(s, dir), "doc_id", "text", col("lang") === "en")
+        .withColumnRenamed("id", "doc_id")),
+
+    // E145: SemDeDup (ops/Dedup.semDeDup) — cluster-then-prune semantic
+    // dedup over the embeddings table. KMeans ⇒ no SQL oracle; the
+    // rows-check is backed by DedupSpec's exact reference-implementation
+    // and keep-rule invariant tests. Output aggregated per cluster so
+    // the artifact is stable and small at any scale.
+    "q_semdedup" -> ((s, dir) => {
+      val embs = Tables.embeddings(s, dir)
+      // k scales with the corpus (the paper's configuration: cells of
+      // roughly constant size, here ~256) so the within-cluster
+      // quadratic term stays bounded — measured at the 10× scale-up:
+      // fixed k=8 spent 19 s in 8×C(2500,2) cosine pairs, k=n/256
+      // bounds the per-cell work at any corpus size. The count is a
+      // parquet-metadata read, not a scan.
+      val k = math.max(8L, math.min(1024L, embs.count() / 256L)).toInt
+      val d = graft.ops.Dedup.semDeDup(embs, "vec_id", "embedding", k = k)
+      d.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          count_distinct(col("group_root")).as("n_groups"),
+          round(min(col("cent_sim")), 6).as("min_cent_sim"))
+        .orderBy(col("cluster"))
+    })
   )
 
   /** 64-bit wrap-around multiply `x * c mod 2^64` for DuckDB: 32-bit
@@ -6221,6 +6264,43 @@ object SparkEntry {
         |         AS revenue
         |FROM orders
         |GROUP BY 1, 2
-        |HAVING count(*) >= 2""".stripMargin
+        |HAVING count(*) >= 2""".stripMargin,
+
+    // bit-exact DSIR replay: same md5 feature hash (Spark conv(hex) ≡
+    // DuckDB '0x…'::BIGINT), same doubled add-half smoothing, same
+    // quotient-then-multiply double formed for ln, same micro-nat
+    // rounding; per-doc sums are integer — order-free on both engines.
+    "q_dsir_weights" ->
+      """WITH toks AS (
+        |  SELECT doc_id, (lang = 'en') AS tgt,
+        |         ('0x' || substr(md5(w), 1, 6))::BIGINT % 4096 AS b
+        |  FROM documents, LATERAL unnest(string_split(text, ' ')) AS u(w)
+        |),
+        |counts AS (
+        |  SELECT b, count(*) AS rc,
+        |         CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS tc
+        |  FROM toks GROUP BY b
+        |),
+        |totals AS (SELECT CAST(sum(rc) AS BIGINT) AS rtot,
+        |                  CAST(sum(tc) AS BIGINT) AS ttot FROM counts),
+        |ld AS (
+        |  SELECT b,
+        |         CAST(round(1e6 * ln(
+        |           ((tc * 2 + 1)::DOUBLE / (ttot * 2 + 4096))
+        |           * ((rtot * 2 + 4096)::DOUBLE / (rc * 2 + 1)))) AS BIGINT) AS ld
+        |  FROM counts, totals
+        |),
+        |perdoc AS (
+        |  SELECT t.doc_id AS doc_id, count(*) AS n_tokens,
+        |         CAST(sum(ld.ld) AS BIGINT) AS logw_micro
+        |  FROM toks t JOIN ld ON t.b = ld.b
+        |  GROUP BY t.doc_id
+        |),
+        |tot AS (SELECT CAST(sum(logw_micro) AS BIGINT) AS slw,
+        |               CAST(sum(n_tokens) AS BIGINT) AS sn FROM perdoc)
+        |SELECT doc_id, n_tokens, logw_micro,
+        |       round(logw_micro::DOUBLE / n_tokens / 1e6, 6) AS logw_per_token,
+        |       (logw_micro::DOUBLE / n_tokens > slw::DOUBLE / sn) AS selected
+        |FROM perdoc, tot""".stripMargin
   )
 }

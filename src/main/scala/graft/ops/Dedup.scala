@@ -757,4 +757,91 @@ object Dedup {
         coalesce(col("longest"), lit(0L)).as("longest"),
         coalesce(col("span_mass"), lit(0L)).as("span_mass"))
   }
+
+  // ---------------------------------------------------- semantic dedup
+
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", arXiv:2303.09540 —
+    * public literature): prune semantic near-duplicates by clustering
+    * embeddings FIRST, then comparing pairwise cosine only WITHIN each
+    * cluster. The clustering is what makes the pairwise step tractable:
+    * candidate work is Σᵢ |cᵢ|² instead of n² — at web scale k is
+    * chosen large (the paper uses ~10⁵ clusters on LAION) so clusters
+    * stay small and the quadratic term is bounded; k here defaults
+    * small only because the test corpus is.
+    *
+    * Within a cluster, vectors whose cosine ≥ `tau` form duplicate
+    * GROUPS (connected components of the τ-graph, via the same
+    * large-star/small-star closure the MinHash family uses — the
+    * paper's "keep one per group" needs the transitive grouping, not
+    * just pairs). Per group ONE representative is kept: the member with
+    * the LOWEST cosine to its cluster centroid (the paper's keep-rule —
+    * retaining the least-redundant exemplar; ties break on min id).
+    * Singletons are kept by definition.
+    *
+    * Plan shape at scale: KMeans fit/assign is linear passes over the
+    * vectors (distributed Lloyd); the within-cluster self-join
+    * shuffles each side once on `cluster` and candidate pairs carry
+    * IDS ONLY (vectors re-joined just for survivors, the
+    * embeddingNearDupPairs discipline); the closure runs on the
+    * funnel-sized pair set. A pathologically hot cluster serializes
+    * its own |c|² — the remedy at scale is a larger k (smaller cells),
+    * exactly the paper's configuration, not a different algorithm.
+    *
+    * Returns one row per input vector:
+    * (id, cluster, cent_sim, group_root, kept).
+    */
+  def semDeDup(
+      embs: DataFrame, idCol: String, vecCol: String,
+      k: Int = 8, tau: Double = 0.95, seed: Long = 1L,
+      maxIter: Int = 10): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = embs.sparkSession
+    val keyed = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("features", array_to_vector(col("v")))
+    // clustering only GATES candidate generation — every correctness
+    // invariant (one kept per τ-group, keep-rule) holds for ANY
+    // partition of the vectors — so convergence can be loose: seeded
+    // random init (k-means|| adds init rounds for quality this use
+    // can't see) and a capped iteration count. Each Lloyd round is two
+    // scheduled stages; on a warm session the rounds, not the data,
+    // dominate small-corpus wall time.
+    val model = new KMeans().setK(k).setSeed(seed)
+      .setInitMode("random").setMaxIter(maxIter)
+      .setFeaturesCol("features").setPredictionCol("cluster")
+      .fit(keyed)
+    // centroids: k rows, broadcast; cast to float so cosine_f's
+    // float-array kernel applies to both sides
+    val centers = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.map(_.toFloat))
+    }
+    val centDf = spark.createDataFrame(centers.toSeq)
+      .toDF("cluster", "centroid")
+    val assigned = Staging.stageToDisk(
+      model.transform(keyed)
+        .join(broadcast(centDf), "cluster")
+        .select(col("id"), col("cluster"), col("v"),
+          round(exprs.cosine_f(col("v"), col("centroid")), 9).as("cent_sim")))
+    try {
+      // within-cluster τ-pairs; ids only past the filter
+      val a = assigned.select(col("cluster"), col("id"), col("v"))
+      val pairs = a.as("a").join(a.as("b"),
+          col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
+        .filter(exprs.cosine_f(col("a.v"), col("b.v")) >= tau)
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      val roots = componentMinLabels(pairs) // (id, root) for paired ids
+      val labeled = assigned.select(col("id"), col("cluster"), col("cent_sim"))
+        .join(roots, Seq("id"), "left")
+        .withColumn("group_root", coalesce(col("root"), col("id")))
+        .drop("root")
+      // keep-rule: per group, min (cent_sim, id) — least-redundant member
+      val keep = labeled.groupBy(col("group_root"))
+        .agg(min(struct(col("cent_sim"), col("id"))).as("w"))
+        .select(col("group_root"), col("w.id").as("keep_id"))
+      labeled.join(keep, "group_root")
+        .select(col("id"), col("cluster"), col("cent_sim"),
+          col("group_root"), (col("id") === col("keep_id")).as("kept"))
+    } finally Staging.release(assigned)
+  }
 }

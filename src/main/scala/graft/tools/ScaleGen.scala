@@ -51,20 +51,31 @@ object ScaleGen {
     // dimension tables: copy through unchanged
     for (t <- Seq("region", "nation")) write(read(t), t, 1)
 
-    def shifted(t: String, keys: Seq[String], files: Int): Unit = {
+    def shifted(t: String, keys: Seq[String], files: Int,
+        nameFromKey: Option[(String, String, String)] = None): Unit = {
       val df = read(t)
       val spans: Map[String, Long] = keys.map { c =>
         c -> (df.agg(max(col(c))).collect()(0).getLong(0) + 1L)
       }.toMap
       val reps = (0 until k).map { i =>
-        keys.foldLeft(df) { (d, c) =>
+        val keyed = keys.foldLeft(df) { (d, c) =>
           d.withColumn(c, col(c) + lit(i * spans(c))) }
+        // entity names carry the key (Supplier#000000017): rebuild from
+        // the SHIFTED key, or every replica duplicates the base names
+        // verbatim and name-keyed ops (fuzzy join) measure a 10-copy
+        // clique artifact instead of the base data's own name geometry
+        nameFromKey.fold(keyed) { case (nameCol, prefix, keyCol) =>
+          keyed.withColumn(nameCol,
+            concat(lit(prefix), lpad(col(keyCol).cast("string"), 9, "0")))
+        }
       }
       write(reps.reduce(_ unionAll _), t, files)
     }
 
-    shifted("customer", Seq("c_custkey"), 4)
-    shifted("supplier", Seq("s_suppkey"), 1)
+    shifted("customer", Seq("c_custkey"), 4,
+      Some(("c_name", "Customer#", "c_custkey")))
+    shifted("supplier", Seq("s_suppkey"), 1,
+      Some(("s_name", "Supplier#", "s_suppkey")))
     shifted("part", Seq("p_partkey"), 4)
     shifted("orders", Seq("o_orderkey", "o_custkey"), 8)
     shifted("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"), 16)

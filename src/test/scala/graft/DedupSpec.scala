@@ -324,6 +324,65 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("semDeDup: keep-rule and invariants match an exact in-memory reference") {
+    import spark.implicits._
+    // three tight clusters in 8-dim space; cluster A carries a 3-member
+    // near-dup group + one distinct member, cluster B a 2-member group,
+    // cluster C all-singletons. Vectors are unit-ish so cosine ≈ dot.
+    def v(base: Array[Float], eps: Float, at: Int): Array[Float] = {
+      val a = base.clone(); a(at) = a(at) + eps; a
+    }
+    val a0 = Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)
+    val b0 = Array(0f, 0f, 1f, 0f, 0f, 0f, 0f, 0f)
+    val c0 = Array(0f, 0f, 0f, 0f, 1f, 0f, 0f, 0f)
+    val rows = Seq(
+      (0L, a0), (1L, v(a0, 0.02f, 1)), (2L, v(a0, 0.03f, 1)), // dup group
+      (3L, v(a0, 0.9f, 1)),                                   // distinct, same cluster
+      (10L, b0), (11L, v(b0, 0.05f, 3)),                      // dup pair
+      (20L, c0), (21L, v(c0, 0.9f, 5)), (22L, v(c0, -0.9f, 6)))
+    val embs = rows.toDF("vec_id", "embedding")
+    val tau = 0.95
+    val out = graft.ops.Dedup.semDeDup(embs, "vec_id", "embedding",
+        k = 3, tau = tau, seed = 7L)
+      .collect().map(r => (r.getLong(0),
+        (r.getInt(1), r.getDouble(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out.keySet === rows.map(_._1).toSet, "exactly one row per vector")
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      val dot = x.zip(y).map { case (p, q) => p.toDouble * q }.sum
+      dot / (math.sqrt(x.map(p => p.toDouble * p).sum) *
+        math.sqrt(y.map(p => p.toDouble * p).sum))
+    }
+    val byId = rows.toMap
+    // groups found: {0,1,2} and {10,11}; everything else singleton-kept
+    assert(Set(0L, 1L, 2L).map(out(_)._3).size === 1, "A-group shares a root")
+    assert(out(10L)._3 === out(11L)._3, "B-pair shares a root")
+    assert(out(3L)._4 && out(20L)._4 && out(21L)._4 && out(22L)._4,
+      "singletons are kept")
+    // exactly one kept per group, and it is the min (cent_sim, id) member
+    for (grp <- Seq(Seq(0L, 1L, 2L), Seq(10L, 11L))) {
+      val kept = grp.filter(out(_)._4)
+      assert(kept.size === 1, s"one kept in $grp")
+      val want = grp.map(id => (out(id)._2, id)).min._2
+      assert(kept.head === want, s"keep-rule: min (cent_sim, id) of $grp")
+    }
+    // no two KEPT vectors in the same cluster are τ-close
+    val keptIds = out.collect { case (id, (_, _, _, true)) => id }.toSeq
+    for (x <- keptIds; y <- keptIds if x < y && out(x)._1 == out(y)._1)
+      assert(cos(byId(x), byId(y)) < tau, s"kept pair ($x,$y) under τ")
+    // every removed vector has a τ-close same-cluster witness
+    for ((id, (cl, _, _, kept)) <- out if !kept) {
+      assert(rows.exists { case (o, vec) =>
+        o != id && out(o)._1 == cl && cos(byId(id), vec) >= tau },
+        s"removed $id must have a τ-close same-cluster neighbor")
+    }
+    // determinism: a second run (same seed) is identical
+    val again = graft.ops.Dedup.semDeDup(embs, "vec_id", "embedding",
+        k = 3, tau = tau, seed = 7L)
+      .collect().map(r => (r.getLong(0),
+        (r.getInt(1), r.getDouble(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(again === out, "seeded run is reproducible")
+  }
+
   test("sharedSpanSweep: one base pass yields the exact per-threshold curve") {
     val rnd = new scala.util.Random(11)
     def junk(n: Int): String = Array.fill(n)(('a' + rnd.nextInt(26)).toChar).mkString

@@ -123,7 +123,11 @@ class PlanAuditSpec extends SparkSpecBase {
       // hybrid-rrf: 1-row corpus stats + 5-row query-vector broadcast
       // (the q_tfidf scalar shape, twice); lsh-scurve: 19-row grid ×
       // 4-row config broadcast — constants, not data
-      "q_hybrid_rrf", "q_lsh_scurve")
+      "q_hybrid_rrf", "q_lsh_scurve",
+      // dsir: the (rtot, ttot) model-totals frame and the corpus-mean
+      // selection threshold are both 1-row broadcasts (q_tfidf's
+      // scalar shape); the per-doc scoring join is key-equi on bucket
+      "q_dsir_weights")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = SparkEntry.queries(name)(spark, Sf0001)
         .queryExecution.executedPlan.toString
