@@ -87,6 +87,8 @@ object Bench {
     // can't double the run.
     var retriesLeft = 20
     var nRetried = 0
+    val gcMode = sys.env.getOrElse("SPARK_GRAFT_GC", "auto")
+    var gcBudget = 16
     val results = selected.map { case (name, fn) =>
       def once(): (Double, Option[String]) = {
         val t0 = System.nanoTime()
@@ -103,8 +105,21 @@ object Bench {
         // gc() the checkpoint-heavy queries' blocks pile up in storage
         // memory and slow every query that runs after them (measured:
         // q_dataset_card 1.5 s alone vs 6.6 s late in a 146-query run).
+        // The gc() is CONDITIONAL (SPARK_GRAFT_GC=auto, the default):
+        // only checkpoint-capable queries — those over 1 s, every
+        // stager/closure user at the bench sf — plus an every-16th
+        // backstop pay it; a full 8-48 g collection costs ~0.1-0.3 s and
+        // ~130 of the 184 queries create no checkpoint blocks at all.
+        // `always` restores the old per-query behavior, `never` is for
+        // overhead measurement only.
         spark.catalog.clearCache()
-        System.gc()
+        gcBudget -= 1
+        val gcNow = gcMode match {
+          case "always" => true
+          case "never"  => false
+          case _        => sec > 1.0 || gcBudget <= 0
+        }
+        if (gcNow) { System.gc(); gcBudget = 16 }
         (sec, err)
       }
       var (sec, err) = once()

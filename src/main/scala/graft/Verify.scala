@@ -22,7 +22,14 @@ object Verify {
       sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").map(_.trim).toSet)
     SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // repartition(1), NOT coalesce(1): both give the single-file dump
+      // the compare reads, but coalesce FUSES the whole upstream
+      // computation into the one write task when no shuffle intervenes
+      // — a map-only kernel query then runs on one core (measured: the
+      // contamination kernel at a 10× scale-up, 20+ executor-minutes
+      // serialized). The explicit exchange keeps compute at full
+      // parallelism and ships only RESULT rows to the writer.
+      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

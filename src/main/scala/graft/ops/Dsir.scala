@@ -46,39 +46,44 @@ object Dsir {
     *
     * @param docs      corpus with an id column and a text column
     * @param isTarget  predicate selecting the target slice
-    * @return (id, n_tokens, logw_micro, selected) — logw_micro is the
-    *         log weight in integer micro-nats; selected = logw > 0
+    * @return (id, n_tokens, logw_micro, logw_per_token, selected) —
+    *         logw_micro is the log weight in integer micro-nats;
+    *         selected = per-token weight above the corpus mean
     */
   def importanceWeights(
       docs: DataFrame, idCol: String, textCol: String, isTarget: Column,
       numBuckets: Int = 4096): DataFrame = {
+    // NOT staged, deliberately: the token frame is consumed twice (model
+    // fit + per-doc scoring) but staging it writes ~17 bytes × every
+    // token in the corpus to executor disk — MORE than the corpus
+    // itself — to save one re-run of split+explode+md5. Two corpus
+    // scans beat a corpus-sized disk round-trip at any scale where this
+    // operator matters.
     val toks = docs
       .select(col(idCol).as("id"), isTarget.as("tgt"),
         explode(split(col(textCol), " ")).as("w"))
       .select(col("id"), col("tgt"), bucket(col("w"), numBuckets).as("b"))
-    val staged = Staging.stageToDisk(toks)
-    try {
-      // bucket counts for both models in ONE pass over the tokens
-      val counts = staged.groupBy(col("b"))
-        .agg(count(lit(1)).as("rc"),
-          sum(when(col("tgt"), 1L).otherwise(0L)).as("tc"))
-      val totals = counts.agg(
-        sum(col("rc")).as("rTot"), sum(col("tc")).as("tTot"))
+    // bucket counts for both models in ONE pass over the tokens
+    val counts = toks.groupBy(col("b"))
+      .agg(count(lit(1)).as("rc"),
+        sum(when(col("tgt"), 1L).otherwise(0L)).as("tc"))
+    val totals = counts.agg(
+      sum(col("rc")).as("rTot"), sum(col("tc")).as("tTot"))
       // ld = round(1e6 · ln p̂_t/p̂_r); add-half smoothing doubled into
       // integers: (2c+1)/(2N+B). Quotients FIRST (each an exact-int
       // IEEE divide), then one multiply — both engines form the same
       // double for ln (see scaladoc).
-      val ld = counts.crossJoin(broadcast(totals))
-        .select(col("b"),
-          round(lit(1e6) * log(
-            ((col("tc") * 2 + 1).cast("double") /
-              (col("tTot") * 2 + numBuckets)) *
-            ((col("rTot") * 2 + numBuckets).cast("double") /
-              (col("rc") * 2 + 1))))
-            .cast("long").as("ld"))
-      val perDoc = staged.join(broadcast(ld), "b")
-        .groupBy(col("id"))
-        .agg(count(lit(1)).as("n_tokens"), sum(col("ld")).as("logw_micro"))
+    val ld = counts.crossJoin(broadcast(totals))
+      .select(col("b"),
+        round(lit(1e6) * log(
+          ((col("tc") * 2 + 1).cast("double") /
+            (col("tTot") * 2 + numBuckets)) *
+          ((col("rTot") * 2 + numBuckets).cast("double") /
+            (col("rc") * 2 + 1))))
+          .cast("long").as("ld"))
+    val perDoc = toks.join(broadcast(ld), "b")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("ld")).as("logw_micro"))
       // selection = above the CORPUS-MEAN per-token weight. Absolute
       // `logw > 0` is the paper's resampling pivot but degenerates on a
       // corpus whose target slice is weakly separated (smoothing drift
@@ -86,14 +91,13 @@ object Dsir {
       // scale-free and engine-exact: both sides of the compare are IEEE
       // divides of the same exact integers, so the engines order them
       // identically.
-      val tot = perDoc.agg(sum(col("logw_micro")).as("slw"),
-        sum(col("n_tokens")).as("sn"))
-      perDoc.crossJoin(broadcast(tot))
-        .select(col("id"), col("n_tokens"), col("logw_micro"),
-          round(col("logw_micro").cast("double") / col("n_tokens") / 1e6, 6)
-            .as("logw_per_token"),
-          (col("logw_micro").cast("double") / col("n_tokens") >
-            col("slw").cast("double") / col("sn")).as("selected"))
-    } finally Staging.release(staged)
+    val tot = perDoc.agg(sum(col("logw_micro")).as("slw"),
+      sum(col("n_tokens")).as("sn"))
+    perDoc.crossJoin(broadcast(tot))
+      .select(col("id"), col("n_tokens"), col("logw_micro"),
+        round(col("logw_micro").cast("double") / col("n_tokens") / 1e6, 6)
+          .as("logw_per_token"),
+        (col("logw_micro").cast("double") / col("n_tokens") >
+          col("slw").cast("double") / col("sn")).as("selected"))
   }
 }

@@ -11,16 +11,74 @@ import duckdb
 import pandas as pd
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
-con = duckdb.connect()
-for t in ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]:
-    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+# optional per-oracle timeout (seconds) for scale runs: some oracles are
+# deliberately brute-force (q_fuzzy_join's is the O(n^2) crossJoin the
+# engine's blocking avoids) and bottleneck on the DuckDB side at 10x+
+# scale-ups; a timeout records "oracle too slow at this sf" instead of
+# hanging the whole compare. Driver behavior (no 3rd arg) is unchanged.
+timeout_s = float(sys.argv[3]) if len(sys.argv) > 3 else None
+
+def fresh_con():
+    c = duckdb.connect()
+    # bounded resources for scale runs (brute-force oracles at 10x+ can
+    # otherwise abort the process on thread-local allocation); both knobs
+    # are no-ops for the driver's small-sf runs
+    mem = os.environ.get("COMPARE_MEM", "24GB")
+    thr = os.environ.get("COMPARE_THREADS", "8")
+    c.sql(f"SET memory_limit='{mem}'")
+    c.sql(f"SET threads={thr}")
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        p = f"{sfdir}/{t}.parquet"
+        # driver testdata ships single files; scale-up dirs (ScaleGen)
+        # are multi-file parquet directories — glob those
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+    return c
+
+con = fresh_con()
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 fails = []
+# resume support for long scale runs: names already PASSed in a prior
+# log (COMPARE_RESUME_LOG) are skipped
+resume_ok = set()
+rlog = os.environ.get("COMPARE_RESUME_LOG")
+if rlog and os.path.isfile(rlog):
+    for line in open(rlog):
+        if line.startswith("PASS "):
+            resume_ok.add(line.split()[1])
+
+oracle_timeouts = []
 for name, sql in sorted(oracle.items()):
+    if name in resume_ok:
+        print(f"PASS {name} (resumed from prior log)")
+        continue
     try:
-        want = con.sql(sql).df()
+        if timeout_s is not None:
+            # a fresh per-query connection so an interrupted/abandoned
+            # query can never wedge the shared connection
+            import threading
+            box = {}
+            qcon = fresh_con()
+            def run():
+                try: box["df"] = qcon.sql(sql).df()
+                except Exception as e: box["err"] = e
+            t = threading.Thread(target=run, daemon=True)
+            t.start(); t.join(timeout_s)
+            if t.is_alive():
+                try: qcon.interrupt()
+                except Exception: pass
+                t.join(10)
+                try: qcon.close()
+                except Exception: pass
+                oracle_timeouts.append(name)
+                print(f"SKIP {name} (oracle exceeded {timeout_s:.0f}s in DuckDB)", flush=True)
+                continue
+            if "err" in box: raise box["err"]
+            want = box["df"]
+        else:
+            want = con.sql(sql).df()
         got = pd.read_parquet(f"{outdir}/{name}")
         want = want[sorted(want.columns)]
         got = got[sorted(got.columns)]
@@ -43,7 +101,7 @@ for name, sql in sorted(oracle.items()):
                 f"row{i}: got {cg.loc[i].to_dict()} want {cw.loc[i].to_dict()}" for i in idx)
             fails.append((name, f"value mismatch: {detail}"))
         else:
-            print(f"PASS {name} ({len(got)} rows)")
+            print(f"PASS {name} ({len(got)} rows)", flush=True)
     except Exception as e:
         fails.append((name, f"error: {e}"))
 
