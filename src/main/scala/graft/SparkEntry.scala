@@ -6299,7 +6299,6 @@ object SparkEntry {
         |tot AS (SELECT CAST(sum(logw_micro) AS BIGINT) AS slw,
         |               CAST(sum(n_tokens) AS BIGINT) AS sn FROM perdoc)
         |SELECT doc_id, n_tokens, logw_micro,
-        |       round(logw_micro::DOUBLE / n_tokens / 1e6, 6) AS logw_per_token,
         |       (logw_micro::DOUBLE / n_tokens > slw::DOUBLE / sn) AS selected
         |FROM perdoc, tot""".stripMargin
   )

@@ -46,7 +46,7 @@ object Dsir {
     *
     * @param docs      corpus with an id column and a text column
     * @param isTarget  predicate selecting the target slice
-    * @return (id, n_tokens, logw_micro, logw_per_token, selected) —
+    * @return (id, n_tokens, logw_micro, selected) —
     *         logw_micro is the log weight in integer micro-nats;
     *         selected = per-token weight above the corpus mean
     */
@@ -93,10 +93,15 @@ object Dsir {
       // identically.
     val tot = perDoc.agg(sum(col("logw_micro")).as("slw"),
       sum(col("n_tokens")).as("sn"))
+    // NO rounded per-token column in the output: logw_micro/n_tokens is
+    // derivable from the two exact integers emitted, and a round(…, 6)
+    // of the quotient was measured to hash-mismatch at a 10× corpus —
+    // small denominators land the 7th digit on exact .5 (22/50k rows)
+    // where the engines' half-rounding of the nearest-double differs,
+    // plus a −0.0 vs 0.0 repr split. The verdict-relevant compare
+    // (`selected`) uses the UNROUNDED quotients and matches exactly.
     perDoc.crossJoin(broadcast(tot))
       .select(col("id"), col("n_tokens"), col("logw_micro"),
-        round(col("logw_micro").cast("double") / col("n_tokens") / 1e6, 6)
-          .as("logw_per_token"),
         (col("logw_micro").cast("double") / col("n_tokens") >
           col("slw").cast("double") / col("sn")).as("selected"))
   }

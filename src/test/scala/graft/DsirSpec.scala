@@ -30,7 +30,7 @@ class DsirSpec extends SparkSpecBase {
     val got = graft.ops.Dsir.importanceWeights(
         df, "doc_id", "text", col("lang") === "en", numBuckets = B)
       .collect()
-      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(4)))
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
       .toMap
 
     // exact reference: same smoothing, same quotient-then-multiply

@@ -190,6 +190,20 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q_dsir_weights: broadcast weight table, doc-keyed shuffles only") {
+    // the scale contract of E144: the B-row (4096) bucket-weight frame
+    // and the 1-row totals frames broadcast; the corpus-sized token
+    // stream is never the build side of anything, and the per-doc score
+    // is a map-side-combinable hash aggregate
+    val p = plan("q_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the ld weight table must broadcast into the token stream:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no corpus-sized join side may shuffle-sort:\n$p")
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+      s"per-doc scoring must be a combinable aggregate:\n$p")
+  }
+
   test("q_percentiles: one hash-aggregate pass, no window machinery") {
     // the r6 spillable-percentile rewrite's plan contract: a
     // TypedImperativeAggregate rides ObjectHashAggregate (one shuffle,
