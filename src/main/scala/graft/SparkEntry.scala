@@ -3641,6 +3641,36 @@ object SparkEntry {
           date_format(col("sw.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
           col("n_events"), col("value_milli"))),
 
+    // E146: deterministic shuffle-shard — the reproducible-training
+    // corpus ordering: every doc gets a seeded md5 shuffle key, a shard
+    // (key mod n), and its position within the shard (rank by key).
+    // Same seed ⇒ byte-identical epoch ordering on any cluster, any
+    // partitioning, any run — the property trainers need to resume or
+    // replay a run. The window partitions by SHARD (parallel, each
+    // shard sorts only its own keys); at 100 TB shard count scales with
+    // the corpus so per-shard sorts stay bounded, and the output is
+    // directly consumable by a partitioned sink (E24) as one file per
+    // shard. Aggregated per shard here (size + order checksum) so the
+    // artifact is small and hash-stable at any scale.
+    "q_shuffle_shard" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val nShards = 8
+      val keyed = Tables.documents(s, dir).select(col("doc_id"),
+        conv(substring(md5(concat(lit("epoch0:"),
+          col("doc_id").cast("string"))), 1, 12), 16, 10)
+          .cast("long").as("k"))
+        .withColumn("shard", (col("k") % nShards).cast("int"))
+      val w = Window.partitionBy(col("shard")).orderBy(col("k"), col("doc_id"))
+      keyed.withColumn("pos", row_number().over(w))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          // order checksum: Σ pos·doc_id is invariant iff every doc
+          // holds its exact position — any swap changes the sum
+          sum(col("pos") * col("doc_id")).as("order_checksum"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy(col("shard"))
+    }),
+
     // E144: DSIR importance weights (ops/Dsir.scala) — hashed-unigram
     // target-vs-raw log-likelihood ratios per document, target slice =
     // English docs. Integer micro-nat weights keep the oracle compare
@@ -6265,6 +6295,22 @@ object SparkEntry {
         |FROM orders
         |GROUP BY 1, 2
         |HAVING count(*) >= 2""".stripMargin,
+
+    "q_shuffle_shard" ->
+      """WITH keyed AS (
+        |  SELECT doc_id,
+        |         ('0x' || substr(md5('epoch0:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS k
+        |  FROM documents
+        |),
+        |sharded AS (
+        |  SELECT doc_id, CAST(k % 8 AS INTEGER) AS shard,
+        |         row_number() OVER (PARTITION BY k % 8 ORDER BY k, doc_id) AS pos
+        |  FROM keyed
+        |)
+        |SELECT shard, count(*) AS n_docs,
+        |       CAST(sum(pos * doc_id) AS BIGINT) AS order_checksum,
+        |       min(doc_id) AS first_doc
+        |FROM sharded GROUP BY shard""".stripMargin,
 
     // bit-exact DSIR replay: same md5 feature hash (Spark conv(hex) ≡
     // DuckDB '0x…'::BIGINT), same doubled add-half smoothing, same

@@ -383,6 +383,33 @@ class DedupSpec extends SparkSpecBase {
     assert(again === out, "seeded run is reproducible")
   }
 
+  test("semDeDup invariants hold on the real embeddings table") {
+    import spark.implicits._
+    val embs = graft.sources.Tables.embeddings(spark, Sf0001)
+    val tau = 0.95
+    val out = graft.ops.Dedup.semDeDup(embs, "vec_id", "embedding",
+      k = 8, tau = tau, seed = 1L)
+    val n = embs.count()
+    assert(out.count() === n, "one output row per vector")
+    assert(out.select(count_distinct(col("id"))).head().getLong(0) === n)
+    // exactly one kept member per group
+    val badGroups = out.groupBy(col("group_root"))
+      .agg(sum(when(col("kept"), 1).otherwise(0)).as("nk"))
+      .filter(col("nk") =!= 1).count()
+    assert(badGroups === 0L, "every group keeps exactly one member")
+    // no two KEPT vectors of the same cluster are τ-close (distributed
+    // check — the kept frontier must be a τ-independent set per cell)
+    val keptV = out.filter(col("kept"))
+      .join(embs.select(col("vec_id").as("id"), col("embedding")), "id")
+      .select(col("cluster"), col("id"), col("embedding"))
+    val close = keptV.as("a").join(keptV.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
+      .filter(graft.functions.exprs.cosine_f(
+        col("a.embedding"), col("b.embedding")) >= tau)
+      .count()
+    assert(close === 0L, "kept set contains a τ-close same-cluster pair")
+  }
+
   test("sharedSpanSweep: one base pass yields the exact per-threshold curve") {
     val rnd = new scala.util.Random(11)
     def junk(n: Int): String = Array.fill(n)(('a' + rnd.nextInt(26)).toChar).mkString
