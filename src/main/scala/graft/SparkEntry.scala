@@ -3641,6 +3641,46 @@ object SparkEntry {
           date_format(col("sw.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
           col("n_events"), col("value_milli"))),
 
+    // E147: token-budget selection — fill an exact token budget (half
+    // the corpus's tokens here) with the best-quality documents:
+    // rank by (quality desc, doc_id), keep docs while the running token
+    // total stays ≤ budget. The scalable shape is TWO-PHASE, never a
+    // corpus-wide window: (1) per-quality-LEVEL token masses (quality
+    // is quantized to ≤10⁴ levels — corpus-linear combinable agg), (2)
+    // cumulative sum over the bounded level frame (≤10⁴ rows, the
+    // repo's bounded-bucket window shape), (3) whole levels under the
+    // budget pass by broadcast-join; ONLY the single boundary level —
+    // corpus/10⁴-ish rows — ranks its own docs. Equivalent by
+    // construction to the row-level cumsum the oracle runs.
+    "q_token_budget" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.spreadForKernel(Tables.documents(s, dir)).select(
+        col("doc_id"), col("source"),
+        round(TextAnalysis.qualityScore(col("text")) * 10000).cast("long").as("qm"),
+        TextAnalysis.tokenCountWs(col("text")).cast("long").as("tok"))
+      val budget = d.agg(expr("sum(tok) div 2").as("b"))
+      val levels = d.groupBy(col("qm")).agg(sum(col("tok")).as("lt"))
+      val wl = Window.orderBy(col("qm").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val lcum = levels.withColumn("cum", sum(col("lt")).over(wl))
+        .withColumn("before", col("cum") - col("lt"))
+        .crossJoin(broadcast(budget))
+      val dj = d.join(broadcast(lcum.select(col("qm"), col("before"),
+        col("cum"), col("b"))), "qm")
+      val fullLevels = dj.filter(col("cum") <= col("b"))
+      val wb = Window.partitionBy(col("qm")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val boundary = dj.filter(col("before") < col("b") && col("cum") > col("b"))
+        .withColumn("ct", sum(col("tok")).over(wb))
+        .filter(col("before") + col("ct") <= col("b"))
+        .drop("ct")
+      fullLevels.union(boundary)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs_selected"),
+          sum(col("tok")).as("tokens_selected"),
+          min(col("qm")).as("min_quality_milli"))
+    }),
+
     // E146: deterministic shuffle-shard — the reproducible-training
     // corpus ordering: every doc gets a seeded md5 shuffle key, a shard
     // (key mod n), and its position within the shard (rank by key).
@@ -6295,6 +6335,36 @@ object SparkEntry {
         |FROM orders
         |GROUP BY 1, 2
         |HAVING count(*) >= 2""".stripMargin,
+
+    // row-level replay of the two-phase selection: a global cumsum over
+    // (qm DESC, doc_id) — equivalent by construction (level cum =
+    // last row's running cum; boundary split keeps the same prefix)
+    "q_token_budget" -> {
+      val stops = TextAnalysis.EnglishStopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH q AS (
+         |  SELECT doc_id, source,
+         |         CAST(floor((least(n_tok / 50.0, 1.0) * 0.4
+         |           + least(CASE WHEN n_tok = 0 THEN 0.0 ELSE stop_hits / n_tok END * 5.0, 1.0) * 0.3
+         |           + CASE WHEN n_tok > 0 AND (length(text) - (n_tok - 1.0)) / n_tok >= 3.0
+         |                       AND (length(text) - (n_tok - 1.0)) / n_tok <= 10.0 THEN 1.0 ELSE 0.0 END * 0.3
+         |           - least(CASE WHEN length(text) = 0 THEN 0.0
+         |                        ELSE CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]-]', '', 'g')) AS DOUBLE) / length(text) END * 5.0, 1.0) * 0.2
+         |           ) * 10000.0 + 0.5) AS BIGINT) AS qm,
+         |         CAST(CASE WHEN length(text) = 0 THEN 0 ELSE len(string_split(text, ' ')) END AS BIGINT) AS tok
+         |  FROM (SELECT doc_id, source, text,
+         |               CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+         |               CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stops))) AS DOUBLE) AS stop_hits
+         |        FROM documents)
+         |),
+         |b AS (SELECT CAST(sum(tok) // 2 AS BIGINT) AS budget FROM q),
+         |ord AS (SELECT *, sum(tok) OVER (ORDER BY qm DESC, doc_id
+         |                   ROWS UNBOUNDED PRECEDING) AS cum FROM q)
+         |SELECT source, count(*) AS n_docs_selected,
+         |       CAST(sum(tok) AS BIGINT) AS tokens_selected,
+         |       min(qm) AS min_quality_milli
+         |FROM ord, b WHERE cum <= budget
+         |GROUP BY source""".stripMargin
+    },
 
     "q_shuffle_shard" ->
       """WITH keyed AS (

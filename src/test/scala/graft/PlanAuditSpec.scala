@@ -127,7 +127,10 @@ class PlanAuditSpec extends SparkSpecBase {
       // dsir: the (rtot, ttot) model-totals frame and the corpus-mean
       // selection threshold are both 1-row broadcasts (q_tfidf's
       // scalar shape); the per-doc scoring join is key-equi on bucket
-      "q_dsir_weights")
+      "q_dsir_weights",
+      // token-budget: the 1-row budget scalar broadcasts into the
+      // ≤10^4-row level frame; doc-side joins are key-equi on qm
+      "q_token_budget")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = SparkEntry.queries(name)(spark, Sf0001)
         .queryExecution.executedPlan.toString

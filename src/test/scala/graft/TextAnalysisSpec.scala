@@ -59,4 +59,27 @@ class TextAnalysisSpec extends SparkSpecBase {
       "quality", "lang_id", "fp_md5").subsetOf(cols))
     assert(got.count() === docs.count())
   }
+
+  test("q_token_budget: two-phase level selection equals the row-level cumsum") {
+    // the E147 query splits selection into whole-quality-levels + one
+    // ranked boundary level (the scale shape); prove it selects the
+    // EXACT same doc set as the direct (quality desc, doc_id) running-
+    // total definition, reconstructed here from the raw metrics
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val metrics = docs.select(col("doc_id"), col("source"),
+        org.apache.spark.sql.functions.round(
+          TextAnalysis.qualityScore(col("text")) * 10000).cast("long").as("qm"),
+        TextAnalysis.tokenCountWs(col("text")).cast("long").as("tok"))
+      .as[(Long, String, Long, Long)].collect()
+    val budget = metrics.map(_._4).sum / 2
+    var cum = 0L
+    val sel = metrics.sortBy { case (id, _, qm, _) => (-qm, id) }
+      .takeWhile { case (_, _, _, tok) => { cum += tok; cum <= budget } }
+    val want = sel.groupBy(_._2).map { case (src, rs) =>
+      src -> (rs.length.toLong, rs.map(_._4).sum, rs.map(_._3).min) }
+    val got = graft.SparkEntry.queries("q_token_budget")(spark, Sf0001)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got === want, "two-phase selection must equal the definition")
+  }
 }
