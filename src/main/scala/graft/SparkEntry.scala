@@ -3658,8 +3658,10 @@ object SparkEntry {
         col("doc_id"), col("source"),
         round(TextAnalysis.qualityScore(col("text")) * 10000).cast("long").as("qm"),
         TextAnalysis.tokenCountWs(col("text")).cast("long").as("tok"))
-      val budget = d.agg(expr("sum(tok) div 2").as("b"))
       val levels = d.groupBy(col("qm")).agg(sum(col("tok")).as("lt"))
+      // budget derived from the LEVEL frame (Σ lt ≡ Σ tok) — a third
+      // full pass of the text kernel over the corpus bought nothing
+      val budget = levels.agg(expr("sum(lt) div 2").as("b"))
       val wl = Window.orderBy(col("qm").desc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val lcum = levels.withColumn("cum", sum(col("lt")).over(wl))
@@ -3670,7 +3672,12 @@ object SparkEntry {
       val fullLevels = dj.filter(col("cum") <= col("b"))
       val wb = Window.partitionBy(col("qm")).orderBy(col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val boundary = dj.filter(col("before") < col("b") && col("cum") > col("b"))
+      // `before <= b` (not <): when a level starts EXACTLY on the
+      // budget, the row-level definition still admits its leading
+      // zero-token docs (running total stays == budget) — `<` would
+      // drop them and diverge from the oracle on any corpus with
+      // empty-text documents
+      val boundary = dj.filter(col("before") <= col("b") && col("cum") > col("b"))
         .withColumn("ct", sum(col("tok")).over(wb))
         .filter(col("before") + col("ct") <= col("b"))
         .drop("ct")

@@ -818,30 +818,34 @@ object Dedup {
     }
     val centDf = spark.createDataFrame(centers.toSeq)
       .toDF("cluster", "centroid")
+    // QUERY-LIFETIME staging (the q_corpus_pipeline convention — the
+    // session's per-query clearCache releases it): the staged frame is
+    // referenced by the RETURNED lazy plan (labeled twice, keep once),
+    // so an eager release here would un-cache it before any consumer
+    // runs and every branch would recompute the assign+centroid join —
+    // exactly the multi-consumer recompute staging exists to prevent.
     val assigned = Staging.stageToDisk(
       model.transform(keyed)
         .join(broadcast(centDf), "cluster")
         .select(col("id"), col("cluster"), col("v"),
           round(exprs.cosine_f(col("v"), col("centroid")), 9).as("cent_sim")))
-    try {
-      // within-cluster τ-pairs; ids only past the filter
-      val a = assigned.select(col("cluster"), col("id"), col("v"))
-      val pairs = a.as("a").join(a.as("b"),
-          col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
-        .filter(exprs.cosine_f(col("a.v"), col("b.v")) >= tau)
-        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      val roots = componentMinLabels(pairs) // (id, root) for paired ids
-      val labeled = assigned.select(col("id"), col("cluster"), col("cent_sim"))
-        .join(roots, Seq("id"), "left")
-        .withColumn("group_root", coalesce(col("root"), col("id")))
-        .drop("root")
-      // keep-rule: per group, min (cent_sim, id) — least-redundant member
-      val keep = labeled.groupBy(col("group_root"))
-        .agg(min(struct(col("cent_sim"), col("id"))).as("w"))
-        .select(col("group_root"), col("w.id").as("keep_id"))
-      labeled.join(keep, "group_root")
-        .select(col("id"), col("cluster"), col("cent_sim"),
-          col("group_root"), (col("id") === col("keep_id")).as("kept"))
-    } finally Staging.release(assigned)
+    // within-cluster τ-pairs; ids only past the filter
+    val a = assigned.select(col("cluster"), col("id"), col("v"))
+    val pairs = a.as("a").join(a.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
+      .filter(exprs.cosine_f(col("a.v"), col("b.v")) >= tau)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val roots = componentMinLabels(pairs) // (id, root) for paired ids
+    val labeled = assigned.select(col("id"), col("cluster"), col("cent_sim"))
+      .join(roots, Seq("id"), "left")
+      .withColumn("group_root", coalesce(col("root"), col("id")))
+      .drop("root")
+    // keep-rule: per group, min (cent_sim, id) — least-redundant member
+    val keep = labeled.groupBy(col("group_root"))
+      .agg(min(struct(col("cent_sim"), col("id"))).as("w"))
+      .select(col("group_root"), col("w.id").as("keep_id"))
+    labeled.join(keep, "group_root")
+      .select(col("id"), col("cluster"), col("cent_sim"),
+        col("group_root"), (col("id") === col("keep_id")).as("kept"))
   }
 }

@@ -51,22 +51,41 @@ object ScaleGen {
     // dimension tables: copy through unchanged
     for (t <- Seq("region", "nation")) write(read(t), t, 1)
 
+    // every key's shift span comes from its PRIMARY table's max — a
+    // foreign key shifted by max(referencing column) instead would
+    // break referential integrity whenever the highest primary key is
+    // unreferenced (standard TPC-H leaves a third of customers
+    // order-less; it holds in this data only by coincidence)
+    def primSpan(t: String, key: String): Long =
+      read(t).agg(max(col(key))).collect()(0).getLong(0) + 1L
+    val spans: Map[String, Long] = Map(
+      "c_custkey" -> primSpan("customer", "c_custkey"),
+      "s_suppkey" -> primSpan("supplier", "s_suppkey"),
+      "p_partkey" -> primSpan("part", "p_partkey"),
+      "o_orderkey" -> primSpan("orders", "o_orderkey"),
+      "event_id" -> primSpan("events", "event_id"),
+      "user_id" -> primSpan("events", "user_id"))
+    val fkSpan: Map[String, String] = Map(
+      "o_custkey" -> "c_custkey", "l_orderkey" -> "o_orderkey",
+      "l_partkey" -> "p_partkey", "l_suppkey" -> "s_suppkey")
+    def spanOf(c: String): Long = spans(fkSpan.getOrElse(c, c))
+
     def shifted(t: String, keys: Seq[String], files: Int,
         nameFromKey: Option[(String, String, String)] = None): Unit = {
       val df = read(t)
-      val spans: Map[String, Long] = keys.map { c =>
-        c -> (df.agg(max(col(c))).collect()(0).getLong(0) + 1L)
-      }.toMap
       val reps = (0 until k).map { i =>
         val keyed = keys.foldLeft(df) { (d, c) =>
-          d.withColumn(c, col(c) + lit(i * spans(c))) }
+          d.withColumn(c, col(c) + lit(i * spanOf(c))) }
         // entity names carry the key (Supplier#000000017): rebuild from
         // the SHIFTED key, or every replica duplicates the base names
         // verbatim and name-keyed ops (fuzzy join) measure a 10-copy
-        // clique artifact instead of the base data's own name geometry
+        // clique artifact instead of the base data's own name geometry.
+        // lpad TRUNCATES over-long input — keys past 9 digits keep
+        // their natural width (unique names matter, not the padding)
         nameFromKey.fold(keyed) { case (nameCol, prefix, keyCol) =>
-          keyed.withColumn(nameCol,
-            concat(lit(prefix), lpad(col(keyCol).cast("string"), 9, "0")))
+          val ks = col(keyCol).cast("string")
+          keyed.withColumn(nameCol, concat(lit(prefix),
+            when(length(ks) > 9, ks).otherwise(lpad(ks, 9, "0"))))
         }
       }
       write(reps.reduce(_ unionAll _), t, files)

@@ -70,8 +70,13 @@ for name, sql in sorted(oracle.items()):
                 try: qcon.interrupt()
                 except Exception: pass
                 t.join(10)
-                try: qcon.close()
-                except Exception: pass
+                # close ONLY if the query thread actually stopped —
+                # close() on a connection still executing can block the
+                # main thread or crash natively; a leaked connection is
+                # the lesser evil (daemon thread, process-exit reclaims)
+                if not t.is_alive():
+                    try: qcon.close()
+                    except Exception: pass
                 oracle_timeouts.append(name)
                 print(f"SKIP {name} (oracle exceeded {timeout_s:.0f}s in DuckDB)", flush=True)
                 continue
@@ -114,6 +119,9 @@ for name in rows_only:
         fails.append((name, "rows-only check: 0 rows"))
 
 print()
+if oracle_timeouts:
+    print(f"SKIPPED (oracle-side timeout, {len(oracle_timeouts)}): "
+          + " ".join(oracle_timeouts))
 for name, why in fails:
     print(f"FAIL {name}: {why[:400]}")
 sys.exit(1 if fails else 0)
