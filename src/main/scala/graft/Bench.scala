@@ -50,6 +50,27 @@ object Bench {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)
+    // contention telemetry (SURVEY §12 made the core-sharing
+    // attribution prose; this makes it mechanical): accumulate summed
+    // executor ON-CPU nanos and task run millis per query, published
+    // as cpu_s/run_s in bench_full.json. run ≫ cpu ⇒ descheduling /
+    // IO waits (ambient load), cpu ≈ run at higher sec ⇒ real work
+    // grew. Listener delivery is async; the snapshot is taken after
+    // clearCache(+gc) outside the timed region, which in practice
+    // drains the bus — residual lag misattributes only ms-scale tails.
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong
+    val runMs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val m = sc.stageInfo.taskMetrics
+          if (m != null) {
+            cpuNs.addAndGet(m.executorCpuTime)
+            runMs.addAndGet(m.executorRunTime)
+          }
+        }
+      })
     // warmup: absorb codegen/classloading AND the noop-sink write path
     // (r2 warmed only count(), so the alphabetically-first query paid
     // ~3 s of datasource/commit-protocol init every round)
@@ -62,7 +83,8 @@ object Bench {
     // vs_prev readers can account for the asymmetric keep-the-minimum
     // sampling instead of mistaking best-of-2 numbers for best-of-1.
     final case class R(name: String, sec: Double, err: Option[String],
-        firstSec: Option[Double] = None)
+        firstSec: Option[Double] = None,
+        cpuS: Double = 0.0, runS: Double = 0.0)
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -90,7 +112,8 @@ object Bench {
     val gcMode = sys.env.getOrElse("SPARK_GRAFT_GC", "auto")
     var gcBudget = 16
     val results = selected.map { case (name, fn) =>
-      def once(): (Double, Option[String]) = {
+      def once(): (Double, Option[String], Double, Double) = {
+        val cpu0 = cpuNs.get(); val run0 = runMs.get()
         val t0 = System.nanoTime()
         val err =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
@@ -120,19 +143,20 @@ object Bench {
           case _        => sec > 1.0 || gcBudget <= 0
         }
         if (gcNow) { System.gc(); gcBudget = 16 }
-        (sec, err)
+        (sec, err,
+          (cpuNs.get() - cpu0) / 1e9, (runMs.get() - run0) / 1e3)
       }
-      var (sec, err) = once()
+      var (sec, err, cpuS, runS) = once()
       var firstSec: Option[Double] = None
       if (err.isEmpty && retriesLeft > 0 &&
           base.get(name).exists(b => sec > 1.5 * b && sec - b > 0.5)) {
         retriesLeft -= 1
         nRetried += 1
         firstSec = Some(sec)
-        val (sec2, err2) = once()
-        if (err2.isEmpty && sec2 < sec) sec = sec2
+        val (sec2, err2, cpu2, run2) = once()
+        if (err2.isEmpty && sec2 < sec) { sec = sec2; cpuS = cpu2; runS = run2 }
       }
-      R(name, sec, err, firstSec)
+      R(name, sec, err, firstSec, cpuS, runS)
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -141,11 +165,12 @@ object Bench {
       } + "\""
     def fmt(sec: Double): String = f"$sec%.3f"
     val qsFull = results.map { r =>
+      val cpu = s""","cpu_s":${fmt(r.cpuS)},"run_s":${fmt(r.runS)}"""
       val v = (r.err, r.firstSec) match {
         case (Some(m), _) => s"""{"sec":${fmt(r.sec)},"err":${jstr(m)}}"""
         case (None, Some(f)) =>
-          s"""{"sec":${fmt(r.sec)},"first_sec":${fmt(f)},"retried":true}"""
-        case (None, None) => fmt(r.sec)
+          s"""{"sec":${fmt(r.sec)},"first_sec":${fmt(f)},"retried":true$cpu}"""
+        case (None, None) => s"""{"sec":${fmt(r.sec)}$cpu}"""
       }
       jstr(r.name) + ":" + v
     }.mkString("{", ",", "}")

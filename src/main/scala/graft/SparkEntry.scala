@@ -3738,9 +3738,12 @@ object SparkEntry {
       // roughly constant size, here ~256) so the within-cluster
       // quadratic term stays bounded — measured at the 10× scale-up:
       // fixed k=8 spent 19 s in 8×C(2500,2) cosine pairs, k=n/256
-      // bounds the per-cell work at any corpus size. The count is a
-      // parquet-metadata read, not a scan.
-      val k = math.max(8L, math.min(1024L, embs.count() / 256L)).toInt
+      // bounds the per-cell work at any corpus size. n comes from the
+      // parquet footers DRIVER-SIDE (no job in this query's graph —
+      // `embs.count()` is metadata-only work but still schedules a
+      // stage per invocation).
+      val n = Tables.parquetRowCount(s, dir, "embeddings")
+      val k = math.max(8L, math.min(1024L, n / 256L)).toInt
       val d = graft.ops.Dedup.semDeDup(embs, "vec_id", "embedding", k = k)
       d.groupBy(col("cluster"))
         .agg(count(lit(1)).as("n_vecs"),
@@ -3801,6 +3804,41 @@ object SparkEntry {
        |)
        |""".stripMargin
 
+  /** Shared CTE prefix replaying hyperplane-LSH candidate generation in
+    * DuckDB — a bit-exact port of [[graft.functions.HashKernels]]'
+    * `hyperplaneSig` portability contract (md5-derived Rademacher ±1
+    * signs; components quantized `floor(v·2^24 + 0.5)`; signature bit p
+    * = [Σ sign·q ≥ 0], all 64-bit integer arithmetic). Ends with
+    * `cand(query_id, neighbor_id)` = pairs sharing a bucket at hamming
+    * ≤ `hamming` in ANY of the `nTables` tables (XOR-mask multi-probe ≡
+    * a bit_count(xor) band join), queries = vec_id < 20, no trailing
+    * comma.
+    */
+  private def AnnLshCandidateCte(
+      nTables: Int, nPlanes: Int, hamming: Int): String =
+    s"""WITH signs AS (
+       |  SELECT t.t, p.p, i.i,
+       |         CASE WHEN ((strpos('0123456789abcdef',
+       |                substring(md5('hp:' || (42 + t.t) || ':' || p.p || ':' || (i.i // 128)),
+       |                  ((i.i % 128) // 4) + 1, 1)) - 1)
+       |              >> (3 - (i.i % 4))) & 1 = 1 THEN 1 ELSE -1 END AS s
+       |  FROM range($nTables) t(t), range($nPlanes) p(p), range(64) i(i)),
+       |qd AS (
+       |  SELECT vec_id, i.i AS i,
+       |         CAST(floor(CAST(embedding[i.i + 1] AS DOUBLE) * 16777216.0 + 0.5) AS BIGINT) AS q
+       |  FROM embeddings, range(64) i(i)),
+       |bits AS (
+       |  SELECT vec_id, t, p, CASE WHEN sum(s * q) >= 0 THEN 1 ELSE 0 END AS b
+       |  FROM qd JOIN signs ON qd.i = signs.i GROUP BY 1, 2, 3),
+       |sigs AS (
+       |  SELECT vec_id, t, CAST(sum(b * (1 << p)) AS BIGINT) AS sig
+       |  FROM bits GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM sigs q JOIN sigs c
+       |    ON q.t = c.t AND bit_count(xor(q.sig, c.sig)) <= $hamming
+       |  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id)""".stripMargin
+
   /** Shared CTE prefix replaying the corpus curation pipeline in
     * DuckDB — enrichment (lang-id, quality, token count), the kept set,
     * exact string 5-gram Jaccard near-dup pairs, and the recursive
@@ -3819,7 +3857,7 @@ object SparkEntry {
     }.mkString(" ")
     s"""WITH RECURSIVE
        |raw AS (SELECT doc_id, text, source,
-       |       CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+       |       CAST(CASE WHEN length(text) = 0 THEN 0 ELSE len(string_split(text, ' ')) END AS DOUBLE) AS n_tok,
        |       CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stops))) AS DOUBLE) AS stop_hits,
        |       $hitDefs
        |FROM documents),
@@ -4140,7 +4178,7 @@ object SparkEntry {
          |                        ELSE CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]-]', '', 'g')) AS DOUBLE) / length(text) END * 5.0, 1.0) * 0.2
          |           ) * 10000.0 + 0.5) AS BIGINT) AS q_milli
          |  FROM (SELECT doc_id, text,
-         |               CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+         |               CAST(CASE WHEN length(text) = 0 THEN 0 ELSE len(string_split(text, ' ')) END AS DOUBLE) AS n_tok,
          |               CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stops))) AS DOUBLE) AS stop_hits
          |        FROM documents)),
          |ranked AS (
@@ -5163,7 +5201,7 @@ object SparkEntry {
     "q_quality_calibration" -> {
       val stops = TextAnalysis.EnglishStopwords.map(w => s"'$w'").mkString(", ")
       s"""WITH raw AS (SELECT doc_id, text, source,
-         |       CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+         |       CAST(CASE WHEN length(text) = 0 THEN 0 ELSE len(string_split(text, ' ')) END AS DOUBLE) AS n_tok,
          |       CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stops))) AS DOUBLE) AS stop_hits
          |FROM documents),
          |q AS (SELECT source,
@@ -5314,6 +5352,57 @@ object SparkEntry {
         |      FROM scored)
         |WHERE rank <= 10""".stripMargin,
 
+    // r9: full candidate-generation replay of the hyperplane-LSH path —
+    // possible because the r9 signature kernel is EXACT integer
+    // arithmetic both engines compute identically (md5-derived
+    // Rademacher ±1 signs × components quantized floor(v·2^24 + 0.5);
+    // see Expressions.hyperplaneSig's portability contract). Multi-probe
+    // at hamming ≤ 2 over XOR masks ≡ joining on bit_count(xor(sig_q,
+    // sig_c)) ≤ 2 per table. Final ranking mirrors q_ann_topk's
+    // (cosine rounded 9 dp DESC, neighbor_id ASC).
+    "q_ann_lsh" -> (AnnLshCandidateCte(nTables = 6, nPlanes = 8, hamming = 2) +
+      """,
+        |scored AS (
+        |  SELECT query_id, neighbor_id,
+        |         round(list_cosine_similarity(ce.embedding::DOUBLE[], qe.embedding::DOUBLE[]), 9) AS cosine
+        |  FROM cand JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+        |            JOIN embeddings qe ON qe.vec_id = cand.query_id)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |      FROM scored)
+        |WHERE rank <= 5""".stripMargin),
+
+    // recall of the replayed LSH top-5 against the replayed exact top-5
+    // — n_hit/5.0 is an exact IEEE quotient of small integers
+    "q_ann_lsh_recall" -> (AnnLshCandidateCte(nTables = 6, nPlanes = 8, hamming = 2) +
+      """,
+        |scored AS (
+        |  SELECT query_id, neighbor_id,
+        |         round(list_cosine_similarity(ce.embedding::DOUBLE[], qe.embedding::DOUBLE[]), 9) AS cosine
+        |  FROM cand JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+        |            JOIN embeddings qe ON qe.vec_id = cand.query_id),
+        |approx AS (
+        |  SELECT query_id, neighbor_id
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |        FROM scored)
+        |  WHERE rank <= 5),
+        |exact_scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         round(list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 9) AS cosine
+        |  FROM embeddings c, embeddings q
+        |  WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id),
+        |exact AS (
+        |  SELECT query_id, neighbor_id
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |        FROM exact_scored)
+        |  WHERE rank <= 5),
+        |hits AS (
+        |  SELECT e.query_id, count(a.neighbor_id) AS n_hit
+        |  FROM exact e LEFT JOIN approx a
+        |    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        |  GROUP BY 1)
+        |SELECT query_id, n_hit / 5.0 AS recall FROM hits""".stripMargin),
+
     // same generated lang/quality formulas as q_lang_id / q_text_quality,
     // composed into the one-pass per-source rollup
     "q_dataset_card" -> {
@@ -5338,7 +5427,7 @@ object SparkEntry {
          |         CAST(CASE WHEN length(text) = 0 THEN 0
          |              ELSE len(string_split(text, ' ')) END AS BIGINT) AS tok
          |  FROM (SELECT source, n_chars, text,
-         |               CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+         |               CAST(CASE WHEN length(text) = 0 THEN 0 ELSE len(string_split(text, ' ')) END AS DOUBLE) AS n_tok,
          |               CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stops))) AS DOUBLE) AS stop_hits,
          |               $hitDefs
          |        FROM documents))
@@ -5380,7 +5469,7 @@ object SparkEntry {
          |                          ELSE CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]-]', '', 'g')) AS DOUBLE) / length(text) END * 5.0, 1.0) * 0.2
          |             ) * 10000.0 + 0.5) AS BIGINT) AS DOUBLE) / 10000.0 AS quality
          |FROM (SELECT doc_id, text,
-         |             CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+         |             CAST(CASE WHEN length(text) = 0 THEN 0 ELSE len(string_split(text, ' ')) END AS DOUBLE) AS n_tok,
          |             CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stops))) AS DOUBLE) AS stop_hits
          |      FROM documents)""".stripMargin
     },
@@ -5635,7 +5724,7 @@ object SparkEntry {
          |                          ELSE CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]-]', '', 'g')) AS DOUBLE) / length(text) END * 5.0, 1.0) * 0.2
          |             ) * 10000.0 + 0.5) AS BIGINT) AS DOUBLE) / 10000.0 AS quality
          |  FROM (SELECT doc_id, text,
-         |               CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+         |               CAST(CASE WHEN length(text) = 0 THEN 0 ELSE len(string_split(text, ' ')) END AS DOUBLE) AS n_tok,
          |               CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stops))) AS DOUBLE) AS stop_hits
          |        FROM documents)),
          |rep AS (
@@ -6359,7 +6448,7 @@ object SparkEntry {
          |           ) * 10000.0 + 0.5) AS BIGINT) AS qm,
          |         CAST(CASE WHEN length(text) = 0 THEN 0 ELSE len(string_split(text, ' ')) END AS BIGINT) AS tok
          |  FROM (SELECT doc_id, source, text,
-         |               CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+         |               CAST(CASE WHEN length(text) = 0 THEN 0 ELSE len(string_split(text, ' ')) END AS DOUBLE) AS n_tok,
          |               CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stops))) AS DOUBLE) AS stop_hits
          |        FROM documents)
          |),

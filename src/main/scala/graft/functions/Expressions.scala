@@ -468,18 +468,70 @@ object HashKernels extends Serializable {
   /** Sign-bit signature of `numPlanes` random projections: vectors with
     * high cosine similarity agree on most sign bits, so equal signatures
     * are near-neighbor candidates (random-hyperplane LSH, Charikar 2002).
+    *
+    * r9: the projection family moved from seeded GAUSSIAN planes to
+    * md5-derived RADEMACHER (±1) planes over integer-QUANTIZED
+    * components, so that the whole signature is exact 64-bit integer
+    * arithmetic both Spark and DuckDB can replay bit-for-bit — this is
+    * what lets q_ann_lsh's candidate generation be DuckDB-oracled
+    * instead of spec-only. Rademacher sign projections are a standard
+    * angular-LSH family (sparse/binary variants of Charikar's SimHash,
+    * cf. Achlioptas 2003 database-friendly random projections — public
+    * literature); recall floors are re-asserted in SimilaritySpec.
+    *
+    * Portability contract (mirrored in the q_ann_lsh oracle SQL):
+    * sign(p, i) = bit (MSB-first) at index i of md5("hp:<seed>:<p>:<blk>")
+    * with blk = i/128, mapped {1→+1, 0→−1}; component quantization
+    * q_i = floor(v_i · 2^24 + 0.5) computed in double (exact: float→
+    * double is exact, ·2^24 is a power-of-2 scale, and |v_i·2^24| ≪
+    * 2^52 so the +0.5 and floor are exact); bit p of the signature =
+    * [Σᵢ sign(p,i)·q_i ≥ 0], an order-free integer sum.
     */
+  private val radCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long), Array[Byte]]()
+  private def radSigns(numPlanes: Int, dim: Int, seed: Long): Array[Byte] =
+    radCache.computeIfAbsent((numPlanes, dim, seed), { key =>
+      val (np, d, s) = key
+      val out = new Array[Byte](np * d)
+      var p = 0
+      while (p < np) {
+        var blk = 0
+        while (blk * 128 < d) {
+          val digest = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"hp:$s:$p:$blk"
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val lim = math.min(128, d - blk * 128)
+          var i = 0
+          while (i < lim) {
+            val bit = (digest(i >>> 3) >> (7 - (i & 7))) & 1
+            out(p * d + blk * 128 + i) = if (bit == 1) 1 else -1
+            i += 1
+          }
+          blk += 1
+        }
+        p += 1
+      }
+      out
+    })
+
   def hyperplaneSig(v: ArrayData, numPlanes: Int, dim: Int, seed: Long): Long = {
-    val ps = planes(numPlanes, dim, seed)
+    val ss = radSigns(numPlanes, dim, seed)
     val n = math.min(v.numElements(), dim)
+    // quantize once per row, not once per (plane, component)
+    val q = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      q(i) = math.floor(v.getFloat(i).toDouble * 16777216.0 + 0.5).toLong
+      i += 1
+    }
     var sig = 0L
     var p = 0
     while (p < numPlanes) {
-      var acc = 0.0
+      var acc = 0L
       val off = p * dim
-      var i = 0
-      while (i < n) { acc += v.getFloat(i).toDouble * ps(off + i); i += 1 }
-      if (acc >= 0.0) sig |= (1L << p)
+      i = 0
+      while (i < n) { acc += ss(off + i) * q(i); i += 1 }
+      if (acc >= 0L) sig |= (1L << p)
       p += 1
     }
     sig

@@ -73,6 +73,27 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
+  /** Driver-side exact row count from parquet FOOTERS — no Spark job.
+    * `df.count()` on a raw scan is metadata-only work too, but it still
+    * schedules a job (a stage, tasks, a result collection); callers
+    * that only need a row count to SIZE something (e.g. q_semdedup's
+    * k=n/256) shouldn't put an action in their query's job graph.
+    * Cost: one footer read per file, O(files) driver metadata I/O.
+    */
+  def parquetRowCount(spark: SparkSession, dir: String, name: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val path = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val fs = path.getFileSystem(conf)
+    fs.listStatus(path)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromStatus(f, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
+  }
+
   /** Typed rows for the corpus tables — `Dataset[T]` with case-class
     * encoders where compile-time safety helps (pipeline code passing
     * documents through many stages); `DataFrame` stays the default for

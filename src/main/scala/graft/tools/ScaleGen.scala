@@ -16,12 +16,18 @@ import org.apache.spark.sql.functions._
   *  - customer/supplier/part/orders/lineitem/events: replica i shifts
   *    every key by i·(max+1) of its table, preserving referential
   *    integrity and per-key fanout exactly.
-  *  - documents: replica i Caesar-rotates letters by 3·i (identity for
-  *    i=0). Within a replica the dup/near-dup cluster structure is the
-  *    driver's own; across replicas similarity collapses to noise, so
-  *    cluster COUNT scales ×K while cluster sizes stay realistic. (A
-  *    plain copy would instead put every doc in a K-member near-dup
-  *    clique — a boilerplate storm, not a scale-up.)
+  *  - documents: replica i substitutes letters through a seeded random
+  *    alphabet permutation (identity for i=0). Any character BIJECTION
+  *    preserves within-replica n-gram/jaccard structure exactly, so the
+  *    dup/near-dup cluster structure per replica is the driver's own;
+  *    across replicas similarity collapses to noise, so cluster COUNT
+  *    scales ×K while cluster sizes stay realistic. (A plain copy would
+  *    instead put every doc in a K-member near-dup clique — a
+  *    boilerplate storm, not a scale-up. r8 used Caesar rotations 3·i,
+  *    which only admits 26 distinct ciphers — replicas 26 apart would
+  *    be verbatim copies, so k=100 for the sf10 probe forced the
+  *    general-permutation form; for k ≤ 9 the two recipes differ only
+  *    in which bijection each replica gets.)
   *  - embeddings: replica i applies a seeded coordinate permutation —
   *    an orthogonal transform, so within-replica distances/cosines are
   *    preserved EXACTLY (ANN ground truth per replica is unchanged)
@@ -45,8 +51,12 @@ object ScaleGen {
     spark.sparkContext.setLogLevel("WARN")
 
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
+    // file counts were tuned for k=10; scale them with k so sf10 keeps
+    // the same ~per-file row counts instead of 10x-size files
+    val fmul = math.max(1, k / 10)
     def write(df: DataFrame, t: String, files: Int): Unit =
-      df.repartition(files).write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      df.repartition(files * fmul).write.mode("overwrite")
+        .parquet(s"$dst/$t.parquet")
 
     // dimension tables: copy through unchanged
     for (t <- Seq("region", "nation")) write(read(t), t, 1)
@@ -56,8 +66,11 @@ object ScaleGen {
     // break referential integrity whenever the highest primary key is
     // unreferenced (standard TPC-H leaves a third of customers
     // order-less; it holds in this data only by coincidence)
+    // getAs[Number]: robust to int- vs long-typed keys across
+    // generator versions (getLong throws on an int-typed column)
     def primSpan(t: String, key: String): Long =
-      read(t).agg(max(col(key))).collect()(0).getLong(0) + 1L
+      read(t).agg(max(col(key))).collect()(0)
+        .getAs[Number](0).longValue + 1L
     val spans: Map[String, Long] = Map(
       "c_custkey" -> primSpan("customer", "c_custkey"),
       "s_suppkey" -> primSpan("supplier", "s_suppkey"),
@@ -100,19 +113,19 @@ object ScaleGen {
     shifted("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"), 16)
     shifted("events", Seq("event_id", "user_id"), 8)
 
-    // documents: key shift + per-replica letter rotation (rot 3·i)
+    // documents: key shift + per-replica seeded alphabet permutation
     val docs = read("documents")
-    val nDocs = docs.agg(max(col("doc_id"))).collect()(0).getLong(0) + 1L
+    val nDocs = docs.agg(max(col("doc_id"))).collect()(0)
+      .getAs[Number](0).longValue + 1L
+    val lower = ('a' to 'z').mkString
+    val upper = ('A' to 'Z').mkString
     val docReps = (0 until k).map { i =>
-      val rot = (3 * i) % 26
       val t =
-        if (rot == 0) col("text")
+        if (i == 0) col("text")
         else {
-          val lower = ('a' to 'z').mkString
-          val upper = ('A' to 'Z').mkString
-          val rl = lower.drop(rot) + lower.take(rot)
-          val ru = upper.drop(rot) + upper.take(rot)
-          translate(col("text"), lower + upper, rl + ru)
+          val perm = new scala.util.Random(7100L + i)
+            .shuffle(('a' to 'z').toVector).mkString
+          translate(col("text"), lower + upper, perm + perm.toUpperCase)
         }
       docs.select(
         (col("doc_id") + lit(i * nDocs)).as("doc_id"), t.as("text"),
@@ -120,17 +133,21 @@ object ScaleGen {
     }
     write(docReps.reduce(_ unionAll _), "documents", 8)
 
-    // embeddings: key shift + per-replica seeded coordinate permutation
+    // embeddings: key shift + per-replica seeded coordinate permutation.
+    // The k permutations are precomputed ONCE driver-side (the r8 UDF
+    // re-ran Random(..).shuffle per ROW — O(dim log dim) allocation per
+    // vector) and captured as int arrays in the UDF closure.
     val embs = read("embeddings")
-    val nVec = embs.agg(max(col("vec_id"))).collect()(0).getLong(0) + 1L
+    val nVec = embs.agg(max(col("vec_id"))).collect()(0)
+      .getAs[Number](0).longValue + 1L
     val dim = embs.select(size(col("embedding"))).head().getInt(0)
+    val perms: Array[Array[Int]] = (0 until k).map { i =>
+      if (i == 0) (0 until dim).toArray
+      else new scala.util.Random(9001L + i)
+        .shuffle((0 until dim).toVector).toArray
+    }.toArray
     val permute = udf { (v: Seq[Float], rep: Int) =>
-      if (rep == 0) v
-      else {
-        val perm = new scala.util.Random(9001L + rep)
-          .shuffle((0 until dim).toVector)
-        perm.map(v)
-      }
+      if (rep == 0) v else { val p = perms(rep); p.toSeq.map(v) }
     }
     val embReps = (0 until k).map { i =>
       embs.select(

@@ -16,7 +16,9 @@ class SurfaceSpec extends AnyFunSuite {
     */
   private val noOracleAllowed = Set(
     "q_ann_ivf", "q_ann_ivf_recall", "q_ann_ivfpq", "q_ann_ivfpq_recall",
-    "q_ann_lsh", "q_ann_lsh_recall",
+    // q_ann_lsh / q_ann_lsh_recall moved OFF this list in r9: the
+    // Rademacher integer signature made candidate generation
+    // DuckDB-replayable, so both are fully oracled now
     "q_ann_pq", "q_ann_pq_recall",
     // q_approx_distinct / q_approx_quantile moved OFF this list in r8:
     // their bounded-error verdicts are DuckDB-oracled now

@@ -124,4 +124,13 @@ if oracle_timeouts:
           + " ".join(oracle_timeouts))
 for name, why in fails:
     print(f"FAIL {name}: {why[:400]}")
-sys.exit(1 if fails else 0)
+# machine-readable summary so scale-run callers can't mistake a
+# mostly-skipped compare for full coverage
+print(json.dumps({"n_pass_or_checked": len(oracle) - len(oracle_timeouts),
+                  "n_fail": len(fails),
+                  "n_oracle_timeouts": len(oracle_timeouts),
+                  "oracle_timeouts": oracle_timeouts}))
+# exit codes: 0 = full pass, 1 = failures, 2 = no failures but partial
+# coverage (timeouts) — callers checking only the exit status must
+# acknowledge the skips
+sys.exit(1 if fails else (2 if oracle_timeouts else 0))
