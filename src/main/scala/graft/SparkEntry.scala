@@ -5403,6 +5403,90 @@ object SparkEntry {
         |  GROUP BY 1)
         |SELECT query_id, n_hit / 5.0 AS recall FROM hits""".stripMargin),
 
+    // r9: FULL SemDeDup replay — possible because the r9 engine
+    // clustering is a portable integer Lloyd (Dedup.semDeDup: md5-rank
+    // init, 2^20-quantized components, exact integer argmin with
+    // smallest-cell ties, truncating-division centroid updates, 2
+    // rounds unrolled here as (d1,a1,s1,c1)/(d2,a2,s2,c2)) and every
+    // similarity (τ-pairs, cent_sim) is the exact-integer cosine_q.
+    // k is data-driven (max(8, min(1024, n/256))) — only the ROUND
+    // count is unrolled. Closure = the standard reach CTE; keep-rule =
+    // min (cent_sim, id) per group root.
+    "q_semdedup" ->
+      """WITH RECURSIVE
+        |params AS (SELECT greatest(8, least(1024, count(*) // 256)) AS k FROM embeddings),
+        |qd AS (
+        |  SELECT vec_id, i.i AS i,
+        |         CAST(floor(CAST(embedding[i.i + 1] AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT) AS q
+        |  FROM embeddings, range(64) i(i)),
+        |init AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id,
+        |           CAST(row_number() OVER (ORDER BY md5('sd:' || vec_id), vec_id) - 1 AS INT) AS cell
+        |    FROM embeddings)
+        |  WHERE cell < (SELECT k FROM params)),
+        |c0 AS (SELECT init.cell, qd.i, qd.q AS c FROM init JOIN qd USING (vec_id)),
+        |d1 AS (SELECT qd.vec_id, c.cell, sum((qd.q - c.c) * (qd.q - c.c)) AS dist
+        |       FROM qd JOIN c0 c USING (i) GROUP BY 1, 2),
+        |a1 AS (SELECT vec_id, CAST(min(dist::HUGEINT * 1024 + cell) % 1024 AS INT) AS cell
+        |       FROM d1 GROUP BY 1),
+        |s1 AS (SELECT a1.cell, qd.i, CAST(sum(qd.q) AS BIGINT) AS s, count(*) AS n
+        |       FROM a1 JOIN qd USING (vec_id) GROUP BY 1, 2),
+        |c1 AS (SELECT c0.cell, c0.i, coalesce(s1.s // s1.n, c0.c) AS c
+        |       FROM c0 LEFT JOIN s1 ON s1.cell = c0.cell AND s1.i = c0.i),
+        |d2 AS (SELECT qd.vec_id, c.cell, sum((qd.q - c.c) * (qd.q - c.c)) AS dist
+        |       FROM qd JOIN c1 c USING (i) GROUP BY 1, 2),
+        |a2 AS (SELECT vec_id, CAST(min(dist::HUGEINT * 1024 + cell) % 1024 AS INT) AS cell
+        |       FROM d2 GROUP BY 1),
+        |s2 AS (SELECT a2.cell, qd.i, CAST(sum(qd.q) AS BIGINT) AS s, count(*) AS n
+        |       FROM a2 JOIN qd USING (vec_id) GROUP BY 1, 2),
+        |c2 AS (SELECT c1.cell, c1.i, coalesce(s2.s // s2.n, c1.c) AS c
+        |       FROM c1 LEFT JOIN s2 ON s2.cell = c1.cell AND s2.i = c1.i),
+        |df AS (SELECT qd.vec_id, c.cell, sum((qd.q - c.c) * (qd.q - c.c)) AS dist
+        |       FROM qd JOIN c2 c USING (i) GROUP BY 1, 2),
+        |af AS (SELECT vec_id, CAST(min(dist::HUGEINT * 1024 + cell) % 1024 AS INT) AS cell
+        |       FROM df GROUP BY 1),
+        |norms AS (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS n2 FROM qd GROUP BY 1),
+        |cnorm AS (SELECT cell, CAST(sum(c * c) AS BIGINT) AS n2 FROM c2 GROUP BY 1),
+        |cdot AS (SELECT af.vec_id, af.cell, CAST(sum(qd.q * c.c) AS BIGINT) AS dot
+        |         FROM af JOIN qd USING (vec_id)
+        |         JOIN c2 c ON c.cell = af.cell AND c.i = qd.i
+        |         GROUP BY 1, 2),
+        |cs AS (SELECT cdot.vec_id,
+        |              round(CASE WHEN n1.n2 = 0 OR cn.n2 = 0 THEN 0.0
+        |                         ELSE CAST(dot AS DOUBLE)
+        |                              / (sqrt(CAST(n1.n2 AS DOUBLE)) * sqrt(CAST(cn.n2 AS DOUBLE))) END,
+        |                    9) AS cent_sim
+        |       FROM cdot JOIN norms n1 USING (vec_id) JOIN cnorm cn ON cn.cell = cdot.cell),
+        |pdot AS (SELECT a.vec_id AS ia, b.vec_id AS ib, CAST(sum(qa.q * qb.q) AS BIGINT) AS dot
+        |         FROM af a JOIN af b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |         JOIN qd qa ON qa.vec_id = a.vec_id
+        |         JOIN qd qb ON qb.vec_id = b.vec_id AND qb.i = qa.i
+        |         GROUP BY 1, 2),
+        |pairs AS (SELECT ia, ib FROM pdot
+        |          JOIN norms na ON na.vec_id = ia JOIN norms nb ON nb.vec_id = ib
+        |          WHERE na.n2 > 0 AND nb.n2 > 0
+        |            AND CAST(dot AS DOUBLE)
+        |                / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.95),
+        |edges AS (SELECT ia AS s, ib AS d FROM pairs UNION SELECT ib, ia FROM pairs),
+        |reach AS (SELECT s, d FROM edges
+        |          UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+        |roots AS (SELECT s AS vec_id, least(s, min(d)) AS root FROM reach GROUP BY s),
+        |lab AS (SELECT af.vec_id, af.cell, cs.cent_sim,
+        |               coalesce(r.root, af.vec_id) AS group_root
+        |        FROM af JOIN cs ON cs.vec_id = af.vec_id
+        |        LEFT JOIN roots r ON r.vec_id = af.vec_id),
+        |keep AS (SELECT group_root, vec_id AS keep_id FROM (
+        |           SELECT *, row_number() OVER (PARTITION BY group_root
+        |                       ORDER BY cent_sim, vec_id) AS rn FROM lab)
+        |         WHERE rn = 1)
+        |SELECT CAST(lab.cell AS INT) AS cluster, count(*) AS n_vecs,
+        |       CAST(sum(CASE WHEN lab.vec_id = keep.keep_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       count(DISTINCT lab.group_root) AS n_groups,
+        |       round(min(lab.cent_sim), 6) AS min_cent_sim
+        |FROM lab JOIN keep USING (group_root)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // same generated lang/quality formulas as q_lang_id / q_text_quality,
     // composed into the one-pass per-source rollup
     "q_dataset_card" -> {

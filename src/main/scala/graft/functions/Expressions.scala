@@ -537,6 +537,54 @@ object HashKernels extends Serializable {
     sig
   }
 
+  /** Cosine of two integer-QUANTIZED vectors (long arrays): dot and
+    * norms are order-free exact int64 sums (all < 2^53, so the final
+    * doubles are exact), the quotient/sqrts are single IEEE-correctly-
+    * rounded ops — the result is bit-identical on ANY engine that
+    * computes `dot / (sqrt(na) * sqrt(nb))` over the same integers.
+    * This is what makes semDeDup's τ-pair and centroid-similarity
+    * comparisons DuckDB-replayable (see Dedup.semDeDup).
+    */
+  def cosineQ(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0L; var na = 0L; var nb = 0L
+    var i = 0
+    while (i < n) {
+      val x = a.getLong(i); val y = b.getLong(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0L || nb == 0L) 0.0
+    else dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+  }
+
+  /** Nearest-centroid assignment over a flat k×dim codebook of
+    * quantized components: argmin_j Σᵢ (qᵢ − c_{j,i})², ties to the
+    * smallest j. All-int64 arithmetic (components ≲ 2^24 ⇒ per-cell
+    * distance ≤ 64·2^50 ≪ 2^63) — the Lloyd assignment both engines
+    * replay exactly. Codebook rides as a codegen reference object
+    * (the PqEncode pattern); one pass, no n×k row explosion.
+    */
+  def argminCell(v: ArrayData, codebook: Array[Long], k: Int, dim: Int): Int = {
+    val n = math.min(v.numElements(), dim)
+    var best = Long.MaxValue
+    var cell = 0
+    var j = 0
+    while (j < k) {
+      var d = 0L
+      val off = j * dim
+      var i = 0
+      while (i < n) {
+        val diff = v.getLong(i) - codebook(off + i)
+        d += diff * diff
+        i += 1
+      }
+      if (d < best) { best = d; cell = j }
+      j += 1
+    }
+    cell
+  }
+
   /** Intersection sizes of one document's shingle set against a fixed
     * family of (small) eval shingle sets — the fused kernel behind
     * benchmark decontamination. One pass computes the doc's sorted
@@ -852,6 +900,38 @@ case class CosineF(left: Expression, right: Expression) extends BinaryExpression
     copy(left = l, right = r)
 }
 
+/** `cosine_q(a, b)`: cosine of integer-quantized long-array vectors —
+  * bit-identical cross-engine (see HashKernels.cosineQ).
+  */
+case class CosineQ(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_q"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashKernels.cosineQ(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashKernels.cosineQ($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineQ =
+    copy(left = l, right = r)
+}
+
+/** `argmin_cell(qv)`: nearest-centroid id over a quantized codebook
+  * riding as a codegen reference object (the PqEncode pattern).
+  */
+case class ArgMinCell(child: Expression, codebook: Array[Long], k: Int, dim: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "argmin_cell"
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.argminCell(v.asInstanceOf[ArrayData], codebook, k, dim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lloydCodebook", codebook, "long[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashKernels.argminCell($c, $ref, $k, $dim)")
+  }
+  override protected def withNewChildInternal(c: Expression): ArgMinCell =
+    copy(child = c)
+}
+
 case class DotF(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_f"
@@ -1042,6 +1122,10 @@ object exprs {
     ColumnBridge.column(JaccardSortedL(expr(a), expr(b)))
   def cosine_f(a: Column, b: Column): Column =
     ColumnBridge.column(CosineF(expr(a), expr(b)))
+  def cosine_q(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineQ(expr(a), expr(b)))
+  def argmin_cell(c: Column, codebook: Array[Long], k: Int, dim: Int): Column =
+    ColumnBridge.column(ArgMinCell(expr(c), codebook, k, dim))
   def dot_f(a: Column, b: Column): Column =
     ColumnBridge.column(DotF(expr(a), expr(b)))
   def hyperplane_sig(c: Column, numPlanes: Int, dim: Int, seed: Long): Column =

@@ -779,8 +779,9 @@ object Dedup {
     * retaining the least-redundant exemplar; ties break on min id).
     * Singletons are kept by definition.
     *
-    * Plan shape at scale: KMeans fit/assign is linear passes over the
-    * vectors (distributed Lloyd); the within-cluster self-join
+    * Plan shape at scale: the Lloyd fit/assign is linear passes over
+    * the vectors (distributed assignment, k×dim centroid aggregate
+    * collected driver-side per round); the within-cluster self-join
     * shuffles each side once on `cluster` and candidate pairs carry
     * IDS ONLY (vectors re-joined just for survivors, the
     * embeddingNearDupPairs discipline); the closure runs on the
@@ -794,46 +795,75 @@ object Dedup {
   def semDeDup(
       embs: DataFrame, idCol: String, vecCol: String,
       k: Int = 8, tau: Double = 0.95, seed: Long = 1L,
-      maxIter: Int = 10): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+      maxIter: Int = 2): DataFrame = {
     val spark = embs.sparkSession
+    // r9: the clustering moved from Spark ML KMeans to a PORTABLE
+    // integer Lloyd so the ENTIRE operator is DuckDB-replayable and
+    // q_semdedup carries a full oracle instead of rows+spec:
+    //  - components quantized floor(v·2^20 + 0.5) (exact in double;
+    //    1e-6 relative — far inside any real τ margin, and BOTH engines
+    //    compare the identical quantized values, so boundary behavior
+    //    matches bit-for-bit);
+    //  - init = the k vectors of smallest md5("sd:"+id) (a portable
+    //    deterministic draw — `seed` is retained in the signature for
+    //    API stability but the hash draw ignores it);
+    //  - `maxIter` fixed Lloyd rounds: assignment = argmin of exact
+    //    integer squared distance (ties → smallest cell), update =
+    //    TRUNCATING integer division of component sums (DuckDB's `//`
+    //    truncates, so the engine matches it rather than floorDiv);
+    //    empty cells keep their previous centroid.
+    // Clustering still only GATES candidate generation — every
+    // correctness invariant (one kept per τ-group, keep-rule) holds for
+    // ANY partition of the vectors — so two loose rounds are enough;
+    // quality beyond τ-pair co-location is invisible to the operator.
+    // Each round is one distributed argmin pass + one k×dim-row
+    // aggregate collected driver-side (k ≤ ~1024 — bounded like every
+    // codebook fit here); τ-pair cosines and cent_sim use the SAME
+    // quantized vectors via the exact-integer cosine_q kernel.
     val keyed = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("features", array_to_vector(col("v")))
-    // clustering only GATES candidate generation — every correctness
-    // invariant (one kept per τ-group, keep-rule) holds for ANY
-    // partition of the vectors — so convergence can be loose: seeded
-    // random init (k-means|| adds init rounds for quality this use
-    // can't see) and a capped iteration count. Each Lloyd round is two
-    // scheduled stages; on a warm session the rounds, not the data,
-    // dominate small-corpus wall time.
-    val model = new KMeans().setK(k).setSeed(seed)
-      .setInitMode("random").setMaxIter(maxIter)
-      .setFeaturesCol("features").setPredictionCol("cluster")
-      .fit(keyed)
-    // centroids: k rows, broadcast; cast to float so cosine_f's
-    // float-array kernel applies to both sides
-    val centers = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      (i, c.toArray.map(_.toFloat))
-    }
-    val centDf = spark.createDataFrame(centers.toSeq)
-      .toDF("cluster", "centroid")
+      .withColumn("qv", expr(
+        "transform(v, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0D + 0.5D) AS BIGINT))"))
+      .select(col("id"), col("qv"))
     // QUERY-LIFETIME staging (the q_corpus_pipeline convention — the
-    // session's per-query clearCache releases it): the staged frame is
-    // referenced by the RETURNED lazy plan (labeled twice, keep once),
-    // so an eager release here would un-cache it before any consumer
-    // runs and every branch would recompute the assign+centroid join —
-    // exactly the multi-consumer recompute staging exists to prevent.
+    // session's per-query clearCache releases it): consumed by the init
+    // draw, every Lloyd round, the final labeling, and the pair join.
+    val staged = Staging.stageToDisk(keyed)
+    val initRows = staged
+      .withColumn("h", md5(concat(lit("sd:"), col("id").cast("string"))))
+      .orderBy(col("h"), col("id")).limit(k)
+      .select(col("qv")).collect()
+    var cents: Array[Array[Long]] =
+      initRows.map(_.getAs[scala.collection.Seq[Long]](0).toArray)
+    val dim = cents(0).length
+    for (_ <- 1 to maxIter) {
+      val assigned = staged.withColumn("cell",
+        exprs.argmin_cell(col("qv"), cents.flatten, cents.length, dim))
+      val sums = assigned
+        .select(col("cell"), posexplode(col("qv")).as(Seq("i", "q")))
+        .groupBy(col("cell"), col("i"))
+        .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone()) // empty cells carry over
+      sums.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) =
+          r.getLong(2) / r.getLong(3) // truncating div = DuckDB `//`
+      }
+      cents = next
+    }
+    val centDf = spark.createDataFrame(
+        cents.zipWithIndex.map { case (c, j) => (j, c.toSeq) }.toSeq)
+      .toDF("cluster", "cent")
     val assigned = Staging.stageToDisk(
-      model.transform(keyed)
+      staged.withColumn("cluster",
+          exprs.argmin_cell(col("qv"), cents.flatten, cents.length, dim))
         .join(broadcast(centDf), "cluster")
-        .select(col("id"), col("cluster"), col("v"),
-          round(exprs.cosine_f(col("v"), col("centroid")), 9).as("cent_sim")))
+        .select(col("id"), col("cluster"), col("qv"),
+          round(exprs.cosine_q(col("qv"), col("cent")), 9).as("cent_sim")))
     // within-cluster τ-pairs; ids only past the filter
-    val a = assigned.select(col("cluster"), col("id"), col("v"))
+    val a = assigned.select(col("cluster"), col("id"), col("qv"))
     val pairs = a.as("a").join(a.as("b"),
         col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
-      .filter(exprs.cosine_f(col("a.v"), col("b.v")) >= tau)
+      .filter(exprs.cosine_q(col("a.qv"), col("b.qv")) >= tau)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
     val roots = componentMinLabels(pairs) // (id, root) for paired ids
     val labeled = assigned.select(col("id"), col("cluster"), col("cent_sim"))

@@ -23,10 +23,10 @@ class SurfaceSpec extends AnyFunSuite {
     // q_approx_distinct / q_approx_quantile moved OFF this list in r8:
     // their bounded-error verdicts are DuckDB-oracled now
     "q_kmeans_clusters",
-    // SemDeDup clusters with KMeans before the within-cluster prune —
-    // same ML posture; DedupSpec pins the keep-rule and the no-kept-
-    // τ-pair invariant against an exact in-memory reference
-    "q_semdedup",
+    // q_semdedup moved OFF this list in r9: the portable integer Lloyd
+    // (md5-rank init, quantized components, truncating-div centroids)
+    // made the whole operator DuckDB-replayable — full oracle now,
+    // with DedupSpec still pinning the invariants
     // the recall curves measure the ANN against the exact baseline —
     // same family, same rows+spec posture (SimilaritySpec pins the
     // curves' shape and the operating-point floors)
