@@ -1774,8 +1774,30 @@ object SparkEntry {
       val scaled = e.select((col("vec_id") + 10000).as("vec_id"),
         transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
       val corpus = e.select(col("vec_id"), col("embedding")).unionByName(scaled)
+      // r9 (found by the sf10 probe): FIXED numPlanes=8 does not
+      // scale — expected bucket occupancy is n/2^planes, and the
+      // candidate join is quadratic IN THE BUCKET, so 400k vectors in
+      // 256 buckets/table meant ~1.2B candidate pairs and an executor
+      // OOM after 742 s. Size planes so occupancy stays ~16
+      // (planes = ⌈log2(n/16)⌉), and re-derive the table count from
+      // the LSH recall model so recall does NOT silently decay as
+      // planes grow: per-table collision for a θ-pair is p^planes with
+      // p = 1 − θ/π (Charikar 2002), and tables t gives miss
+      // (1 − p^planes)^t — pick the smallest t with miss ≤ 3% at the
+      // 0.98 threshold. At every oracle sf this resolves to the
+      // long-published (planes=8, tables=4); at the 10× probe it gives
+      // (12, 6), at 100× (15, 8): bucket rows grow ~2×, per-bucket
+      // quadratic work falls ~2000×. n comes from parquet footers —
+      // no job in the query graph (the q_semdedup discipline).
+      val n = 2L * Tables.parquetRowCount(s, dir, "embeddings")
+      val planes = math.max(8, math.min(20,
+        math.ceil(math.log(n / 16.0) / math.log(2.0)).toInt))
+      val pColl = 1.0 - math.acos(0.98) / math.Pi
+      val pTable = math.pow(pColl, planes)
+      val tables = math.max(4, math.min(12,
+        math.ceil(math.log(0.03) / math.log(1.0 - pTable)).toInt))
       Dedup.embeddingNearDupPairs(corpus, "embedding", "vec_id",
-          numPlanes = 8, threshold = 0.98, numTables = 4)
+          numPlanes = planes, threshold = 0.98, numTables = tables)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
     }),
 
@@ -3839,6 +3861,128 @@ object SparkEntry {
        |    ON q.t = c.t AND bit_count(xor(q.sig, c.sig)) <= $hamming
        |  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id)""".stripMargin
 
+  /** Shared CTE prefix replaying the PORTABLE IVF front half in DuckDB
+    * — a bit-exact port of Similarity.ivfCellsAndRankedProbes' r9
+    * portability contract: components quantized floor(v·2^20 + 0.5);
+    * fit draw = md5("ivffit:"+id) hex prefix < `fitThrHex`; init = the
+    * `numCells` sample vectors of smallest (md5("ivf:"+id), id); TWO
+    * unrolled integer Lloyd rounds over the sample (argmin ties →
+    * smallest cell via the min(dist·1024+cell) encoding, truncating
+    * `//` centroid updates, empty cells carry over — the q_semdedup
+    * pattern); final assignment of ALL corpus rows keeping the argmin
+    * DISTANCE (decoded `//1024`) for the radius statistic; r_cell² =
+    * the ceil(0.9·n)-th smallest member d2 (exact integer
+    * rank-select); probe order = (max(0, √d2q − √r²) ASC, d2q ASC,
+    * cell ASC). Ends with `cand(query_id, neighbor_id, rn)` = corpus
+    * rows of every probed cell up to rank `maxRn`, queries = vec_id <
+    * 20, no trailing comma.
+    */
+  private def AnnIvfCandidateCte(
+      numCells: Int, maxRn: Int, fitThrHex: String): String =
+    s"""WITH qd AS (
+       |  SELECT vec_id, i.i AS i,
+       |         CAST(floor(CAST(embedding[i.i + 1] AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT) AS q
+       |  FROM embeddings, range(64) i(i)),
+       |fit AS (SELECT vec_id FROM embeddings
+       |        WHERE substring(md5('ivffit:' || vec_id), 1, 2) < '$fitThrHex'),
+       |init AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id,
+       |           CAST(row_number() OVER (ORDER BY md5('ivf:' || vec_id), vec_id) - 1 AS INT) AS cell
+       |    FROM fit)
+       |  WHERE cell < $numCells),
+       |c0 AS (SELECT init.cell, qd.i, qd.q AS c FROM init JOIN qd USING (vec_id)),
+       |d1 AS (SELECT qd.vec_id, c.cell, sum((qd.q - c.c) * (qd.q - c.c)) AS dist
+       |       FROM qd JOIN fit USING (vec_id) JOIN c0 c ON qd.i = c.i GROUP BY 1, 2),
+       |a1 AS (SELECT vec_id, CAST(min(dist::HUGEINT * 1024 + cell) % 1024 AS INT) AS cell
+       |       FROM d1 GROUP BY 1),
+       |s1 AS (SELECT a1.cell, qd.i, CAST(sum(qd.q) AS BIGINT) AS s, count(*) AS n
+       |       FROM a1 JOIN qd USING (vec_id) GROUP BY 1, 2),
+       |c1 AS (SELECT c0.cell, c0.i, coalesce(s1.s // s1.n, c0.c) AS c
+       |       FROM c0 LEFT JOIN s1 ON s1.cell = c0.cell AND s1.i = c0.i),
+       |d2_ AS (SELECT qd.vec_id, c.cell, sum((qd.q - c.c) * (qd.q - c.c)) AS dist
+       |        FROM qd JOIN fit USING (vec_id) JOIN c1 c ON qd.i = c.i GROUP BY 1, 2),
+       |a2 AS (SELECT vec_id, CAST(min(dist::HUGEINT * 1024 + cell) % 1024 AS INT) AS cell
+       |       FROM d2_ GROUP BY 1),
+       |s2 AS (SELECT a2.cell, qd.i, CAST(sum(qd.q) AS BIGINT) AS s, count(*) AS n
+       |       FROM a2 JOIN qd USING (vec_id) GROUP BY 1, 2),
+       |c2 AS (SELECT c1.cell, c1.i, coalesce(s2.s // s2.n, c1.c) AS c
+       |       FROM c1 LEFT JOIN s2 ON s2.cell = c1.cell AND s2.i = c1.i),
+       |dfin AS (SELECT qd.vec_id, c.cell, sum((qd.q - c.c) * (qd.q - c.c)) AS dist
+       |         FROM qd JOIN c2 c ON qd.i = c.i GROUP BY 1, 2),
+       |af AS (SELECT vec_id,
+       |              CAST(min(dist::HUGEINT * 1024 + cell) % 1024 AS INT) AS cell,
+       |              CAST(min(dist::HUGEINT * 1024 + cell) // 1024 AS BIGINT) AS d2
+       |       FROM dfin GROUP BY 1),
+       |cellcnt AS (SELECT cell, count(*) AS n FROM af GROUP BY 1),
+       |radii AS (
+       |  SELECT cell, d2 AS r2 FROM (
+       |    SELECT af.cell, af.d2, c.n,
+       |           row_number() OVER (PARTITION BY af.cell ORDER BY af.d2) AS rn
+       |    FROM af JOIN cellcnt c USING (cell))
+       |  WHERE rn = (n * 9 + 9) // 10),
+       |qprobe AS (
+       |  SELECT qd.vec_id AS query_id, c2.cell,
+       |         CAST(sum((qd.q - c2.c) * (qd.q - c2.c)) AS BIGINT) AS d2q
+       |  FROM qd JOIN c2 ON c2.i = qd.i
+       |  WHERE qd.vec_id < 20 GROUP BY 1, 2),
+       |probes AS (
+       |  SELECT query_id, cell, rn FROM (
+       |    SELECT p.query_id, p.cell,
+       |           row_number() OVER (PARTITION BY p.query_id ORDER BY
+       |             greatest(0.0, sqrt(CAST(p.d2q AS DOUBLE)) - sqrt(CAST(coalesce(r.r2, 0) AS DOUBLE))),
+       |             p.d2q, p.cell) AS rn
+       |    FROM qprobe p LEFT JOIN radii r USING (cell))
+       |  WHERE rn <= $maxRn),
+       |cand AS (
+       |  SELECT p.query_id, af.vec_id AS neighbor_id, p.rn
+       |  FROM af JOIN probes p USING (cell)
+       |  WHERE af.vec_id <> p.query_id)""".stripMargin
+
+  /** Appends the integer-Rademacher-sketch shortlist replay to
+    * [[AnnIvfCandidateCte]]: sketch components quantized
+    * floor(v·2^16 + 0.5), 32 md5-derived ±1 planes (seed 7043 =
+    * q_ann_ivf's 42 + 7001 — HashKernels.radSketchQ's contract), sketch
+    * cosine = exact-integer cosine rounded 9 dp, per-query top
+    * `rerank` by (sketch cosine DESC, neighbor_id ASC). Ends with
+    * `shortlist(query_id, neighbor_id)`, no trailing comma.
+    */
+  private def AnnIvfShortlistCte(
+      numCells: Int, nProbe: Int, fitThrHex: String,
+      sketchDim: Int, sketchSeed: Long, rerank: Int): String =
+    AnnIvfCandidateCte(numCells, nProbe, fitThrHex) +
+    s""",
+       |ssigns AS (
+       |  SELECT p.p, i.i,
+       |         CASE WHEN ((strpos('0123456789abcdef',
+       |                substring(md5('hp:$sketchSeed:' || p.p || ':' || (i.i // 128)),
+       |                  ((i.i % 128) // 4) + 1, 1)) - 1)
+       |              >> (3 - (i.i % 4))) & 1 = 1 THEN 1 ELSE -1 END AS s
+       |  FROM range($sketchDim) p(p), range(64) i(i)),
+       |q16 AS (
+       |  SELECT vec_id, i.i AS i,
+       |         CAST(floor(CAST(embedding[i.i + 1] AS DOUBLE) * 65536.0 + 0.5) AS BIGINT) AS q
+       |  FROM embeddings, range(64) i(i)),
+       |sk AS (SELECT vec_id, p, CAST(sum(s * q) AS BIGINT) AS v
+       |       FROM q16 JOIN ssigns ON q16.i = ssigns.i GROUP BY 1, 2),
+       |skn AS (SELECT vec_id, CAST(sum(v * v) AS BIGINT) AS n2 FROM sk GROUP BY 1),
+       |skdot AS (
+       |  SELECT c.query_id, c.neighbor_id, CAST(sum(a.v * b.v) AS BIGINT) AS dot
+       |  FROM cand c JOIN sk a ON a.vec_id = c.neighbor_id
+       |              JOIN sk b ON b.vec_id = c.query_id AND b.p = a.p
+       |  GROUP BY 1, 2),
+       |shortlist AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT sd.query_id, sd.neighbor_id,
+       |           row_number() OVER (PARTITION BY sd.query_id ORDER BY
+       |             round(CASE WHEN na.n2 = 0 OR nb.n2 = 0 THEN 0.0
+       |                        ELSE CAST(dot AS DOUBLE)
+       |                             / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) END,
+       |                   9) DESC, sd.neighbor_id) AS rn
+       |    FROM skdot sd JOIN skn na ON na.vec_id = sd.neighbor_id
+       |                  JOIN skn nb ON nb.vec_id = sd.query_id)
+       |  WHERE rn <= $rerank)""".stripMargin
+
   /** Shared CTE prefix replaying the corpus curation pipeline in
     * DuckDB — enrichment (lang-id, quality, token count), the kept set,
     * exact string 5-gram Jaccard near-dup pairs, and the recursive
@@ -5402,6 +5546,95 @@ object SparkEntry {
         |    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
         |  GROUP BY 1)
         |SELECT query_id, n_hit / 5.0 AS recall FROM hits""".stripMargin),
+
+    // r9: FULL IVF replay — possible because the r9 front half is
+    // portable integer geometry end-to-end (md5 fit draw, integer
+    // Lloyd quantizer, exact rank-select radii, integer-distance probe
+    // ranking, integer Rademacher sketch shortlist — see
+    // Similarity.ivfCellsAndRankedProbes' contract) and the final
+    // re-rank is the q_ann_topk-proven float cosine. Parameters mirror
+    // q_ann_ivf: 16 cells, nProbe 12, fitFraction 0.25 ('40'),
+    // sketchDim 32 seed 7043, shortlist 240.
+    "q_ann_ivf" -> (AnnIvfShortlistCte(numCells = 16, nProbe = 12,
+      fitThrHex = "40", sketchDim = 32, sketchSeed = 7043L, rerank = 240) +
+      """,
+        |scored AS (
+        |  SELECT query_id, neighbor_id,
+        |         round(list_cosine_similarity(ce.embedding::DOUBLE[], qe.embedding::DOUBLE[]), 9) AS cosine
+        |  FROM shortlist JOIN embeddings ce ON ce.vec_id = shortlist.neighbor_id
+        |                 JOIN embeddings qe ON qe.vec_id = shortlist.query_id)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |      FROM scored)
+        |WHERE rank <= 5""".stripMargin),
+
+    // recall of the replayed IVF top-5 against the replayed exact top-5
+    "q_ann_ivf_recall" -> (AnnIvfShortlistCte(numCells = 16, nProbe = 12,
+      fitThrHex = "40", sketchDim = 32, sketchSeed = 7043L, rerank = 240) +
+      """,
+        |scored AS (
+        |  SELECT query_id, neighbor_id,
+        |         round(list_cosine_similarity(ce.embedding::DOUBLE[], qe.embedding::DOUBLE[]), 9) AS cosine
+        |  FROM shortlist JOIN embeddings ce ON ce.vec_id = shortlist.neighbor_id
+        |                 JOIN embeddings qe ON qe.vec_id = shortlist.query_id),
+        |approx AS (
+        |  SELECT query_id, neighbor_id
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |        FROM scored)
+        |  WHERE rank <= 5),
+        |exact_scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         round(list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 9) AS cosine
+        |  FROM embeddings c, embeddings q
+        |  WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id),
+        |exact AS (
+        |  SELECT query_id, neighbor_id
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |        FROM exact_scored)
+        |  WHERE rank <= 5),
+        |hits AS (
+        |  SELECT e.query_id, count(a.neighbor_id) AS n_hit
+        |  FROM exact e LEFT JOIN approx a
+        |    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        |  GROUP BY 1)
+        |SELECT query_id, n_hit / 5.0 AS recall FROM hits""".stripMargin),
+
+    // the sweep probes every depth ≤ 16 and scores candidates with the
+    // EXACT cosine (no sketch — mirrors Similarity.ivfRecallSweep);
+    // a candidate in the rank-rn cell belongs to every depth ≥ rn
+    "q_ann_ivf_sweep" -> (AnnIvfCandidateCte(numCells = 16, maxRn = 16,
+      fitThrHex = "40") +
+      """,
+        |sc AS (
+        |  SELECT c.query_id, c.neighbor_id, c.rn,
+        |         round(list_cosine_similarity(ce.embedding::DOUBLE[], qe.embedding::DOUBLE[]), 9) AS cosine
+        |  FROM cand c JOIN embeddings ce ON ce.vec_id = c.neighbor_id
+        |              JOIN embeddings qe ON qe.vec_id = c.query_id),
+        |swept AS (
+        |  SELECT g.n_probe, sc.query_id, sc.neighbor_id, sc.cosine
+        |  FROM sc JOIN (SELECT unnest([2, 4, 8, 12, 16]) AS n_probe) g
+        |    ON g.n_probe >= sc.rn),
+        |appx AS (
+        |  SELECT n_probe, query_id, neighbor_id
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY n_probe, query_id
+        |                    ORDER BY cosine DESC, neighbor_id) AS rank
+        |        FROM swept)
+        |  WHERE rank <= 5),
+        |exact_scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         round(list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 9) AS cosine
+        |  FROM embeddings c, embeddings q
+        |  WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id),
+        |exact AS (
+        |  SELECT query_id, neighbor_id
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |        FROM exact_scored)
+        |  WHERE rank <= 5)
+        |SELECT a.n_probe,
+        |       CAST(count(*) * 10000 // (5 * 20) AS BIGINT) AS recall_bp
+        |FROM appx a JOIN exact e
+        |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+        |GROUP BY 1""".stripMargin),
 
     // r9: FULL SemDeDup replay — possible because the r9 engine
     // clustering is a portable integer Lloyd (Dedup.semDeDup: md5-rank

@@ -585,6 +585,58 @@ object HashKernels extends Serializable {
     cell
   }
 
+  /** Exact integer squared L2 distance of two quantized long-array
+    * vectors — the distance the portable IVF cell ranking and radius
+    * statistic are built from. Same overflow envelope as [[argminCell]]
+    * (components ≲ 2^21 ⇒ sums ≪ 2^63); order-free integer arithmetic,
+    * so DuckDB's `sum((a − b)²)` replays it bit-for-bit.
+    */
+  def dist2Q(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var d = 0L
+    var i = 0
+    while (i < n) {
+      val diff = a.getLong(i) - b.getLong(i)
+      d += diff * diff
+      i += 1
+    }
+    d
+  }
+
+  /** Integer Rademacher projection sketch: the PORTABLE variant of
+    * [[randProjSketch]]. sketch[p] = Σᵢ sign(p,i)·qᵢ with the SAME
+    * md5-derived ±1 family as [[hyperplaneSig]] ("hp:<seed>:<p>:<blk>",
+    * MSB-first bits, {1→+1, 0→−1}) and components quantized
+    * floor(vᵢ·2^16 + 0.5) — a coarser scale than the signature's 2^24
+    * so that a 32-dim sketch COSINE stays inside exact int64/double
+    * range (unit vectors: |q| ≤ 2^15.2, sketch component ≤ 2^21.2,
+    * 32-term dot ≤ 2^48 < 2^53). Sketch cosines via [[cosineQ]] are
+    * then bit-identical cross-engine, which is what lets the IVF
+    * shortlist stage be DuckDB-replayed instead of spec-only.
+    * JL-style Rademacher projections: Achlioptas 2003 (public).
+    */
+  def radSketchQ(v: ArrayData, sketchDim: Int, dim: Int, seed: Long): ArrayData = {
+    val ss = radSigns(sketchDim, dim, seed)
+    val n = math.min(v.numElements(), dim)
+    val q = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      q(i) = math.floor(v.getFloat(i).toDouble * 65536.0 + 0.5).toLong
+      i += 1
+    }
+    val out = new Array[Long](sketchDim)
+    var p = 0
+    while (p < sketchDim) {
+      var acc = 0L
+      val off = p * dim
+      i = 0
+      while (i < n) { acc += ss(off + i) * q(i); i += 1 }
+      out(p) = acc
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Intersection sizes of one document's shingle set against a fixed
     * family of (small) eval shingle sets — the fused kernel behind
     * benchmark decontamination. One pass computes the doc's sorted
@@ -943,6 +995,36 @@ case class DotF(left: Expression, right: Expression) extends BinaryExpression {
     copy(left = l, right = r)
 }
 
+/** `dist2_q(a, b)`: exact integer squared L2 distance of quantized
+  * long-array vectors (see HashKernels.dist2Q).
+  */
+case class Dist2Q(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "dist2_q"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashKernels.dist2Q(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashKernels.dist2Q($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Dist2Q =
+    copy(left = l, right = r)
+}
+
+/** `rad_sketch_q(vec, sketchDim, dim, seed)`: integer Rademacher
+  * projection sketch — the DuckDB-replayable JL sketch (see
+  * HashKernels.radSketchQ's portability contract).
+  */
+case class RadSketchQ(child: Expression, sketchDim: Int, dim: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "rad_sketch_q"
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.radSketchQ(v.asInstanceOf[ArrayData], sketchDim, dim, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashKernels.radSketchQ($c, $sketchDim, $dim, ${seed}L)")
+  override protected def withNewChildInternal(c: Expression): RadSketchQ = copy(child = c)
+}
+
 /** `rand_proj_sketch(vec, sketchDim, dim, seed)`: JL projection sketch
   * (float array) for coarse pre-scoring before an exact re-rank.
   */
@@ -1132,6 +1214,10 @@ object exprs {
     ColumnBridge.column(HyperplaneSig(expr(c), numPlanes, dim, seed))
   def rand_proj_sketch(c: Column, sketchDim: Int, dim: Int, seed: Long): Column =
     ColumnBridge.column(RandProjSketch(expr(c), sketchDim, dim, seed))
+  def rad_sketch_q(c: Column, sketchDim: Int, dim: Int, seed: Long): Column =
+    ColumnBridge.column(RadSketchQ(expr(c), sketchDim, dim, seed))
+  def dist2_q(a: Column, b: Column): Column =
+    ColumnBridge.column(Dist2Q(expr(a), expr(b)))
   def containment_counts(c: Column, n: Int, evalSets: Array[Array[Int]]): Column =
     ColumnBridge.column(ContainmentCounts(expr(c), n, evalSets))
   def pq_encode(c: Column, codebook: Array[Double], m: Int, k: Int,

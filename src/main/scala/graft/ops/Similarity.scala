@@ -165,84 +165,136 @@ object Similarity {
     }
   }
 
+  /** Quantize a float vector column to exact int64 components:
+    * floor(v·2^20 + 0.5) computed in double (exact — float→double is
+    * exact, ·2^20 is a power-of-2 scale, |v·2^20| ≪ 2^52). The scale
+    * every portable integer-geometry kernel here shares with
+    * [[graft.ops.Dedup.semDeDup]] and its DuckDB replays.
+    */
+  private def quantize20(c: Column): Column =
+    transform(c, x => floor(x.cast("double") * lit(1048576.0) + lit(0.5)).cast("long"))
+
   private def ivfCellsAndRankedProbes(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
       numCells: Int, seed: Long, fitFraction: Double,
       fitMaxIter: Int): (DataFrame, DataFrame) = {
+    // r9: the whole front half — fit draw, coarse-quantizer fit, cell
+    // assignment, radius statistic, probe ranking — moved to PORTABLE
+    // integer arithmetic (the semDeDup discipline) so q_ann_ivf /
+    // q_ann_ivf_recall / q_ann_ivf_sweep carry full DuckDB oracles
+    // instead of rows+spec. Contract, mirrored in SparkEntry's
+    // AnnIvfCte:
+    //  - components quantized floor(v·2^20 + 0.5) (quantize20);
+    //  - fit draw = rows whose md5("ivffit:"+id) hex prefix is below
+    //    round(fitFraction·256) as two hex digits (1/256 granularity —
+    //    a content-stable portable Bernoulli; the r8 Spark-native
+    //    sample() drew via XORShift, which no other engine can replay);
+    //  - init = the numCells sample vectors of smallest
+    //    (md5("ivf:"+id), id);
+    //  - fitMaxIter integer Lloyd rounds over the sample: assignment =
+    //    exact int64 argmin (ties → smallest cell), update = TRUNCATING
+    //    integer division (DuckDB `//`), empty cells carry over. A
+    //    coarse quantizer doesn't need convergence — nProbe probing
+    //    absorbs boundary error — so 2 rounds is the default, and each
+    //    round is driver-local arithmetic over the collected sample
+    //    (the r3 Spark-ML fit paid a scheduler round-trip per round).
+    // capFitSample still guards the collect: it engages above ~100k
+    // sampled vectors (xxhash64 cut — engine-specific), so the
+    // portability contract holds for every oracle scale (≤ 50k docs)
+    // and the 100 TB fit stays driver-safe; past the cap the fit is
+    // still deterministic, just not cross-engine-replayable.
     val vecs = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("cv"))
-    // Coarse-quantizer fit: driver-local Lloyd over the collected
-    // sample (deterministic, fitMaxIter iterations — a coarse quantizer
-    // doesn't need convergence; nProbe probing absorbs boundary error).
-    // The r3 shape ran Spark ML KMeans here, which costs a scheduler
-    // round-trip PER Lloyd ITERATION — ~5 s of job overhead at sf0.1 to
-    // cluster a 1600-row sample. A quantizer fit is bounded-sample by
-    // design at any corpus size (Faiss trains on ~100k-1M vectors for
-    // billion-vector indexes), so the caller bounds `fitFraction`
-    // accordingly and the fit becomes one collect + in-memory Lloyd.
-    val sampled = capFitSample(
-      if (fitFraction < 1.0) vecs.sample(withReplacement = false, fitFraction, seed)
-      else vecs, "neighbor_id")
-    val fitRows = sampled.select(col("cv")).collect().map(_.getSeq[Float](0).toArray)
-    val cb = pqTrainCodebook(fitRows, m = 1, k = numCells,
-      iters = fitMaxIter, seed = seed, normalize = false)
-    val dimA = fitRows.head.length
-    // cell assignment is the m=1 degenerate of the PQ encode kernel —
-    // codegen'd nearest-centroid argmin, one corpus pass, no ML stage
+      .withColumn("qv_q", quantize20(col("cv")))
+    val sel0 =
+      if (fitFraction >= 1.0) vecs
+      else {
+        val thr = f"${math.max(1L, math.round(fitFraction * 256))}%02x"
+        vecs.filter(substring(
+          md5(concat(lit("ivffit:"), col("neighbor_id").cast("string"))),
+          1, 2) < lit(thr))
+      }
+    val sampled = capFitSample(sel0, "neighbor_id")
+    val fitRows = sampled
+      .select(md5(concat(lit("ivf:"), col("neighbor_id").cast("string"))).as("h"),
+        col("neighbor_id").cast("long").as("id"), col("qv_q"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getAs[scala.collection.Seq[Long]](2).toArray))
+      .sortBy { case (h, id, _) => (h, id) }
+    require(fitRows.length >= numCells,
+      s"IVF fit sample ${fitRows.length} < numCells $numCells")
+    var cents: Array[Array[Long]] = fitRows.take(numCells).map(_._3.clone())
+    val dimA = cents(0).length
+    for (_ <- 1 to fitMaxIter) {
+      val sums = Array.fill(numCells)(new Array[Long](dimA))
+      val cnt = new Array[Long](numCells)
+      fitRows.foreach { case (_, _, q) =>
+        var best = Long.MaxValue; var cell = 0; var j = 0
+        while (j < numCells) {
+          var d = 0L; var i = 0
+          while (i < dimA) { val df = q(i) - cents(j)(i); d += df * df; i += 1 }
+          if (d < best) { best = d; cell = j }
+          j += 1
+        }
+        cnt(cell) += 1
+        var i = 0
+        while (i < dimA) { sums(cell)(i) += q(i); i += 1 }
+      }
+      cents = cents.zipWithIndex.map { case (c, j) =>
+        if (cnt(j) == 0L) c // empty cells carry over
+        else Array.tabulate(dimA)(i => sums(j)(i) / cnt(j)) // truncating
+      }
+    }
     val cells = vecs.withColumn("cell",
-      element_at(exprs.pq_encode(col("cv"), cb, 1, numCells, normalize = false), 1))
+      exprs.argmin_cell(col("qv_q"), cents.flatten, numCells, dimA))
 
     // Multi-probe cell ranking by the ball-tree optimistic bound
-    // max(0, ‖q−c‖ − r_cell) instead of plain centroid distance: a
-    // cell's nearest member can be r_cell closer than its centroid, so
-    // wide cells deserve earlier probes than bare ‖q−c‖ grants them.
-    // r_cell = 90th-percentile member→centroid distance (rmax is
-    // hostage to one outlier), computed in ONE distributed pass over
-    // the assigned cells — numCells output rows, so the collect is
-    // quantizer-sized, not corpus-sized. (The fit sample is too thin
-    // for this statistic: fitFraction·N/numCells points per cell make
-    // r90 ≈ rmax and the ordering degrades.) Same scan budget: still
-    // exactly nProbe cells probed, assignments unchanged.
-    val centsByCell = array((0 until numCells).map { i =>
-      array((0 until dimA).map(d => lit(cb(i * dimA + d))): _*)
-    }: _*)
-    val cellRadius: Array[Double] = {
-      val radMap = cells
-        .select(col("cell"),
-          sqrt(aggregate(
-            zip_with(col("cv").cast("array<double>"),
-              element_at(centsByCell, col("cell") + 1), (a, b) => (a - b) * (a - b)),
-            lit(0.0), (acc, x) => acc + x)).as("d"))
-        // SpillablePercentile, not the built-in: each cell group holds
-        // ~N/numCells corpus rows, exactly the unspillable
-        // one-buffer-per-group shape the spill aggregate exists for
-        .groupBy(col("cell")).agg(element_at(
-          graft.functions.SpillablePercentile.agg(col("d"), Seq(0.9)), 1).as("r"))
-        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-      Array.tabulate(numCells)(radMap.getOrElse(_, 0.0))
-    }
+    // max(0, ‖q−c‖ − r_cell): a cell's nearest member can be r_cell
+    // closer than its centroid, so wide cells deserve earlier probes
+    // than bare ‖q−c‖ grants them. r_cell² = the ceil(0.9·n)-th
+    // smallest member d2 (rmax is hostage to one outlier) — an EXACT
+    // rank-select over integer distances (portable; the r8
+    // 90th-percentile interpolation was engine-specific float math).
+    // The rank-select sorts (cell, d2) pairs — slim rows — partitioned
+    // by cell; at true 100 TB scale swap the window for a per-cell
+    // spill-aware selection (the SpillablePercentile shape) — the
+    // STATISTIC is already scale-free (numCells values out).
+    // sqrt of an integer-valued double is one correctly-rounded IEEE
+    // op, so bound values — and the probe ORDER — replay exactly;
+    // ties break (bound, d2q, cell), a total portable order.
+    val centDf = corpus.sparkSession
+      .createDataFrame((0 until numCells).map(j => (j, cents(j).toSeq)))
+      .toDF("cell", "cent")
+    val withD = cells.join(broadcast(centDf), "cell")
+      .select(col("cell"), exprs.dist2_q(col("qv_q"), col("cent")).as("d2"))
+    val cnts = withD.groupBy("cell").agg(count(lit(1)).as("n"))
+    val wr = Window.partitionBy(col("cell")).orderBy(col("d2").asc)
+    val radii: Map[Int, Long] = withD
+      .withColumn("rn", row_number().over(wr))
+      .join(broadcast(cnts), "cell")
+      .filter(col("rn") === expr("(n * 9 + 9) div 10")) // = ceil(0.9·n)
+      .select(col("cell"), col("d2"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
 
-    // centroids (+ radii) are tiny — ship them as a literal array and
-    // rank cells per query by the optimistic bound
     val centArr = array((0 until numCells).map { i =>
-      struct(lit(i).as("cell"), lit(cellRadius(i)).as("r"),
-        array((0 until dimA).map(d => lit(cb(i * dimA + d))): _*).as("cent"))
+      struct(lit(i).as("cell"), lit(radii.getOrElse(i, 0L)).as("r2"),
+        array(cents(i).map(lit): _*).as("cent"))
     }: _*)
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("bound").asc, col("dist").asc, col("cell").asc)
+      .orderBy(col("bound").asc, col("d2q").asc, col("cell").asc)
     val probes = queries
       .select(col(queryId).as("query_id"), col(queryVec).as("qv"))
+      .withColumn("qv_q", quantize20(col("qv")))
       .withColumn("c", explode(centArr))
       .select(col("query_id"), col("qv"), col("c.cell").as("cell"),
-        aggregate(
-          zip_with(col("qv").cast("array<double>"), col("c.cent"),
-            (a, b) => (a - b) * (a - b)),
-          lit(0.0), (acc, x) => acc + x).as("dist"),
-        col("c.r").as("r"))
-      .withColumn("bound", greatest(lit(0.0), sqrt(col("dist")) - col("r")))
+        exprs.dist2_q(col("qv_q"), col("c.cent")).as("d2q"),
+        col("c.r2").as("r2"))
+      .withColumn("bound", greatest(lit(0.0),
+        sqrt(col("d2q").cast("double")) - sqrt(col("r2").cast("double"))))
       .withColumn("rn", row_number().over(w))
       .select(col("query_id"), col("qv"), col("cell"), col("rn"))
-    (cells, probes)
+    (cells.select(col("neighbor_id"), col("cv"), col("cell")), probes)
   }
 
   def ivfTopK(
@@ -251,7 +303,7 @@ object Similarity {
       k: Int, numCells: Int = 16, nProbe: Int = 4, seed: Long = 42L,
       fitFraction: Double = 1.0,
       rerankShortlist: Int = 0, sketchDim: Int = 16, dim: Int = 64,
-      fitMaxIter: Int = 10): DataFrame = {
+      fitMaxIter: Int = 2): DataFrame = {
     val (cells, ranked) = ivfCellsAndRankedProbes(corpus, corpusId, corpusVec,
       queries, queryId, queryVec, numCells, seed, fitFraction, fitMaxIter)
     val probes = ranked.filter(col("rn") <= nProbe)
@@ -265,11 +317,15 @@ object Similarity {
       topKPerQuery(scored, k)
     } else {
       // stage 1 — coarse: sketch cosine per candidate, map-side bounded
-      // heap keeps only the per-query shortlist (ids, no vectors)
+      // heap keeps only the per-query shortlist (ids, no vectors).
+      // r9: integer Rademacher sketch + exact-integer cosine (both
+      // DuckDB-replayable — see HashKernels.radSketchQ) replacing the
+      // float JL sketch; same accuracy class (Achlioptas 2003), and the
+      // shortlist CONTENTS become part of the q_ann_ivf oracle.
       val pre = candidates.select(col("query_id"), col("neighbor_id"),
-        round(exprs.cosine_f(
-          exprs.rand_proj_sketch(col("cv"), sketchDim, dim, seed + 7001),
-          exprs.rand_proj_sketch(col("qv"), sketchDim, dim, seed + 7001)), 9).as("cosine"))
+        round(exprs.cosine_q(
+          exprs.rad_sketch_q(col("cv"), sketchDim, dim, seed + 7001),
+          exprs.rad_sketch_q(col("qv"), sketchDim, dim, seed + 7001)), 9).as("cosine"))
       val shortlist = topKPerQuery(pre, rerankShortlist)
         .select(col("query_id"), col("neighbor_id"))
       // stage 2 — exact: re-join vectors for the shortlist only
@@ -303,7 +359,7 @@ object Similarity {
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int, numCells: Int = 16, nProbes: Seq[Int] = Seq(2, 4, 8, 12, 16),
       seed: Long = 42L, fitFraction: Double = 1.0,
-      fitMaxIter: Int = 10): DataFrame = {
+      fitMaxIter: Int = 2): DataFrame = {
     require(nProbes.nonEmpty && nProbes.forall(n => n >= 1 && n <= numCells))
     val grid = nProbes.distinct.sorted
     val (cells, ranked) = ivfCellsAndRankedProbes(corpus, corpusId, corpusVec,

@@ -15,10 +15,19 @@ class SurfaceSpec extends AnyFunSuite {
     * and SimHash bucketing have exact-equivalence specs.
     */
   private val noOracleAllowed = Set(
-    "q_ann_ivf", "q_ann_ivf_recall", "q_ann_ivfpq", "q_ann_ivfpq_recall",
+    "q_ann_ivfpq", "q_ann_ivfpq_recall",
     // q_ann_lsh / q_ann_lsh_recall moved OFF this list in r9: the
     // Rademacher integer signature made candidate generation
-    // DuckDB-replayable, so both are fully oracled now
+    // DuckDB-replayable, so both are fully oracled now.
+    // q_ann_ivf / q_ann_ivf_recall / q_ann_ivf_sweep followed later in
+    // r9: the IVF front half moved to the same portable integer
+    // discipline (md5 fit draw, integer Lloyd, rank-select radii,
+    // integer Rademacher sketch) — fully oracled now.
+    // The PQ family stays: its codebook fit is java.util.Random
+    // k-means++ over float-normalized subvectors — replaying Java's
+    // LCG in SQL is not reasonable, and changing the fit would
+    // republish every PQ/IVFPQ recall curve for no correctness gain
+    // (SimilaritySpec pins the curves and floors).
     "q_ann_pq", "q_ann_pq_recall",
     // q_approx_distinct / q_approx_quantile moved OFF this list in r8:
     // their bounded-error verdicts are DuckDB-oracled now
@@ -27,10 +36,7 @@ class SurfaceSpec extends AnyFunSuite {
     // (md5-rank init, quantized components, truncating-div centroids)
     // made the whole operator DuckDB-replayable — full oracle now,
     // with DedupSpec still pinning the invariants
-    // the recall curves measure the ANN against the exact baseline —
-    // same family, same rows+spec posture (SimilaritySpec pins the
-    // curves' shape and the operating-point floors)
-    "q_ann_ivf_sweep", "q_ann_ivfpq_sweep", "q_ann_ivfpq_grid")
+    "q_ann_ivfpq_sweep", "q_ann_ivfpq_grid")
 
   test("every query has an oracle or a documented exemption") {
     val q = SparkEntry.queries.keySet
