@@ -1946,8 +1946,11 @@ object SparkEntry {
 
     // E78: product-quantization ANN — corpus scanned as m-byte PQ codes
     // (32× smaller than the vectors), ADC table-lookup scoring, exact
-    // re-rank of the bounded-heap shortlist only. Recall measured in
-    // q_ann_pq_recall and asserted in SimilaritySpec.
+    // re-rank of the bounded-heap shortlist only. r9: the codebook fit
+    // and the whole ADC funnel are portable integer arithmetic
+    // (Similarity.fitPqCodebookQ's contract), so this query carries a
+    // FULL DuckDB oracle (AnnPqCandidateCte). Recall 0.89 isotropic
+    // sf0.01, measured in q_ann_pq_recall, asserted in SimilaritySpec.
     "q_ann_pq" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       val queries = e.filter(col("vec_id") < 20)
@@ -1985,7 +1988,11 @@ object SparkEntry {
     // probed cell), exact re-rank of the shortlist. The searchable
     // corpus copy is (int cell + m-byte code) per vector — at 100 TB
     // the scan touches ~nProbe/numCells of the corpus at ~32× fewer
-    // bytes. Recall measured in q_ann_ivfpq_recall + SimilaritySpec.
+    // bytes. r9: both codebooks and the whole composed funnel are
+    // portable integer arithmetic, so this query carries a FULL DuckDB
+    // oracle (AnnIvfPqCandidateCte). Recall 0.92 isotropic sf0.01 at
+    // (nProbe 12, rerank 128), measured in q_ann_ivfpq_recall +
+    // SimilaritySpec.
     "q_ann_ivfpq" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       val queries = e.filter(col("vec_id") < 20)
@@ -2021,8 +2028,9 @@ object SparkEntry {
     // E138: the IVF+PQ recall curve, one ADC pass (probe depth sliced
     // by cell rank, per-depth shortlist + shared exact re-rank) — the
     // PQ-side companion of q_ann_ivf_sweep, in the same integer basis
-    // points. The r7 operating point (nProbe=12, rerank=128 → 0.87)
-    // is read off this curve.
+    // points. The operating point (nProbe=12, rerank=128 → 0.92 with
+    // the r9 portable codebooks) is read off this curve; the curve
+    // itself is DuckDB-replayed (AnnIvfPqCandidateCte sweep tail).
     "q_ann_ivfpq_sweep" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       val queries = e.filter(col("vec_id") < 20)
@@ -2047,8 +2055,9 @@ object SparkEntry {
     // ranking just as probe depth is of the cell ranking, so the 20
     // grid cells cost one scan plus funnel-sized bookkeeping. A
     // deployment reads its (recall, scan-cost, rerank-cost) trade-off
-    // straight off this table; the r7 operating point (12, 128) is one
-    // cell of it. Integer basis points, same discipline as the sweeps.
+    // straight off this table; the operating point (12, 128) is one
+    // cell of it. Integer basis points, same discipline as the sweeps;
+    // all 20 cells DuckDB-replayed (r9, AnnIvfPqCandidateCte grid tail).
     "q_ann_ivfpq_grid" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       val queries = e.filter(col("vec_id") < 20)
@@ -3983,6 +3992,173 @@ object SparkEntry {
        |                  JOIN skn nb ON nb.vec_id = sd.query_id)
        |  WHERE rn <= $rerank)""".stripMargin
 
+  /** Shared CTE prefix computing the PORTABLE unit-sphere quantization
+    * `nq(vec_id, i, x)` — a bit-exact DuckDB port of
+    * [[graft.functions.HashKernels.quantNorm20]]: q = floor(v·2^20 +
+    * 0.5), n2 = Σq² (exact BIGINT), x = floor(q·2^20/√n2 + 0.5) (one
+    * correctly-rounded sqrt + division over exact doubles). Starts the
+    * WITH clause; ends with a trailing comma.
+    */
+  private val AnnNqCte: String =
+    """WITH qd AS MATERIALIZED (
+      |  SELECT vec_id, i.i AS i,
+      |         CAST(floor(CAST(embedding[i.i + 1] AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT) AS q
+      |  FROM embeddings, range(64) i(i)),
+      |nrm AS MATERIALIZED (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS n2 FROM qd GROUP BY 1),
+      |nq AS MATERIALIZED (
+      |  SELECT qd.vec_id, qd.i,
+      |         CASE WHEN nrm.n2 = 0 THEN 0
+      |              ELSE CAST(floor(qd.q * 1048576.0 / sqrt(CAST(nrm.n2 AS DOUBLE)) + 0.5) AS BIGINT)
+      |         END AS x
+      |  FROM qd JOIN nrm USING (vec_id)),
+      |""".stripMargin
+
+  /** Generated integer-Lloyd rounds replaying
+    * [[graft.ops.Similarity.fitPqCodebookQ]]: from init `{tag}c0(s, j,
+    * d, c)` over subvector rows `sv(vec_id, s, d, x)`, each round is
+    * assignment (exact BIGINT argmin; ties → smallest j via the
+    * `min(dist·kk + j)` encoding — dist ≤ dsub·2^44 so dist·kk ≪ 2^63)
+    * then a TRUNCATING `//` centroid update with empty codewords
+    * carried over (the q_semdedup / q_ann_ivf pattern). Emits `iters`
+    * round blocks, each ending with a trailing comma; the final
+    * centroid table is `{tag}c{iters}`.
+    */
+  private def lloydRoundsSql(tag: String, sv: String, kk: Int, iters: Int): String =
+    (1 to iters).map { r =>
+      val prev = s"${tag}c${r - 1}"
+      s"""${tag}d$r AS MATERIALIZED (
+         |  SELECT sv.vec_id, sv.s, c.j, CAST(sum((sv.x - c.c) * (sv.x - c.c)) AS BIGINT) AS dist
+         |  FROM $sv sv JOIN $prev c ON c.s = sv.s AND c.d = sv.d GROUP BY 1, 2, 3),
+         |${tag}a$r AS MATERIALIZED (
+         |  SELECT vec_id, s, CAST(min(dist * $kk + j) % $kk AS INT) AS j
+         |  FROM ${tag}d$r GROUP BY 1, 2),
+         |${tag}s$r AS MATERIALIZED (
+         |  SELECT a.s, a.j, sv.d, CAST(sum(sv.x) AS BIGINT) AS sm, count(*) AS n
+         |  FROM ${tag}a$r a JOIN $sv sv ON sv.vec_id = a.vec_id AND sv.s = a.s
+         |  GROUP BY 1, 2, 3),
+         |${tag}c$r AS MATERIALIZED (
+         |  SELECT c.s, c.j, c.d, coalesce(s.sm // s.n, c.c) AS c
+         |  FROM $prev c LEFT JOIN ${tag}s$r s
+         |    ON s.s = c.s AND s.j = c.j AND s.d = c.d),
+         |""".stripMargin
+    }.mkString
+
+  /** Shared CTE prefix replaying the PORTABLE PQ funnel of
+    * [[graft.ops.Similarity.pqTopK]] end-to-end: quantNorm20 vectors,
+    * md5 fit draw ("pqfit" < `fitThrHex`), md5-rank init ("pqinit"),
+    * `iters` integer-Lloyd rounds per subspace, integer codes, the
+    * per-query integer ADC table, and the top-`rerank` shortlist by
+    * (adc DESC, neighbor_id). Ends with `cand(query_id, neighbor_id)`,
+    * queries = vec_id < 20, no trailing comma.
+    */
+  private def AnnPqCandidateCte(
+      m: Int, k: Int, iters: Int, rerank: Int, fitThrHex: String): String = {
+    val dsub = 64 / m
+    AnnNqCte +
+    s"""pfit AS MATERIALIZED (SELECT vec_id FROM embeddings
+       |         WHERE substring(md5('pqfit:' || vec_id), 1, 2) < '$fitThrHex'),
+       |pford AS MATERIALIZED (SELECT vec_id,
+       |                 row_number() OVER (ORDER BY md5('pqinit:' || vec_id), vec_id) AS rk
+       |          FROM pfit),
+       |pall AS MATERIALIZED (SELECT vec_id, CAST(i // $dsub AS INT) AS s,
+       |                CAST(i % $dsub AS INT) AS d, x FROM nq),
+       |psv AS MATERIALIZED (SELECT pall.* FROM pall JOIN pfit USING (vec_id)),
+       |pc0 AS MATERIALIZED (SELECT sv.s, CAST(f.rk - 1 AS INT) AS j, sv.d, sv.x AS c
+       |        FROM psv sv JOIN pford f ON f.vec_id = sv.vec_id WHERE f.rk <= $k),
+       |""".stripMargin +
+    lloydRoundsSql("p", "psv", k, iters) +
+    s"""pcd AS MATERIALIZED (
+       |  SELECT sv.vec_id, sv.s, c.j, CAST(sum((sv.x - c.c) * (sv.x - c.c)) AS BIGINT) AS dist
+       |  FROM pall sv JOIN pc$iters c ON c.s = sv.s AND c.d = sv.d GROUP BY 1, 2, 3),
+       |pcode AS MATERIALIZED (SELECT vec_id, s, CAST(min(dist * $k + j) % $k AS INT) AS j
+       |          FROM pcd GROUP BY 1, 2),
+       |pqt AS MATERIALIZED (
+       |  SELECT sv.vec_id AS query_id, c.s, c.j, CAST(sum(sv.x * c.c) AS BIGINT) AS t
+       |  FROM pall sv JOIN pc$iters c ON c.s = sv.s AND c.d = sv.d
+       |  WHERE sv.vec_id < 20 GROUP BY 1, 2, 3),
+       |padc AS MATERIALIZED (
+       |  SELECT q.query_id, co.vec_id AS neighbor_id, CAST(sum(q.t) AS BIGINT) AS adc
+       |  FROM pcode co JOIN pqt q ON q.s = co.s AND q.j = co.j
+       |  WHERE co.vec_id <> q.query_id GROUP BY 1, 2),
+       |cand AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |                ORDER BY adc DESC, neighbor_id) AS rn
+       |    FROM padc)
+       |  WHERE rn <= $rerank)""".stripMargin
+  }
+
+  /** Shared CTE prefix replaying the PORTABLE IVF+PQ funnel of
+    * [[graft.ops.Similarity.buildIvfPqIndex]] + ivfPqProbes + the ADC
+    * scan: coarse integer-Lloyd cells over quantNorm20 vectors (the
+    * degenerate one-subspace fit, md5 draw "ivfpqfit"/order
+    * "ivfpqinit"), exact-integer residuals, the residual PQ codebook
+    * trained on the SAME sample, integer probe ranking (d2 ASC, cell
+    * ASC) and the decomposed integer ADC score dot(q, cent) +
+    * Σ table[s][code_s]. Ends with `cand(query_id, neighbor_id, rn,
+    * adc)` — rn is the probe (cell) rank so sweep tails can slice by
+    * depth; queries = vec_id < 20, no trailing comma.
+    */
+  private def AnnIvfPqCandidateCte(
+      numCells: Int, m: Int, k: Int, iters: Int, fitThrHex: String): String = {
+    val dsub = 64 / m
+    AnnNqCte +
+    s"""vfit AS MATERIALIZED (SELECT vec_id FROM embeddings
+       |         WHERE substring(md5('ivfpqfit:' || vec_id), 1, 2) < '$fitThrHex'),
+       |vford AS MATERIALIZED (SELECT vec_id,
+       |                 row_number() OVER (ORDER BY md5('ivfpqinit:' || vec_id), vec_id) AS rk
+       |          FROM vfit),
+       |gall AS MATERIALIZED (SELECT vec_id, 0 AS s, i AS d, x FROM nq),
+       |gsv AS MATERIALIZED (SELECT gall.* FROM gall JOIN vfit USING (vec_id)),
+       |gc0 AS MATERIALIZED (SELECT sv.s, CAST(f.rk - 1 AS INT) AS j, sv.d, sv.x AS c
+       |        FROM gsv sv JOIN vford f ON f.vec_id = sv.vec_id WHERE f.rk <= $numCells),
+       |""".stripMargin +
+    lloydRoundsSql("g", "gsv", numCells, iters) +
+    s"""gcd AS MATERIALIZED (
+       |  SELECT sv.vec_id, c.j, CAST(sum((sv.x - c.c) * (sv.x - c.c)) AS BIGINT) AS dist
+       |  FROM gall sv JOIN gc$iters c ON c.d = sv.d GROUP BY 1, 2),
+       |gasg AS MATERIALIZED (SELECT vec_id, CAST(min(dist * $numCells + j) % $numCells AS INT) AS cell
+       |         FROM gcd GROUP BY 1),
+       |res AS MATERIALIZED (
+       |  SELECT nq.vec_id, CAST(nq.i // $dsub AS INT) AS s,
+       |         CAST(nq.i % $dsub AS INT) AS d, nq.x - c.c AS x
+       |  FROM nq JOIN gasg ON gasg.vec_id = nq.vec_id
+       |          JOIN gc$iters c ON c.j = gasg.cell AND c.d = nq.i),
+       |rsv AS MATERIALIZED (SELECT res.* FROM res JOIN vfit USING (vec_id)),
+       |rc0 AS MATERIALIZED (SELECT sv.s, CAST(f.rk - 1 AS INT) AS j, sv.d, sv.x AS c
+       |        FROM rsv sv JOIN vford f ON f.vec_id = sv.vec_id WHERE f.rk <= $k),
+       |""".stripMargin +
+    lloydRoundsSql("r", "rsv", k, iters) +
+    s"""rcd AS MATERIALIZED (
+       |  SELECT sv.vec_id, sv.s, c.j, CAST(sum((sv.x - c.c) * (sv.x - c.c)) AS BIGINT) AS dist
+       |  FROM res sv JOIN rc$iters c ON c.s = sv.s AND c.d = sv.d GROUP BY 1, 2, 3),
+       |rcode AS MATERIALIZED (SELECT vec_id, s, CAST(min(dist * $k + j) % $k AS INT) AS j
+       |          FROM rcd GROUP BY 1, 2),
+       |qsv AS MATERIALIZED (SELECT vec_id, CAST(i // $dsub AS INT) AS s,
+       |               CAST(i % $dsub AS INT) AS d, x FROM nq WHERE vec_id < 20),
+       |rqt AS MATERIALIZED (
+       |  SELECT sv.vec_id AS query_id, c.s, c.j, CAST(sum(sv.x * c.c) AS BIGINT) AS t
+       |  FROM qsv sv JOIN rc$iters c ON c.s = sv.s AND c.d = sv.d GROUP BY 1, 2, 3),
+       |radc AS MATERIALIZED (
+       |  SELECT q.query_id, co.vec_id AS neighbor_id, CAST(sum(q.t) AS BIGINT) AS tsum
+       |  FROM rcode co JOIN rqt q ON q.s = co.s AND q.j = co.j GROUP BY 1, 2),
+       |qcell AS MATERIALIZED (
+       |  SELECT nq.vec_id AS query_id, c.j AS cell,
+       |         CAST(sum((nq.x - c.c) * (nq.x - c.c)) AS BIGINT) AS d2,
+       |         CAST(sum(nq.x * c.c) AS BIGINT) AS dot_qc
+       |  FROM nq JOIN gc$iters c ON c.d = nq.i
+       |  WHERE nq.vec_id < 20 GROUP BY 1, 2),
+       |probes AS MATERIALIZED (
+       |  SELECT query_id, cell, dot_qc,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY d2, cell) AS rn
+       |  FROM qcell),
+       |cand AS MATERIALIZED (
+       |  SELECT p.query_id, g.vec_id AS neighbor_id, p.rn, p.dot_qc + a.tsum AS adc
+       |  FROM gasg g JOIN probes p ON p.cell = g.cell
+       |              JOIN radc a ON a.neighbor_id = g.vec_id AND a.query_id = p.query_id
+       |  WHERE g.vec_id <> p.query_id)""".stripMargin
+  }
+
   /** Shared CTE prefix replaying the corpus curation pipeline in
     * DuckDB — enrichment (lang-id, quality, token count), the kept set,
     * exact string 5-gram Jaccard near-dup pairs, and the recursive
@@ -5635,6 +5811,209 @@ object SparkEntry {
         |FROM appx a JOIN exact e
         |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
         |GROUP BY 1""".stripMargin),
+
+    // r9: FULL PQ replay — possible because the r9 PQ stack is portable
+    // integer arithmetic end-to-end (quantNorm20 vectors, md5 fit draw,
+    // integer-Lloyd codebook, integer codes/ADC table/shortlist — see
+    // Similarity.fitPqCodebookQ's contract) and the final re-rank is
+    // the q_ann_topk-proven float cosine. Parameters mirror q_ann_pq:
+    // m=8, k=16, 10 Lloyd rounds, fitFraction 0.5 ('80'), rerank 96.
+    "q_ann_pq" -> (AnnPqCandidateCte(m = 8, k = 16, iters = 10,
+      rerank = 96, fitThrHex = "80") +
+      """,
+        |scored AS (
+        |  SELECT query_id, neighbor_id,
+        |         round(list_cosine_similarity(ce.embedding::DOUBLE[], qe.embedding::DOUBLE[]), 9) AS cosine
+        |  FROM cand JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+        |            JOIN embeddings qe ON qe.vec_id = cand.query_id)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |      FROM scored)
+        |WHERE rank <= 5""".stripMargin),
+
+    // recall of the replayed PQ top-5 against the replayed exact top-5
+    "q_ann_pq_recall" -> (AnnPqCandidateCte(m = 8, k = 16, iters = 10,
+      rerank = 96, fitThrHex = "80") +
+      """,
+        |scored AS (
+        |  SELECT query_id, neighbor_id,
+        |         round(list_cosine_similarity(ce.embedding::DOUBLE[], qe.embedding::DOUBLE[]), 9) AS cosine
+        |  FROM cand JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+        |            JOIN embeddings qe ON qe.vec_id = cand.query_id),
+        |approx AS (
+        |  SELECT query_id, neighbor_id
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |        FROM scored)
+        |  WHERE rank <= 5),
+        |exact_scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         round(list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 9) AS cosine
+        |  FROM embeddings c, embeddings q
+        |  WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id),
+        |exact AS (
+        |  SELECT query_id, neighbor_id
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |        FROM exact_scored)
+        |  WHERE rank <= 5),
+        |hits AS (
+        |  SELECT e.query_id, count(a.neighbor_id) AS n_hit
+        |  FROM exact e LEFT JOIN approx a
+        |    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        |  GROUP BY 1)
+        |SELECT query_id, n_hit / 5.0 AS recall FROM hits""".stripMargin),
+
+    // r9: FULL IVF+PQ replay — the composed funnel (coarse integer
+    // cells, exact-integer residual codes, decomposed integer ADC,
+    // probe-ranked shortlist) is the same portable arithmetic; the
+    // fixed operating point is nProbe 12 / rerank 128
+    "q_ann_ivfpq" -> (AnnIvfPqCandidateCte(numCells = 16, m = 8, k = 16,
+      iters = 10, fitThrHex = "80") +
+      """,
+        |sl AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |           row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS sr
+        |    FROM cand WHERE rn <= 12)
+        |  WHERE sr <= 128),
+        |scored AS (
+        |  SELECT query_id, neighbor_id,
+        |         round(list_cosine_similarity(ce.embedding::DOUBLE[], qe.embedding::DOUBLE[]), 9) AS cosine
+        |  FROM sl JOIN embeddings ce ON ce.vec_id = sl.neighbor_id
+        |          JOIN embeddings qe ON qe.vec_id = sl.query_id)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |      FROM scored)
+        |WHERE rank <= 5""".stripMargin),
+
+    // recall of the replayed IVF+PQ top-5 against the replayed exact top-5
+    "q_ann_ivfpq_recall" -> (AnnIvfPqCandidateCte(numCells = 16, m = 8, k = 16,
+      iters = 10, fitThrHex = "80") +
+      """,
+        |sl AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |           row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS sr
+        |    FROM cand WHERE rn <= 12)
+        |  WHERE sr <= 128),
+        |scored AS (
+        |  SELECT query_id, neighbor_id,
+        |         round(list_cosine_similarity(ce.embedding::DOUBLE[], qe.embedding::DOUBLE[]), 9) AS cosine
+        |  FROM sl JOIN embeddings ce ON ce.vec_id = sl.neighbor_id
+        |          JOIN embeddings qe ON qe.vec_id = sl.query_id),
+        |approx AS (
+        |  SELECT query_id, neighbor_id
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |        FROM scored)
+        |  WHERE rank <= 5),
+        |exact_scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         round(list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 9) AS cosine
+        |  FROM embeddings c, embeddings q
+        |  WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id),
+        |exact AS (
+        |  SELECT query_id, neighbor_id
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |        FROM exact_scored)
+        |  WHERE rank <= 5),
+        |hits AS (
+        |  SELECT e.query_id, count(a.neighbor_id) AS n_hit
+        |  FROM exact e LEFT JOIN approx a
+        |    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        |  GROUP BY 1)
+        |SELECT query_id, n_hit / 5.0 AS recall FROM hits""".stripMargin),
+
+    // the sweep slices the SAME candidate set by probe depth (rn is a
+    // prefix property — mirrors Similarity.ivfPqRecallSweep), shortlists
+    // each depth at rerank 128, exact-cosine re-ranks, and publishes
+    // integer basis points against the replayed exact top-5
+    "q_ann_ivfpq_sweep" -> (AnnIvfPqCandidateCte(numCells = 16, m = 8, k = 16,
+      iters = 10, fitThrHex = "80") +
+      """,
+        |swept AS (
+        |  SELECT g.n_probe, c.query_id, c.neighbor_id, c.adc
+        |  FROM cand c JOIN (SELECT unnest([2, 4, 8, 12, 16]) AS n_probe) g
+        |    ON g.n_probe >= c.rn),
+        |sl AS (
+        |  SELECT n_probe, query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY n_probe, query_id
+        |                ORDER BY adc DESC, neighbor_id) AS sr
+        |    FROM swept)
+        |  WHERE sr <= 128),
+        |sc AS (
+        |  SELECT sl.n_probe, sl.query_id, sl.neighbor_id,
+        |         round(list_cosine_similarity(ce.embedding::DOUBLE[], qe.embedding::DOUBLE[]), 9) AS cosine
+        |  FROM sl JOIN embeddings ce ON ce.vec_id = sl.neighbor_id
+        |          JOIN embeddings qe ON qe.vec_id = sl.query_id),
+        |appx AS (
+        |  SELECT n_probe, query_id, neighbor_id
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY n_probe, query_id
+        |                    ORDER BY cosine DESC, neighbor_id) AS rank
+        |        FROM sc)
+        |  WHERE rank <= 5),
+        |exact_scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         round(list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 9) AS cosine
+        |  FROM embeddings c, embeddings q
+        |  WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id),
+        |exact AS (
+        |  SELECT query_id, neighbor_id
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |        FROM exact_scored)
+        |  WHERE rank <= 5)
+        |SELECT a.n_probe,
+        |       CAST(count(*) * 10000 // (5 * 20) AS BIGINT) AS recall_bp
+        |FROM appx a JOIN exact e
+        |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+        |GROUP BY 1""".stripMargin),
+
+    // the 2-D grid adds the rerank prefix property on top of the probe
+    // one (mirrors Similarity.ivfPqGridSweep) — 20 operating points,
+    // one candidate set, one exact-cosine join
+    "q_ann_ivfpq_grid" -> (AnnIvfPqCandidateCte(numCells = 16, m = 8, k = 16,
+      iters = 10, fitThrHex = "80") +
+      """,
+        |swept AS (
+        |  SELECT g.n_probe, c.query_id, c.neighbor_id, c.adc
+        |  FROM cand c JOIN (SELECT unnest([2, 4, 8, 12, 16]) AS n_probe) g
+        |    ON g.n_probe >= c.rn),
+        |slr AS (
+        |  SELECT *, row_number() OVER (PARTITION BY n_probe, query_id
+        |              ORDER BY adc DESC, neighbor_id) AS sr
+        |  FROM swept),
+        |shortlists AS (
+        |  SELECT s.n_probe, r.rerank, s.query_id, s.neighbor_id
+        |  FROM slr s JOIN (SELECT unnest([32, 64, 96, 128]) AS rerank) r
+        |    ON r.rerank >= s.sr
+        |  WHERE s.sr <= 128),
+        |sc AS (
+        |  SELECT p.query_id, p.neighbor_id,
+        |         round(list_cosine_similarity(ce.embedding::DOUBLE[], qe.embedding::DOUBLE[]), 9) AS cosine
+        |  FROM (SELECT DISTINCT query_id, neighbor_id FROM shortlists) p
+        |  JOIN embeddings ce ON ce.vec_id = p.neighbor_id
+        |  JOIN embeddings qe ON qe.vec_id = p.query_id),
+        |appx AS (
+        |  SELECT n_probe, rerank, query_id, neighbor_id
+        |  FROM (SELECT sh.n_probe, sh.rerank, sh.query_id, sh.neighbor_id,
+        |               ROW_NUMBER() OVER (PARTITION BY sh.n_probe, sh.rerank, sh.query_id
+        |                 ORDER BY sc.cosine DESC, sh.neighbor_id) AS rank
+        |        FROM shortlists sh JOIN sc
+        |          ON sc.query_id = sh.query_id AND sc.neighbor_id = sh.neighbor_id)
+        |  WHERE rank <= 5),
+        |exact_scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         round(list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 9) AS cosine
+        |  FROM embeddings c, embeddings q
+        |  WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id),
+        |exact AS (
+        |  SELECT query_id, neighbor_id
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |        FROM exact_scored)
+        |  WHERE rank <= 5)
+        |SELECT a.n_probe, a.rerank,
+        |       CAST(count(*) * 10000 // (5 * 20) AS BIGINT) AS recall_bp
+        |FROM appx a JOIN exact e
+        |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+        |GROUP BY 1, 2""".stripMargin),
 
     // r9: FULL SemDeDup replay — possible because the r9 engine
     // clustering is a portable integer Lloyd (Dedup.semDeDup: md5-rank

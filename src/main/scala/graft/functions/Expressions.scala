@@ -665,79 +665,106 @@ object HashKernels extends Serializable {
     new GenericArrayData(out)
   }
 
-  // ------------------------------------------------ product quantization
+  // ----------------------------------- product quantization (portable)
+  // Codebook layout everywhere: flat row-major `[(s*k + j)*dsub + d]`
+  // over subspace s, codeword j, component d, trained by
+  // [[graft.ops.Similarity.fitPqCodebookQ]]'s integer Lloyd. Output of
+  // an encode: m small ints — the 32x-compressed stored form of the
+  // vector (8 codes vs 64 floats at the default geometry).
 
-  /** PQ encode: L2-normalize the vector, split it into `m` subvectors,
-    * and emit per subspace the index of the nearest codeword (L2).
-    * Codebook layout: flat row-major `[(s*k + j)*dsub + d]` over
-    * subspace s, codeword j, component d, trained on NORMALIZED
-    * vectors (see [[graft.ops.Similarity.pqTrainCodebook]]).
-    * Output: m small ints — the 32×-compressed stored form of the
-    * vector (8 codes vs 64 floats at the default geometry).
+  /** Unit-sphere integer quantization — the shared front door of every
+    * PORTABLE PQ kernel (r9): q_i = floor(v_i·2^20 + 0.5) (exact:
+    * float→double is exact, ·2^20 is a power-of-2 scale), n2 = Σ q_i²
+    * (exact int64), then nq_i = floor(q_i·2^20/√n2 + 0.5). q_i·2^20 is
+    * exact in double (≪ 2^52), √n2 and the division are single
+    * correctly-rounded IEEE ops — so nq replays bit-for-bit in any
+    * engine computing the same formula (DuckDB:
+    * `floor(q*1048576.0/sqrt(n2)+0.5)`). The zero vector maps to
+    * zeros, not NaN. Output ≈ the unit vector at scale 2^20.
     */
-  def pqEncode(v: ArrayData, cb: Array[Double], m: Int, k: Int): ArrayData =
-    pqEncodeOpt(v, cb, m, k, normalize = true)
+  def quantNorm20(v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    val q = new Array[Long](n)
+    var n2 = 0L
+    var i = 0
+    while (i < n) {
+      val qi = math.floor(v.getFloat(i).toDouble * 1048576.0 + 0.5).toLong
+      q(i) = qi
+      n2 += qi * qi
+      i += 1
+    }
+    if (n2 == 0L) new GenericArrayData(new Array[Long](n))
+    else {
+      val s = math.sqrt(n2.toDouble)
+      val out = new Array[Long](n)
+      i = 0
+      while (i < n) {
+        out(i) = math.floor(q(i).toDouble * 1048576.0 / s + 0.5).toLong
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
 
-  /** m=1 + normalize=false degenerates to a plain nearest-centroid cell
-    * assignment — the IVF coarse quantizer reuses this kernel.
+  /** PORTABLE PQ encode over integer-quantized vectors: per subspace
+    * the exact-int64 argmin codeword, ties to the smallest j (strict
+    * `<` while scanning j ascending — the same total order DuckDB's
+    * `min(dist·k + j)` encoding replays). Distances are exact
+    * (components ≲ 2^22 ⇒ per-subspace d2 ≤ dsub·2^44 ≪ 2^63).
     */
-  def pqEncodeOpt(
-      v: ArrayData, cb: Array[Double], m: Int, k: Int,
-      normalize: Boolean): ArrayData = {
+  def pqEncodeQ(v: ArrayData, cb: Array[Long], m: Int, k: Int): ArrayData = {
     val dim = v.numElements()
     val dsub = cb.length / (m * k)
-    val nrm = if (normalize) normF(v) else 1.0
-    val inv = if (nrm == 0.0) 0.0 else 1.0 / nrm
     val codes = new Array[Int](m)
     var s = 0
     while (s < m) {
-      var best = 0
-      var bestDist = Double.MaxValue
+      var best = Long.MaxValue
+      var bj = 0
       var j = 0
       while (j < k) {
         val off = (s * k + j) * dsub
-        var dist = 0.0
+        var dist = 0L
         var d = 0
         while (d < dsub) {
           val idx = s * dsub + d
-          val x = if (idx < dim) v.getFloat(idx).toDouble * inv else 0.0
+          val x = if (idx < dim) v.getLong(idx) else 0L
           val diff = x - cb(off + d)
           dist += diff * diff
           d += 1
         }
-        if (dist < bestDist) { bestDist = dist; best = j }
+        if (dist < best) { best = dist; bj = j }
         j += 1
       }
-      codes(s) = best
+      codes(s) = bj
       s += 1
     }
     new GenericArrayData(codes)
   }
 
-  /** PQ asymmetric-distance table for one query: `table[s*k + j]` is the
-    * inner product of the NORMALIZED query's subvector s with codeword
-    * (s, j). ADC score = Σ_s table[s*k + codes[s]] ≈ cosine(q, x).
+  /** PORTABLE PQ asymmetric-distance table for one query:
+    * `table[s*k + j]` = exact int64 inner product of the quantized
+    * query's subvector s with codeword (s, j) — order-free integer
+    * sums DuckDB replays with `sum(x*c)`. ADC score =
+    * Σ_s table[s*k + codes[s]] ∝ dot(q, decode(codes)).
     */
-  def pqTable(q: ArrayData, cb: Array[Double], m: Int, k: Int): ArrayData = {
+  def pqTableQ(q: ArrayData, cb: Array[Long], m: Int, k: Int): ArrayData = {
     val dim = q.numElements()
     val dsub = cb.length / (m * k)
-    val nrm = normF(q)
-    val inv = if (nrm == 0.0) 0.0 else 1.0 / nrm
-    val out = new Array[Float](m * k)
+    val out = new Array[Long](m * k)
     var s = 0
     while (s < m) {
       var j = 0
       while (j < k) {
         val off = (s * k + j) * dsub
-        var acc = 0.0
+        var acc = 0L
         var d = 0
         while (d < dsub) {
           val idx = s * dsub + d
-          val x = if (idx < dim) q.getFloat(idx).toDouble * inv else 0.0
+          val x = if (idx < dim) q.getLong(idx) else 0L
           acc += x * cb(off + d)
           d += 1
         }
-        out(s * k + j) = acc.toFloat
+        out(s * k + j) = acc
         j += 1
       }
       s += 1
@@ -745,36 +772,29 @@ object HashKernels extends Serializable {
     new GenericArrayData(out)
   }
 
-  /** ADC score: m table lookups + adds — dim/m× fewer flops than the
-    * exact cosine, over an 8-byte code instead of a 256-byte vector.
+  /** Integer ADC score: m table lookups + exact int64 adds — dim/m×
+    * fewer flops than the exact cosine, over an m-byte code instead of
+    * a 256-byte vector, and bit-identical in any engine (≤ m·2^45 ≪
+    * 2^53, so even a double cast downstream stays exact).
     */
-  def pqAdcScore(codes: ArrayData, table: ArrayData, k: Int): Double = {
+  def pqAdcScoreQ(codes: ArrayData, table: ArrayData, k: Int): Long = {
     val m = codes.numElements()
-    var acc = 0.0
+    var acc = 0L
     var s = 0
-    while (s < m) { acc += table.getFloat(s * k + codes.getInt(s)).toDouble; s += 1 }
+    while (s < m) { acc += table.getLong(s * k + codes.getInt(s)); s += 1 }
     acc
   }
 
-  /** IVF residual: L2-normalize the vector, subtract the cell centroid
-    * (flat row-major `cents`, `numCells` rows) — the vector the PQ
-    * codebook of an IVF+PQ index encodes. Float output so the result
-    * feeds `pqEncodeOpt` directly.
+  /** Exact int64 dot product of two quantized long-array vectors — the
+    * dot(q, centroid) half of the residual-ADC decomposition (see
+    * Similarity.ivfPqTopK). Order-free integer sums, DuckDB-replayable.
     */
-  def ivfResidual(
-      v: ArrayData, cell: Int, cents: Array[Double], numCells: Int): ArrayData = {
-    val dim = cents.length / numCells
-    val nrm = normF(v)
-    val inv = if (nrm == 0.0) 0.0 else 1.0 / nrm
-    val n = v.numElements()
-    val out = new Array[Float](dim)
-    var d = 0
-    while (d < dim) {
-      val x = if (d < n) v.getFloat(d).toDouble * inv else 0.0
-      out(d) = (x - cents(cell * dim + d)).toFloat
-      d += 1
-    }
-    new GenericArrayData(out)
+  def dotQ(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += a.getLong(i) * b.getLong(i); i += 1 }
+    acc
   }
 }
 
@@ -1075,74 +1095,85 @@ case class ContainmentCounts(child: Expression, n: Int, evalSets: Array[Array[In
     copy(child = c)
 }
 
-/** `pq_encode(vec)`: product-quantization codes for a float vector. The
-  * trained codebook rides inside the expression (shipped to executors
-  * via `addReferenceObj` — the codegen analog of a broadcast literal);
-  * geometry (m subspaces × k codewords) is compile-time constant so the
-  * generated loop bounds are literals.
+/** `quant_norm20(vec)`: unit-sphere integer quantization of a float
+  * vector (see [[HashKernels.quantNorm20]]'s portability contract) —
+  * the shared front door of the portable PQ / IVF+PQ kernels.
   */
-case class PqEncode(child: Expression, codebook: Array[Double], m: Int, k: Int,
-    normalize: Boolean = true)
+case class QuantNorm20(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "quant_norm20"
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.quantNorm20(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.quantNorm20($c)")
+  override protected def withNewChildInternal(c: Expression): QuantNorm20 = copy(child = c)
+}
+
+/** `pq_encode_q(nq)`: portable product-quantization codes for an
+  * integer-quantized vector. The trained codebook rides inside the
+  * expression (shipped to executors via `addReferenceObj` — the
+  * codegen analog of a broadcast literal); geometry (m subspaces × k
+  * codewords) is compile-time constant so the generated loop bounds
+  * are literals.
+  */
+case class PqEncodeQ(child: Expression, codebook: Array[Long], m: Int, k: Int)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
-  override def prettyName: String = "pq_encode"
+  override def prettyName: String = "pq_encode_q"
   override def nullSafeEval(v: Any): Any =
-    HashKernels.pqEncodeOpt(v.asInstanceOf[ArrayData], codebook, m, k, normalize)
+    HashKernels.pqEncodeQ(v.asInstanceOf[ArrayData], codebook, m, k)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val cbRef = ctx.addReferenceObj("pqCodebook", codebook, "double[]")
+    val cbRef = ctx.addReferenceObj("pqCodebook", codebook, "long[]")
     defineCodeGen(ctx, ev,
-      c => s"graft.functions.HashKernels.pqEncodeOpt($c, $cbRef, $m, $k, $normalize)")
+      c => s"graft.functions.HashKernels.pqEncodeQ($c, $cbRef, $m, $k)")
   }
-  override protected def withNewChildInternal(c: Expression): PqEncode = copy(child = c)
+  override protected def withNewChildInternal(c: Expression): PqEncodeQ = copy(child = c)
 }
 
-/** `pq_table(vec)`: per-query ADC lookup table (m×k inner products). */
-case class PqTable(child: Expression, codebook: Array[Double], m: Int, k: Int)
-    extends UnaryExpression {
-  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
-  override def prettyName: String = "pq_table"
-  override def nullSafeEval(v: Any): Any =
-    HashKernels.pqTable(v.asInstanceOf[ArrayData], codebook, m, k)
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val cbRef = ctx.addReferenceObj("pqCodebook", codebook, "double[]")
-    defineCodeGen(ctx, ev,
-      c => s"graft.functions.HashKernels.pqTable($c, $cbRef, $m, $k)")
-  }
-  override protected def withNewChildInternal(c: Expression): PqTable = copy(child = c)
-}
-
-/** `ivf_residual(vec, cell)`: normalized vector minus its IVF cell
-  * centroid — the residual an IVF+PQ index's PQ codebook encodes.
-  * Centroids ride in the expression via `addReferenceObj`.
+/** `pq_table_q(nq)`: per-query integer ADC lookup table (m×k exact
+  * int64 inner products).
   */
-case class IvfResidual(left: Expression, right: Expression,
-    cents: Array[Double], numCells: Int)
-    extends BinaryExpression {
-  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
-  override def prettyName: String = "ivf_residual"
-  override def nullSafeEval(v: Any, c: Any): Any =
-    HashKernels.ivfResidual(
-      v.asInstanceOf[ArrayData], c.asInstanceOf[Int], cents, numCells)
+case class PqTableQ(child: Expression, codebook: Array[Long], m: Int, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "pq_table_q"
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.pqTableQ(v.asInstanceOf[ArrayData], codebook, m, k)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("ivfCentroids", cents, "double[]")
+    val cbRef = ctx.addReferenceObj("pqCodebook", codebook, "long[]")
     defineCodeGen(ctx, ev,
-      (v, c) => s"graft.functions.HashKernels.ivfResidual($v, $c, $ref, $numCells)")
+      c => s"graft.functions.HashKernels.pqTableQ($c, $cbRef, $m, $k)")
   }
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): IvfResidual =
+  override protected def withNewChildInternal(c: Expression): PqTableQ = copy(child = c)
+}
+
+/** `pq_adc_score_q(codes, table)`: exact-integer ADC score via m table
+  * lookups — the portable compressed-domain ranking key.
+  */
+case class PqAdcScoreQ(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "pq_adc_score_q"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashKernels.pqAdcScoreQ(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.HashKernels.pqAdcScoreQ($a, $b, $k)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdcScoreQ =
     copy(left = l, right = r)
 }
 
-/** `pq_adc_score(codes, table)`: approximate cosine via m table lookups. */
-case class PqAdcScore(left: Expression, right: Expression, k: Int)
-    extends BinaryExpression {
-  override def dataType: DataType = DoubleType
-  override def prettyName: String = "pq_adc_score"
+/** `dot_q(a, b)`: exact int64 dot product of quantized long-array
+  * vectors (see [[HashKernels.dotQ]]).
+  */
+case class DotQ(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "dot_q"
   override def nullSafeEval(a: Any, b: Any): Any =
-    HashKernels.pqAdcScore(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], k)
+    HashKernels.dotQ(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      (a, b) => s"graft.functions.HashKernels.pqAdcScore($a, $b, $k)")
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdcScore =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashKernels.dotQ($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotQ =
     copy(left = l, right = r)
 }
 
@@ -1220,15 +1251,16 @@ object exprs {
     ColumnBridge.column(Dist2Q(expr(a), expr(b)))
   def containment_counts(c: Column, n: Int, evalSets: Array[Array[Int]]): Column =
     ColumnBridge.column(ContainmentCounts(expr(c), n, evalSets))
-  def pq_encode(c: Column, codebook: Array[Double], m: Int, k: Int,
-      normalize: Boolean = true): Column =
-    ColumnBridge.column(PqEncode(expr(c), codebook, m, k, normalize))
-  def pq_table(c: Column, codebook: Array[Double], m: Int, k: Int): Column =
-    ColumnBridge.column(PqTable(expr(c), codebook, m, k))
-  def ivf_residual(v: Column, cell: Column, cents: Array[Double], numCells: Int): Column =
-    ColumnBridge.column(IvfResidual(expr(v), expr(cell), cents, numCells))
-  def pq_adc_score(codes: Column, table: Column, k: Int): Column =
-    ColumnBridge.column(PqAdcScore(expr(codes), expr(table), k))
+  def quant_norm20(c: Column): Column =
+    ColumnBridge.column(QuantNorm20(expr(c)))
+  def pq_encode_q(c: Column, codebook: Array[Long], m: Int, k: Int): Column =
+    ColumnBridge.column(PqEncodeQ(expr(c), codebook, m, k))
+  def pq_table_q(c: Column, codebook: Array[Long], m: Int, k: Int): Column =
+    ColumnBridge.column(PqTableQ(expr(c), codebook, m, k))
+  def pq_adc_score_q(codes: Column, table: Column, k: Int): Column =
+    ColumnBridge.column(PqAdcScoreQ(expr(codes), expr(table), k))
+  def dot_q(a: Column, b: Column): Column =
+    ColumnBridge.column(DotQ(expr(a), expr(b)))
   def luhn_card_count(c: Column): Column =
     ColumnBridge.column(LuhnCardCount(expr(c)))
   def gram_hashes64(c: Column, n: Int): Column =

@@ -381,162 +381,181 @@ object Similarity {
         col("neighbor_id"), col("cosine"))
   }
 
-  /** Deterministic driver-side PQ codebook training: per subspace, Lloyd
-    * iterations over the L2-NORMALIZED sample subvectors. Seeded index
-    * selection for the initial codewords and a fixed iteration count
-    * make the codebook — and so every code and every ADC score —
-    * reproducible across runs and partitionings.
+  /** PORTABLE PQ codebook fit (r9): per subspace, integer Lloyd rounds
+    * over integer-quantized sample subvectors, with no RNG anywhere —
+    * the semDeDup/IVF portability discipline, so every code, ADC score
+    * and shortlist the codebook produces can be replayed bit-for-bit
+    * by another engine (the q_ann_pq / q_ann_ivfpq DuckDB oracles do).
+    * Contract, mirrored in SparkEntry's AnnPq… and AnnIvfPq… CTEs:
+    *  - components are quantNorm20 integers (raw fits) or exact
+    *    integer residuals of them (IVF+PQ residual fits);
+    *  - `rows` arrive SORTED by (md5(initTag+":"+id), id) — the
+    *    caller's draw/order contract (see [[collectFitRowsQ]]);
+    *  - init: codeword (s, j) = subspace-s subvector of the rank-(j+1)
+    *    sample row (md5-rank init — the portable analog of random
+    *    seeding; Lloyd rounds do the shaping);
+    *  - `iters` integer Lloyd rounds: assignment = exact int64 argmin,
+    *    ties to the smallest j; update = TRUNCATING integer division
+    *    (DuckDB `//` truncates toward zero exactly like Java `/`);
+    *    empty codewords carry over.
     *
     * Driver-bounded by design (like the IVF coarse-quantizer fit): PQ
     * codebooks are trained on a small sample even at 100 TB (Faiss
-    * trains on ~100k–1M vectors regardless of corpus size); the caller
-    * controls the sample via `fitFraction` in [[pqTopK]].
+    * trains on ~100k-1M vectors regardless of corpus size); the caller
+    * controls the sample via `fitFraction`, and [[capFitSample]]
+    * bounds the collect regardless.
     *
     * Returns the flat row-major codebook `[(s*k + j)*dsub + d]`.
     */
-  def pqTrainCodebook(
-      samples: Array[Array[Float]], m: Int, k: Int,
-      iters: Int = 15, seed: Long = 42L, normalize: Boolean = true): Array[Double] = {
-    require(samples.nonEmpty, "PQ training needs a non-empty sample")
-    val dim = samples.head.length
+  private[graft] def fitPqCodebookQ(
+      rows: Array[Array[Long]], m: Int, k: Int, iters: Int): Array[Long] = {
+    require(rows.length >= k,
+      s"PQ fit sample ${rows.length} < codebookSize $k — raise fitFraction")
+    val dim = rows.head.length
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val dsub = dim / m
-    // normalize once (PQ trains on the unit sphere for cosine; the IVF
-    // coarse quantizer trains raw for L2 cell geometry)
-    val normed = samples.map { v =>
-      val n =
-        if (normalize) math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
-        else 1.0
-      val inv = if (n == 0.0) 0.0 else 1.0 / n
-      v.map(x => x.toDouble * inv)
-    }
-    val cb = new Array[Double](m * k * dsub)
-    val rnd = new java.util.Random(seed)
+    val cb = new Array[Long](m * k * dsub)
     var s = 0
     while (s < m) {
-      // deterministic k-means++ (D²) seeding: each next center drawn
-      // with probability ∝ squared distance to the nearest chosen one —
-      // random seeding on isotropic data cost 0.2 recall vs this
-      val cent = Array.fill(k, dsub)(0.0)
-      def sub(v: Array[Double]): Array[Double] = {
-        val out = new Array[Double](dsub)
-        var d = 0
-        while (d < dsub) { out(d) = v(s * dsub + d); d += 1 }
-        out
-      }
-      def d2(a: Array[Double], b: Array[Double]): Double = {
-        var acc = 0.0; var d = 0
-        while (d < dsub) { val t = a(d) - b(d); acc += t * t; d += 1 }
-        acc
-      }
-      val first = sub(normed(rnd.nextInt(normed.length)))
-      System.arraycopy(first, 0, cent(0), 0, dsub)
-      val minD = normed.map(v => d2(sub(v), first))
-      var j = 1
+      var j = 0
       while (j < k) {
-        val total = minD.sum
-        var pick = 0
-        if (total > 0.0) {
-          var r = rnd.nextDouble() * total
-          var i = 0
-          while (i < normed.length - 1 && r >= minD(i)) { r -= minD(i); i += 1 }
-          pick = i
-        } else pick = rnd.nextInt(normed.length)
-        val c = sub(normed(pick))
-        System.arraycopy(c, 0, cent(j), 0, dsub)
-        var i = 0
-        while (i < normed.length) {
-          val dd = d2(sub(normed(i)), c)
-          if (dd < minD(i)) minD(i) = dd
-          i += 1
+        var d = 0
+        while (d < dsub) {
+          cb((s * k + j) * dsub + d) = rows(j)(s * dsub + d)
+          d += 1
         }
         j += 1
       }
-      var it = 0
-      while (it < iters) {
-        val sums = Array.fill(k, dsub)(0.0)
-        val counts = new Array[Int](k)
-        normed.foreach { v =>
-          var best = 0; var bestDist = Double.MaxValue
-          var jj = 0
-          while (jj < k) {
-            var dist = 0.0; var d = 0
-            while (d < dsub) {
-              val diff = v(s * dsub + d) - cent(jj)(d); dist += diff * diff; d += 1
-            }
-            if (dist < bestDist) { bestDist = dist; best = jj }
-            jj += 1
-          }
-          counts(best) += 1
-          var d = 0
-          while (d < dsub) { sums(best)(d) += v(s * dsub + d); d += 1 }
-        }
-        var jj = 0
-        while (jj < k) {
-          if (counts(jj) > 0) {
-            var d = 0
-            while (d < dsub) { cent(jj)(d) = sums(jj)(d) / counts(jj); d += 1 }
-          } // empty cluster: keep previous codeword
-          jj += 1
-        }
-        it += 1
-      }
-      var jj = 0
-      while (jj < k) {
-        var d = 0
-        while (d < dsub) { cb((s * k + jj) * dsub + d) = cent(jj)(d); d += 1 }
-        jj += 1
-      }
       s += 1
+    }
+    var it = 0
+    while (it < iters) {
+      val sums = new Array[Long](m * k * dsub)
+      val cnt = new Array[Long](m * k)
+      rows.foreach { r =>
+        var s2 = 0
+        while (s2 < m) {
+          var best = Long.MaxValue
+          var bj = 0
+          var j = 0
+          while (j < k) {
+            val off = (s2 * k + j) * dsub
+            var dd = 0L
+            var d = 0
+            while (d < dsub) {
+              val df = r(s2 * dsub + d) - cb(off + d)
+              dd += df * df
+              d += 1
+            }
+            if (dd < best) { best = dd; bj = j }
+            j += 1
+          }
+          cnt(s2 * k + bj) += 1
+          var d = 0
+          while (d < dsub) {
+            sums((s2 * k + bj) * dsub + d) += r(s2 * dsub + d)
+            d += 1
+          }
+          s2 += 1
+        }
+      }
+      var sj = 0
+      while (sj < m * k) {
+        if (cnt(sj) > 0L) {
+          var d = 0
+          while (d < dsub) {
+            cb(sj * dsub + d) = sums(sj * dsub + d) / cnt(sj) // truncating
+            d += 1
+          }
+        } // empty codeword carries over
+        sj += 1
+      }
+      it += 1
     }
     cb
   }
 
+  /** Portable Bernoulli fit draw: keep rows whose md5(tag+":"+id) hex
+    * prefix is below round(fitFraction·256) as two hex digits — a
+    * content-stable 1/256-granular draw any engine can replay (the
+    * IVF front half's r9 contract, shared here).
+    */
+  private def md5FitDraw(
+      vecs: DataFrame, idCol: String, fitFraction: Double, tag: String): DataFrame =
+    if (fitFraction >= 1.0) vecs
+    else {
+      val thr = f"${math.max(1L, math.round(fitFraction * 256))}%02x"
+      vecs.filter(substring(
+        md5(concat(lit(tag + ":"), col(idCol).cast("string"))), 1, 2) < lit(thr))
+    }
+
+  /** Collect a fit sample's quantized vectors driver-side in the
+    * PORTABLE order (md5(initTag+":"+id), id) — the order
+    * [[fitPqCodebookQ]]'s md5-rank init consumes. The collect is
+    * bounded by [[capFitSample]] upstream.
+    */
+  private def collectFitRowsQ(
+      sampled: DataFrame, idCol: String, nqCol: String,
+      initTag: String): Array[Array[Long]] =
+    sampled
+      .select(
+        md5(concat(lit(initTag + ":"), col(idCol).cast("string"))).as("h"),
+        col(idCol).cast("long").as("id"), col(nqCol))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getAs[scala.collection.Seq[Long]](2).toArray))
+      .sortBy { case (h, id, _) => (h, id) }
+      .map(_._3)
+
   /** Product-quantization ANN: corpus vectors stored as m-byte PQ codes
-    * (32× smaller than the float vectors at the default geometry), ADC
+    * (32x smaller than the float vectors at the default geometry), ADC
     * scoring (m table lookups per candidate instead of dim multiplies),
     * bounded-heap shortlist, exact cosine re-rank of the shortlist only.
     *
     * This is the compressed-domain scan of a Faiss-style IndexPQ: at
     * 100 TB the dominant costs are (a) bytes read and (b) flops/row,
     * and PQ cuts both — the scan reads 8-byte codes, scores with 8
-    * adds/row, and only queries×`rerank` rows ever touch a real vector
-    * again. The codebook fit is deterministic, driver-bounded, and
-    * sampled via `fitFraction` (hash-selected — content-stable, not
-    * partition-dependent). Recall is measured in SimilaritySpec and
-    * published by q_ann_pq_recall, per the repo's "an ANN ships with
-    * its recall number" rule.
+    * integer adds/row, and only queries×`rerank` rows ever touch a
+    * real vector again. The codebook fit is the r9 PORTABLE contract
+    * ([[fitPqCodebookQ]]: md5 draw "pqfit", md5-rank order "pqinit",
+    * integer Lloyd) over [[graft.functions.HashKernels.quantNorm20]]
+    * unit-sphere integers, so the whole funnel — codes, ADC ranking,
+    * shortlist membership — replays bit-for-bit in DuckDB and
+    * q_ann_pq / q_ann_pq_recall carry full cross-engine oracles.
+    * Recall is measured in SimilaritySpec and published by
+    * q_ann_pq_recall, per the repo's "an ANN ships with its recall
+    * number" rule.
     */
   def pqTopK(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
-      k: Int, m: Int = 8, codebookSize: Int = 16, seed: Long = 42L,
-      fitFraction: Double = 1.0, rerank: Int = 64): DataFrame = {
+      k: Int, m: Int = 8, codebookSize: Int = 16,
+      fitFraction: Double = 1.0, fitIters: Int = 10, rerank: Int = 64): DataFrame = {
     require(rerank >= k, "re-rank shortlist must be at least k")
-    // deterministic hash-based fit sample: stable under repartitioning
-    // and corpus growth, unlike .sample() whose RNG is partition-seeded;
-    // capFitSample bounds the driver-side collect to ~MaxFitSample
-    // vectors regardless of fitFraction
-    val fitRows = capFitSample(corpus
-        .filter(pmod(xxhash64(col(corpusId)), lit(10000)) < lit((fitFraction * 10000).toInt)),
-        corpusId)
-      .select(col(corpusVec))
-      .collect()
-      .map(_.getSeq[Float](0).toArray)
+    val vecs = corpus
+      .select(col(corpusId).as("neighbor_id"), col(corpusVec).as("cv"))
+      .withColumn("nq", exprs.quant_norm20(col("cv")))
+    val sampled = capFitSample(
+      md5FitDraw(vecs, "neighbor_id", fitFraction, "pqfit"), "neighbor_id")
+    val fitRows = collectFitRowsQ(sampled, "neighbor_id", "nq", "pqinit")
     require(fitRows.nonEmpty,
       s"pqTopK: fitFraction=$fitFraction selected zero rows to fit the " +
         "codebook on — raise fitFraction or check the corpus is non-empty")
-    val cb = pqTrainCodebook(fitRows, m, codebookSize, seed = seed)
+    val cb = fitPqCodebookQ(fitRows, m, codebookSize, fitIters)
 
-    val codes = corpus.select(col(corpusId).as("neighbor_id"),
-      exprs.pq_encode(col(corpusVec), cb, m, codebookSize).as("codes"))
+    val codes = vecs.select(col("neighbor_id"),
+      exprs.pq_encode_q(col("nq"), cb, m, codebookSize).as("codes"))
     val qTables = queries.select(col(queryId).as("query_id"),
-      exprs.pq_table(col(queryVec), cb, m, codebookSize).as("qt"))
+      exprs.pq_table_q(exprs.quant_norm20(col(queryVec)), cb, m, codebookSize).as("qt"))
 
+    // integer ADC as the shortlist key: exact int64 (≤ m·2^45 ≪ 2^53,
+    // so the double cast the bounded heap consumes is still exact and
+    // the (score desc, id asc) order is the portable total order)
     val pre = codes.crossJoin(broadcast(qTables))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(exprs.pq_adc_score(col("codes"), col("qt"), codebookSize), 9).as("cosine"))
+        exprs.pq_adc_score_q(col("codes"), col("qt"), codebookSize)
+          .cast("double").as("cosine"))
     val shortlist = topKPerQuery(pre, rerank)
       .select(col("query_id"), col("neighbor_id"))
     val scored = shortlist
@@ -551,72 +570,90 @@ object Similarity {
 
   /** IVF+PQ composed index build: every corpus vector becomes a
     * (id, cell, codes) row — the layout of a Faiss IndexIVFPQ inverted
-    * list, as a DataFrame. `cell` is the nearest coarse centroid of the
-    * L2-NORMALIZED vector; `codes` product-quantize the RESIDUAL
-    * (normalized vector − centroid), which carries ~2× less variance
-    * per subspace than the raw vector, so the same codebook budget
-    * quantizes finer (the reason Faiss encodes residuals).
+    * list, as a DataFrame. `cell` is the nearest coarse centroid of
+    * the quantized-normalized vector; `codes` product-quantize the
+    * RESIDUAL (quantized vector − centroid), which carries ~2x less
+    * variance per subspace than the raw vector, so the same codebook
+    * budget quantizes finer (the reason Faiss encodes residuals).
     *
-    * Both codebooks are trained driver-side on the same hash-selected
-    * sample (content-stable under repartitioning), deterministic
-    * k-means++ + fixed Lloyd iterations — codes are reproducible
-    * across runs and partitionings at any corpus size.
+    * Both codebooks are trained driver-side on the same md5-drawn
+    * sample (tag "ivfpqfit", order "ivfpqinit" — content-stable under
+    * repartitioning) with [[fitPqCodebookQ]]'s r9 PORTABLE integer
+    * Lloyd: the coarse quantizer is the degenerate m=1, k=numCells
+    * fit over the whole [[graft.functions.HashKernels.quantNorm20]]
+    * vector, the PQ codebook fits the exact-integer residuals of the
+    * SAME sample (assign cell → subtract centroid, mirroring exactly
+    * what the distributed encode below computes per corpus row). No
+    * RNG anywhere, so cells, codes and every downstream ADC ranking
+    * replay bit-for-bit cross-engine — the q_ann_ivfpq* DuckDB
+    * oracles do exactly that.
     *
     * Returns (index, coarseCb, pqCb): the index DataFrame is writable
     * as a parquet table partitioned by `cell` (the PQ-coded storage
     * table — at 100 TB the searchable copy of the corpus is m bytes +
-    * one int per vector, ~32× smaller than the float vectors), and
+    * one int per vector, ~32x smaller than the float vectors), and
     * searches prune to probed cells at scan time.
     */
   def buildIvfPqIndex(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       numCells: Int = 16, m: Int = 8, codebookSize: Int = 16,
-      seed: Long = 42L, fitFraction: Double = 1.0):
-      (DataFrame, Array[Double], Array[Double]) = {
+      fitFraction: Double = 1.0, fitIters: Int = 10):
+      (DataFrame, Array[Long], Array[Long]) = {
     // the fit sample is collected DRIVER-SIDE; capFitSample intrinsically
     // bounds it to ~MaxFitSample vectors, so the default fitFraction=1.0
     // is driver-safe at any corpus size (fitFraction below the cap still
     // shrinks the fit further when callers want a cheaper build)
-    val fitRows = capFitSample(corpus
-        .filter(pmod(xxhash64(col(corpusId)), lit(10000)) < lit((fitFraction * 10000).toInt)),
-        corpusId)
-      .select(col(corpusVec))
-      .collect()
-      .map(_.getSeq[Float](0).toArray)
+    val vecs = corpus
+      .select(col(corpusId).as("neighbor_id"), col(corpusVec).as("cv"))
+      .withColumn("nq", exprs.quant_norm20(col("cv")))
+    val sampled = capFitSample(
+      md5FitDraw(vecs, "neighbor_id", fitFraction, "ivfpqfit"), "neighbor_id")
+    val fitRows = collectFitRowsQ(sampled, "neighbor_id", "nq", "ivfpqinit")
     require(fitRows.nonEmpty,
       s"buildIvfPqIndex: fitFraction=$fitFraction selected zero rows to fit " +
         "the codebooks on — raise fitFraction or check the corpus is non-empty")
-    // coarse quantizer: cells over NORMALIZED vectors (cosine geometry)
-    val coarseCb = pqTrainCodebook(fitRows, m = 1, k = numCells, seed = seed,
-      normalize = true)
+    // coarse quantizer: the degenerate one-subspace PQ fit (cells over
+    // quantized-normalized vectors — cosine geometry)
+    val coarseCb = fitPqCodebookQ(fitRows, 1, numCells, fitIters)
     val dim = fitRows.head.length
     // PQ codebook: trained on the residuals of the SAME sample
-    // (normalize → assign cell → subtract centroid), mirroring exactly
-    // what the distributed encode below computes per corpus row
-    val residuals = fitRows.map { v =>
-      val nrm = math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
-      val inv = if (nrm == 0.0) 0.0 else 1.0 / nrm
-      val vn = v.map(x => x.toDouble * inv)
-      var best = 0; var bestDist = Double.MaxValue
+    // (assign cell → subtract centroid), mirroring exactly what the
+    // distributed encode below computes per corpus row; exact integer
+    // arithmetic end-to-end (argmin ties to the smallest cell, like
+    // argminCell)
+    val residuals = fitRows.map { nq =>
+      var best = Long.MaxValue
+      var cell = 0
       var j = 0
       while (j < numCells) {
-        var dist = 0.0; var d = 0
-        while (d < dim) { val t = vn(d) - coarseCb(j * dim + d); dist += t * t; d += 1 }
-        if (dist < bestDist) { bestDist = dist; best = j }
+        var dd = 0L
+        var d = 0
+        while (d < dim) {
+          val df = nq(d) - coarseCb(j * dim + d)
+          dd += df * df
+          d += 1
+        }
+        if (dd < best) { best = dd; cell = j }
         j += 1
       }
-      Array.tabulate(dim)(d => (vn(d) - coarseCb(best * dim + d)).toFloat)
+      Array.tabulate(dim)(d => nq(d) - coarseCb(cell * dim + d))
     }
-    val pqCb = pqTrainCodebook(residuals, m, codebookSize, seed = seed,
-      normalize = false)
-    val index = corpus
-      .withColumn("cell",
-        element_at(exprs.pq_encode(col(corpusVec), coarseCb, 1, numCells,
-          normalize = true), 1))
-      .select(col(corpusId).as("neighbor_id"), col("cell"),
-        exprs.pq_encode(
-          exprs.ivf_residual(col(corpusVec), col("cell"), coarseCb, numCells),
-          pqCb, m, codebookSize, normalize = false).as("codes"))
+    val pqCb = fitPqCodebookQ(residuals, m, codebookSize, fitIters)
+    // residual = nq − centroid as an exact integer zip_with against the
+    // broadcast numCells-row centroid frame (no custom expression needed
+    // — the subtraction is a codegen'd builtin HOF)
+    val centDf = corpus.sparkSession
+      .createDataFrame((0 until numCells).map { j =>
+        (j, (0 until dim).map(d => coarseCb(j * dim + d)))
+      })
+      .toDF("cell", "cent")
+    val index = vecs
+      .withColumn("cell", exprs.argmin_cell(col("nq"), coarseCb, numCells, dim))
+      .join(broadcast(centDf), "cell")
+      .select(col("neighbor_id"), col("cell"),
+        exprs.pq_encode_q(
+          zip_with(col("nq"), col("cent"), (a, b) => a - b),
+          pqCb, m, codebookSize).as("codes"))
     (index, coarseCb, pqCb)
   }
 
@@ -625,52 +662,45 @@ object Similarity {
     * compressed domain, exact-cosine re-rank the per-query shortlist.
     *
     * ADC over residual codes decomposes the inner product:
-    *   dot(qn, v̂n) = dot(qn, cent_cell) + dot(qn, r̂)
-    * and dot(qn, r̂) = Σ_s table[s][code_s] where the table holds
-    * qn-subvector·codeword products — so ONE query table serves every
-    * probed cell (the cell-dependent part is the dot(qn, cent) scalar
+    *   dot(nq, v̂) = dot(nq, cent_cell) + dot(nq, r̂)
+    * and dot(nq, r̂) = Σ_s table[s][code_s] where the table holds
+    * nq-subvector·codeword products — so ONE query table serves every
+    * probed cell (the cell-dependent part is the dot(nq, cent) scalar
     * already computed when ranking cells). Per candidate the scan costs
-    * m adds over an m-byte code: at 100 TB both scan bytes and flops
-    * drop ~32× vs exact scoring, and only queries×rerank rows ever
-    * touch a real vector again.
+    * m integer adds over an m-byte code: at 100 TB both scan bytes and
+    * flops drop ~32x vs exact scoring, and only queries×rerank rows
+    * ever touch a real vector again. All of it exact int64 (r9), so
+    * the q_ann_ivfpq* oracles replay the whole funnel.
     *
     * Recall is measured in SimilaritySpec and published by
     * q_ann_ivfpq_recall (an ANN ships with its recall number).
     */
   /** Per-(query, probed cell) frame: (query_id, qv, qt, cell, dot_qc) —
-    * cells ranked by exact L2 to the centroid on normalized geometry,
-    * carrying the dot(qn, cent) scalar (the cell-dependent half of the
-    * residual ADC score) and the ONE pq_table that serves all cells.
+    * cells ranked by the exact INTEGER squared L2 distance of the
+    * quantized query to the centroid (ties to the smallest cell — a
+    * portable total order), carrying the exact-integer dot(nq, cent)
+    * scalar (the cell-dependent half of the residual ADC score) and
+    * the ONE integer pq table that serves all cells.
     */
   private def ivfPqProbes(
       queries: DataFrame, queryId: String, queryVec: String,
-      coarseCb: Array[Double], pqCb: Array[Double],
+      coarseCb: Array[Long], pqCb: Array[Long],
       numCells: Int, nProbe: Int, m: Int, codebookSize: Int): DataFrame = {
     val dim = coarseCb.length / numCells
     val centArr = array((0 until numCells).map { i =>
       struct(lit(i).as("cell"),
         array((0 until dim).map(d => lit(coarseCb(i * dim + d))): _*).as("cent"))
     }: _*)
-    // zero-norm guard matches the JVM kernels' convention (pqTable,
-    // ivfResidual, pqEncodeOpt all use inv=0 for a zero vector) — an
-    // all-zero query must map to the zero vector, not NaN
-    val qNorm = sqrt(aggregate(zip_with(col("qv").cast("array<double>"),
-      col("qv").cast("array<double>"), (a, b) => a * b),
-      lit(0.0), (acc, y) => acc + y))
-    val qn = transform(col("qv").cast("array<double>"), x =>
-      when(qNorm === 0.0, lit(0.0)).otherwise(x / qNorm))
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("dist").asc, col("cell").asc)
+      .orderBy(col("d2").asc, col("cell").asc)
     queries
       .select(col(queryId).as("query_id"), col(queryVec).as("qv"))
-      .withColumn("qn", qn)
-      .withColumn("qt", exprs.pq_table(col("qv"), pqCb, m, codebookSize))
+      .withColumn("nq", exprs.quant_norm20(col("qv")))
+      .withColumn("qt", exprs.pq_table_q(col("nq"), pqCb, m, codebookSize))
       .withColumn("c", explode(centArr))
       .select(col("query_id"), col("qv"), col("qt"), col("c.cell").as("cell"),
-        aggregate(zip_with(col("qn"), col("c.cent"), (a, b) => (a - b) * (a - b)),
-          lit(0.0), (acc, x) => acc + x).as("dist"),
-        aggregate(zip_with(col("qn"), col("c.cent"), (a, b) => a * b),
-          lit(0.0), (acc, x) => acc + x).as("dot_qc"))
+        exprs.dist2_q(col("nq"), col("c.cent")).as("d2"),
+        exprs.dot_q(col("nq"), col("c.cent")).as("dot_qc"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= nProbe)
       // rn (the probe order) rides along so sweep callers can slice
@@ -685,11 +715,15 @@ object Similarity {
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int, codebookSize: Int, rerank: Int): DataFrame = {
+    // exact int64 ADC: dot_qc ≤ 64·2^40 and the table sum ≤ m·2^45, so
+    // the total stays ≪ 2^53 — the double cast the bounded heap
+    // consumes is exact and (score desc, id asc) is a portable order
     val pre = index.join(broadcast(probes), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(col("dot_qc") +
-          exprs.pq_adc_score(col("codes"), col("qt"), codebookSize), 9).as("cosine"))
+        (col("dot_qc") +
+          exprs.pq_adc_score_q(col("codes"), col("qt"), codebookSize))
+          .cast("double").as("cosine"))
     val shortlist = topKPerQuery(pre, rerank)
       .select(col("query_id"), col("neighbor_id"))
     val scored = shortlist
@@ -706,12 +740,12 @@ object Similarity {
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int, numCells: Int = 16, nProbe: Int = 4, m: Int = 8,
-      codebookSize: Int = 16, seed: Long = 42L,
+      codebookSize: Int = 16,
       fitFraction: Double = 1.0, rerank: Int = 64): DataFrame = {
     require(rerank >= k, "re-rank shortlist must be at least k")
     val (index, coarseCb, pqCb) =
       buildIvfPqIndex(corpus, corpusId, corpusVec, numCells, m, codebookSize,
-        seed, fitFraction)
+        fitFraction)
     val probes = ivfPqProbes(queries, queryId, queryVec, coarseCb, pqCb,
       numCells, nProbe, m, codebookSize)
     ivfPqScan(index, probes, corpus, corpusId, corpusVec,
@@ -733,10 +767,10 @@ object Similarity {
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int, numCells: Int = 16, nProbes: Seq[Int] = Seq(2, 4, 8, 12, 16),
-      m: Int = 8, codebookSize: Int = 16, seed: Long = 42L,
+      m: Int = 8, codebookSize: Int = 16,
       fitFraction: Double = 1.0, rerank: Int = 64): DataFrame =
     ivfPqGridSweep(corpus, corpusId, corpusVec, queries, queryId, queryVec,
-      k, numCells, nProbes, m, codebookSize, seed, fitFraction, Seq(rerank))
+      k, numCells, nProbes, m, codebookSize, fitFraction, Seq(rerank))
       .select(col("n_probe"), col("query_id"), col("rank"),
         col("neighbor_id"), col("cosine"))
 
@@ -762,7 +796,7 @@ object Similarity {
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int, numCells: Int = 16, nProbes: Seq[Int] = Seq(2, 4, 8, 12, 16),
-      m: Int = 8, codebookSize: Int = 16, seed: Long = 42L,
+      m: Int = 8, codebookSize: Int = 16,
       fitFraction: Double = 1.0,
       reranks: Seq[Int] = Seq(32, 64, 96, 128)): DataFrame = {
     require(reranks.nonEmpty && reranks.forall(_ >= k),
@@ -772,14 +806,16 @@ object Similarity {
     val rGrid = reranks.distinct.sorted
     val (index, coarseCb, pqCb) =
       buildIvfPqIndex(corpus, corpusId, corpusVec, numCells, m, codebookSize,
-        seed, fitFraction)
+        fitFraction)
     val probes = ivfPqProbes(queries, queryId, queryVec, coarseCb, pqCb,
       numCells, grid.max, m, codebookSize)
+    // exact int64 ADC ranking key — no rounding needed: the integer is
+    // the portable total order itself (ties break on neighbor_id)
     val pre = index.join(broadcast(probes), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("rn"), col("neighbor_id"),
-        round(col("dot_qc") +
-          exprs.pq_adc_score(col("codes"), col("qt"), codebookSize), 9).as("adc"))
+        (col("dot_qc") +
+          exprs.pq_adc_score_q(col("codes"), col("qt"), codebookSize)).as("adc"))
     val gridArr = array(grid.map(lit): _*)
     val swept = pre.withColumn("n_probe",
       explode(filter(gridArr, n => n >= col("rn"))))
@@ -822,7 +858,7 @@ object Similarity {
       index: DataFrame,
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
-      k: Int, coarseCb: Array[Double], pqCb: Array[Double],
+      k: Int, coarseCb: Array[Long], pqCb: Array[Long],
       numCells: Int = 16, nProbe: Int = 4, m: Int = 8,
       codebookSize: Int = 16, rerank: Int = 64): DataFrame = {
     require(rerank >= k, "re-rank shortlist must be at least k")

@@ -137,38 +137,47 @@ class SimilaritySpec extends SparkSpecBase {
     assert(coarseCb.length === 16 * 64 && pqCb.length === 8 * 16 * 8)
 
     val m = 8; val k = 16; val dim = 64; val dsub = dim / m
-    val vecs = e.select("embedding").as[Array[Float]].collect()
-    def unit(v: Array[Float]): Array[Double] = {
-      val n = math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
-      val inv = if (n == 0.0) 0.0 else 1.0 / n
-      v.map(_.toDouble * inv)
-    }
-    // squared error of PQ-encoding `x` against flat codebook `[(s*k+j)*dsub+d]`
-    def pqErr(x: Array[Double], cb: Array[Double]): Double =
+    import graft.functions.exprs
+    // the engine's fit sample, re-derived through the PORTABLE contract
+    // (md5 draw "ivfpqfit" at fitFraction=0.5 → threshold '80', order
+    // by (md5("ivfpqinit:"+id), id)) — exactly what buildIvfPqIndex
+    // collected, so the equal-budget comparison trains on the same rows
+    val sample = e
+      .filter(substring(
+        md5(concat(lit("ivfpqfit:"), col("vec_id").cast("string"))), 1, 2) < "80")
+      .select(
+        md5(concat(lit("ivfpqinit:"), col("vec_id").cast("string"))).as("h"),
+        col("vec_id").as("id"),
+        exprs.quant_norm20(col("embedding")).as("nq"))
+      .as[(String, Long, Array[Long])].collect()
+      .sortBy { case (h, id, _) => (h, id) }.map(_._3)
+    // equal-budget baseline: the SAME portable trainer on the raw
+    // (non-residual) quantized vectors of the SAME sample
+    val rawCb = ops.Similarity.fitPqCodebookQ(sample, m, k, iters = 10)
+    // integer-domain squared reconstruction error of `x` against the
+    // flat codebook `[(s*k+j)*dsub+d]` (double accumulate for the sum)
+    def pqErr(x: Array[Long], cb: Array[Long]): Double =
       (0 until m).map { s =>
         (0 until k).map { j =>
           var d2 = 0.0; var d = 0
           while (d < dsub) {
-            val t = x(s * dsub + d) - cb((s * k + j) * dsub + d); d2 += t * t; d += 1
+            val t = (x(s * dsub + d) - cb((s * k + j) * dsub + d)).toDouble
+            d2 += t * t; d += 1
           }
           d2
         }.min
       }.sum
-    // equal-budget baseline: PQ trained directly on the SAME sample of
-    // normalized vectors (the fit filter in buildIvfPqIndex is
-    // hash-based on vec_id with fitFraction=0.5; training raw on the
-    // full set only helps the baseline, so the comparison is fair)
-    val rawCb = ops.Similarity.pqTrainCodebook(vecs, m, k)
-    val (rawErr, resErr) = vecs.foldLeft((0.0, 0.0)) { case ((ra, re), v) =>
-      val vn = unit(v)
-      // assign coarse cell exactly as the index builder does
+    val vecs = e.select(exprs.quant_norm20(col("embedding"))).as[Array[Long]].collect()
+    val (rawErr, resErr) = vecs.foldLeft((0.0, 0.0)) { case ((ra, re), nq) =>
+      // assign coarse cell exactly as the index builder does (strict <
+      // scan — ties to the smallest cell)
       val cell = (0 until 16).minBy { j =>
-        var d2 = 0.0; var d = 0
-        while (d < dim) { val t = vn(d) - coarseCb(j * dim + d); d2 += t * t; d += 1 }
-        d2
+        var dd = 0L; var d = 0
+        while (d < dim) { val t = nq(d) - coarseCb(j * dim + d); dd += t * t; d += 1 }
+        dd
       }
-      val resid = Array.tabulate(dim)(d => vn(d) - coarseCb(cell * dim + d))
-      (ra + pqErr(vn, rawCb), re + pqErr(resid, pqCb))
+      val resid = Array.tabulate(dim)(d => nq(d) - coarseCb(cell * dim + d))
+      (ra + pqErr(nq, rawCb), re + pqErr(resid, pqCb))
     }
     info(f"mean reconstruction err — raw PQ: ${rawErr / vecs.length}%.5f, " +
       f"residual PQ: ${resErr / vecs.length}%.5f")
@@ -239,22 +248,26 @@ class SimilaritySpec extends SparkSpecBase {
       s"probe must prune index partitions at planning time:\n$plan")
   }
 
-  test("pq codes round-trip: ADC score approximates cosine and codebook is deterministic") {
+  test("pq codes round-trip: integer ADC score approximates cosine and codebook fit is deterministic") {
     val rnd = new scala.util.Random(7)
     val vecs = (0L until 300L).map { i =>
       (i, Array.fill(16)(rnd.nextGaussian().toFloat))
     }.toDF("vec_id", "embedding")
-    val sample = vecs.select("embedding").as[Array[Float]].collect()
-    val cb1 = ops.Similarity.pqTrainCodebook(sample, m = 4, k = 8, seed = 5L)
-    val cb2 = ops.Similarity.pqTrainCodebook(sample, m = 4, k = 8, seed = 5L)
-    assert(cb1 === cb2, "codebook training must be deterministic")
     import graft.functions.exprs
+    val sample = vecs.select(exprs.quant_norm20(col("embedding")))
+      .as[Array[Long]].collect()
+    val cb1 = ops.Similarity.fitPqCodebookQ(sample, m = 4, k = 8, iters = 10)
+    val cb2 = ops.Similarity.fitPqCodebookQ(sample.map(_.clone()), m = 4, k = 8, iters = 10)
+    assert(cb1 === cb2, "codebook training must be deterministic")
     val scored = vecs
+      .withColumn("nq", exprs.quant_norm20(col("embedding")))
       .crossJoin(broadcast(vecs.filter(col("vec_id") === 0L)
-        .select(exprs.pq_table(col("embedding"), cb1, 4, 8).as("qt"),
+        .select(exprs.pq_table_q(
+            exprs.quant_norm20(col("embedding")), cb1, 4, 8).as("qt"),
           col("embedding").as("qv"))))
       .select(
-        exprs.pq_adc_score(exprs.pq_encode(col("embedding"), cb1, 4, 8), col("qt"), 8).as("adc"),
+        exprs.pq_adc_score_q(exprs.pq_encode_q(col("nq"), cb1, 4, 8), col("qt"), 8)
+          .cast("double").as("adc"),
         exprs.cosine_f(col("embedding"), col("qv")).as("cos"))
       .as[(Double, Double)].collect()
     // ADC is an approximation: on 16-dim gaussian data with 4x8 codes it

@@ -11,32 +11,28 @@ import org.scalatest.funsuite.AnyFunSuite
 class SurfaceSpec extends AnyFunSuite {
 
   /** Queries with no cross-engine SQL oracle, each justified in
-    * SURVEY §2: sketches and ANN measure error/recall instead; KMeans
-    * and SimHash bucketing have exact-equivalence specs.
+    * SURVEY §2.
+    *
+    * r9 history of this list: q_ann_lsh/_recall left first (Rademacher
+    * integer signatures), then q_semdedup and the IVF family (portable
+    * integer Lloyd / md5 fit draw / rank-select radii), and finally
+    * the whole PQ family — q_ann_pq/_recall and
+    * q_ann_ivfpq/_recall/_sweep/_grid — when the PQ codebook fit moved
+    * to the same portable integer discipline (quantNorm20 unit-sphere
+    * integers, md5 draw+order, integer Lloyd — see
+    * Similarity.fitPqCodebookQ) and codes/ADC/shortlists became exact
+    * int64. Re-publishing the recall curves was part of that change
+    * (they IMPROVED: PQ 0.89, IVF+PQ 0.92 at (12,128)).
+    *
+    * What remains, deliberately: R15's fidelity target is the
+    * reference's own Spark-ML KMeans + silhouette
+    * (project-co2.py:34-76), whose k-means‖ init and
+    * ClusteringEvaluator are not portably replayable; swapping the
+    * engine would trade reference fidelity for an oracle.
+    * ClusteringSpec pins the reference behavior instead.
     */
   private val noOracleAllowed = Set(
-    "q_ann_ivfpq", "q_ann_ivfpq_recall",
-    // q_ann_lsh / q_ann_lsh_recall moved OFF this list in r9: the
-    // Rademacher integer signature made candidate generation
-    // DuckDB-replayable, so both are fully oracled now.
-    // q_ann_ivf / q_ann_ivf_recall / q_ann_ivf_sweep followed later in
-    // r9: the IVF front half moved to the same portable integer
-    // discipline (md5 fit draw, integer Lloyd, rank-select radii,
-    // integer Rademacher sketch) — fully oracled now.
-    // The PQ family stays: its codebook fit is java.util.Random
-    // k-means++ over float-normalized subvectors — replaying Java's
-    // LCG in SQL is not reasonable, and changing the fit would
-    // republish every PQ/IVFPQ recall curve for no correctness gain
-    // (SimilaritySpec pins the curves and floors).
-    "q_ann_pq", "q_ann_pq_recall",
-    // q_approx_distinct / q_approx_quantile moved OFF this list in r8:
-    // their bounded-error verdicts are DuckDB-oracled now
-    "q_kmeans_clusters",
-    // q_semdedup moved OFF this list in r9: the portable integer Lloyd
-    // (md5-rank init, quantized components, truncating-div centroids)
-    // made the whole operator DuckDB-replayable — full oracle now,
-    // with DedupSpec still pinning the invariants
-    "q_ann_ivfpq_sweep", "q_ann_ivfpq_grid")
+    "q_kmeans_clusters")
 
   test("every query has an oracle or a documented exemption") {
     val q = SparkEntry.queries.keySet
