@@ -14,6 +14,79 @@ class SimilaritySpec extends SparkSpecBase {
     (4L, Array(0.8f, 0.2f, 0.0f))
   ).toDF("vec_id", "embedding")
 
+  test("quantNorm20 portability contract: unit scale, zero vector, sign symmetry") {
+    import graft.functions.exprs
+    val vecs = Seq(
+      (0L, Array(0.0f, 0.0f, 0.0f, 0.0f)),           // zero → zeros, not NaN
+      (1L, Array(3.0f, -4.0f, 0.0f, 0.0f)),           // exact 3-4-5 geometry
+      (2L, Array(-3.0f, 4.0f, 0.0f, 0.0f)),           // negated → negated quant
+      (3L, Array(1e-7f, 0.0f, 0.0f, 0.0f))            // tiny: q rounds to 0 → n2=0
+    ).toDF("vec_id", "embedding")
+    val got = vecs.select(col("vec_id"), exprs.quant_norm20(col("embedding")))
+      .as[(Long, Array[Long])].collect().toMap
+    assert(got(0L) === Array(0L, 0L, 0L, 0L))
+    assert(got(3L) === Array(0L, 0L, 0L, 0L),
+      "sub-quantum vector must follow the n2=0 branch, not divide by zero")
+    // 3-4-5: nq = (0.6, -0.8)·2^20 → floor(629145.6 + 0.5) = 629146 and
+    // floor(-838860.8 + 0.5) = floor(-838860.3) = -838861. Pinned:
+    assert(got(1L) === Array(629146L, -838861L, 0L, 0L))
+    // negation symmetry is NOT exact under floor(x+0.5) (half-up is
+    // asymmetric at .5 boundaries) but holds here away from them
+    assert(got(2L) === Array(-629146L, 838861L, 0L, 0L))
+    // norm of the quantized vector ≈ 2^20 within rounding (±2 per axis)
+    val n = math.sqrt(got(1L).map(x => x.toDouble * x).sum)
+    assert(math.abs(n - 1048576.0) < 2.0)
+  }
+
+  test("pqEncodeQ ties break to the smallest codeword and codes stay in range") {
+    import graft.functions.exprs
+    // duplicate codewords: md5-rank init can seed identical subvectors;
+    // the argmin must still be deterministic (smallest j wins)
+    val dsub = 2; val m = 2; val k = 3
+    // codebook: subspace 0 has codewords (0,0), (0,0), (5,5) — a vector
+    // nearest (0,0) must code to j=0, never j=1
+    val cb = Array[Long](
+      0L, 0L,  0L, 0L,  5L, 5L, // s=0
+      1L, 1L,  9L, 9L,  1L, 1L) // s=1: j=0 and j=2 tie for (1,1)-ish input
+    val vecs = Seq((0L, Array(0L, 0L, 1L, 1L))).toDF("vec_id", "nq")
+    val codes = vecs.select(exprs.pq_encode_q(col("nq"), cb, m, k))
+      .as[Array[Int]].collect().head
+    assert(codes === Array(0, 0), s"ties must go to the smallest j, got ${codes.toSeq}")
+  }
+
+  test("integer ADC identity: adc(codes, table) == dot(q, decoded codeword)") {
+    import graft.functions.exprs
+    val rnd = new scala.util.Random(13)
+    val m = 4; val k = 4; val dsub = 4
+    val cb = Array.fill(m * k * dsub)(rnd.nextInt(2000) - 1000L)
+    val vecs = (0L until 50L).map { i =>
+      (i, Array.fill(16)(rnd.nextInt(200000) - 100000L))
+    }.toDF("vec_id", "nq")
+    val q = vecs.filter(col("vec_id") === 0L)
+      .select(exprs.pq_table_q(col("nq"), cb, m, k).as("qt"))
+    val got = vecs
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        exprs.pq_adc_score_q(exprs.pq_encode_q(col("nq"), cb, m, k), col("qt"), k).as("adc"),
+        col("nq"))
+      .as[(Long, Long, Array[Long])].collect()
+    val qv = vecs.filter(col("vec_id") === 0L).select("nq").as[Array[Long]].collect().head
+    got.foreach { case (id, adc, nq) =>
+      // reference: encode driver-side, decode, exact integer dot with q
+      val want = (0 until m).map { s =>
+        val code = (0 until k).minBy { j =>
+          (0 until dsub).map { d =>
+            val t = nq(s * dsub + d) - cb((s * k + j) * dsub + d); t * t
+          }.sum
+        }
+        (0 until dsub).map { d =>
+          qv(s * dsub + d) * cb((s * k + code) * dsub + d)
+        }.sum
+      }.sum
+      assert(adc === want, s"ADC mismatch for vec $id")
+    }
+  }
+
   test("bruteForceTopK ranks by cosine with id tiebreak") {
     val queries = Seq((0L, Array(1.0f, 0.0f, 0.0f))).toDF("qid", "qv")
     val got = Similarity.bruteForceTopK(
