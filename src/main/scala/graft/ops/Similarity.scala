@@ -524,7 +524,12 @@ object Similarity {
     * q_ann_pq / q_ann_pq_recall carry full cross-engine oracles.
     * Recall is measured in SimilaritySpec and published by
     * q_ann_pq_recall, per the repo's "an ANN ships with its recall
-    * number" rule.
+    * number" rule. OPERATING GUIDANCE (measured, r9 AnnScaleProbe /
+    * bench_baselines/r09_ann_shortlist_scaling.json): recall tracks
+    * the CORPUS FRACTION the shortlist keeps, not its absolute width —
+    * a fixed `rerank` collapses at 10-100× corpus (0.89 → 0.24) while
+    * ~5% of corpus holds ~0.9 across two decades at flat wall cost.
+    * Size `rerank` proportionally to the corpus.
     */
   def pqTopK(
       corpus: DataFrame, corpusId: String, corpusVec: String,
@@ -673,7 +678,11 @@ object Similarity {
     * the q_ann_ivfpq* oracles replay the whole funnel.
     *
     * Recall is measured in SimilaritySpec and published by
-    * q_ann_ivfpq_recall (an ANN ships with its recall number).
+    * q_ann_ivfpq_recall (an ANN ships with its recall number). Like
+    * [[pqTopK]], `rerank` is a corpus-fraction knob (measured r9:
+    * fixed 128 → 0.92 at 2k vecs but 0.18 at 200k; ~4% of corpus
+    * holds ~0.9 at any scale) — size it proportionally, or re-read
+    * the q_ann_ivfpq_grid surface at the deployment's scale.
     */
   /** Per-(query, probed cell) frame: (query_id, qv, qt, cell, dot_qc) —
     * cells ranked by the exact INTEGER squared L2 distance of the
