@@ -2113,6 +2113,40 @@ object SparkEntry {
         .select(col("media_id"), col("frame_idx"), col("frame_off"), col("byte_sum"))
     }),
 
+    // E149: exact media dedup by payload digest — binary columns join
+    // the dedup stack (text and embedding dedup existed; a media lake
+    // dedups by content address). Digest computed in the scan; the
+    // shuffle carries 16-byte keys, never payloads. The query publishes
+    // the per-mime + ALL content-address summary (meaningful at every
+    // sf — the testdata's exact-dup load only appears at sf0.1+);
+    // the per-digest group form (cross-mime keep-rule) is
+    // Multimodal.dedupMediaExact, pinned in MultimodalSpec on
+    // constructed duplicates.
+    "q_media_dedup" -> ((s, dir) =>
+      Multimodal.mediaDedupStats(
+        Multimodal.mediaFromDocuments(Tables.documents(s, dir)))
+        .orderBy(col("mime_group"))),
+
+    // E150: ColBERT-style late-interaction retrieval (MaxSim) — the
+    // multi-vector corpus is carved from the embeddings table (doc =
+    // vec_id div 8 → 8 token vectors per doc), queries are the first 4
+    // docs' token sets. Integer nano-unit cosines make the max/sum
+    // exact under any partitioning, so the whole operator carries a
+    // DuckDB oracle. At scale the doc side is an ANN shortlist — this
+    // query runs the exhaustive re-rank form.
+    "q_maxsim" -> ((s, dir) => {
+      val toks = Tables.embeddings(s, dir)
+        .select(expr("vec_id div 8").as("doc_id"),
+          pmod(col("vec_id"), lit(8L)).as("pos"), col("embedding"))
+      val queries = toks.filter(col("doc_id") < 4)
+        .select(col("doc_id").as("q_doc"), col("pos").as("q_pos"),
+          col("embedding").as("qe"))
+      Similarity.maxSimTopK(toks, "doc_id", "embedding",
+          queries, "q_doc", "q_pos", "qe", k = 5)
+        .select(col("query_doc"), col("rank").cast("long").as("rank"),
+          col("doc_id"), col("score_nano"))
+    }),
+
     // E70: per-source dataset card — the curator's per-crawl report:
     // volume, quality mass, language mix, exact-dup load, token supply,
     // ALL in one scan-and-aggregate pass composing five kernels (no
@@ -6198,6 +6232,59 @@ object SparkEntry {
         |SELECT media_id, frame_idx, CAST(frame_off AS BIGINT) AS frame_off,
         |       CAST(sum(code) AS BIGINT) AS byte_sum
         |FROM chars GROUP BY 1, 2, 3""".stripMargin,
+
+    // md5 over the payload bytes: DuckDB's md5(VARCHAR) hashes the
+    // UTF-8 bytes — exactly the engine's md5(encode(text, 'UTF-8'))
+    "q_media_dedup" ->
+      """WITH m AS (
+        |  SELECT CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+        |              WHEN doc_id % 3 = 1 THEN 'audio/wav'
+        |              ELSE 'video/mp4' END AS mime,
+        |         md5(text) AS digest,
+        |         CAST(length(text) AS BIGINT) AS n_bytes
+        |  FROM documents),
+        |g AS (
+        |  SELECT mime AS mime_group, digest, n_bytes FROM m
+        |  UNION ALL
+        |  SELECT 'ALL' AS mime_group, digest, n_bytes FROM m),
+        |base AS (
+        |  SELECT mime_group, CAST(count(*) AS BIGINT) AS n_media,
+        |         CAST(count(DISTINCT digest) AS BIGINT) AS n_distinct,
+        |         CAST(sum(n_bytes) AS BIGINT) AS bytes_total
+        |  FROM g GROUP BY 1),
+        |dd AS (
+        |  SELECT mime_group, CAST(sum(b) AS BIGINT) AS bytes_dedup FROM (
+        |    SELECT mime_group, digest, min(n_bytes) AS b
+        |    FROM g GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |SELECT base.mime_group, n_media, n_distinct,
+        |       n_media - n_distinct AS n_dup_copies, bytes_total, bytes_dedup
+        |FROM base JOIN dd USING (mime_group)""".stripMargin,
+
+    // MaxSim replay: per-(query token, doc) max then per-(query, doc)
+    // sum over integer nano-unit cosines — round(cos·1e9) is the same
+    // granularity bridge as the proven round(cos, 9)
+    "q_maxsim" ->
+      """WITH tok AS (
+        |  SELECT vec_id // 8 AS doc_id, embedding FROM embeddings),
+        |q AS (
+        |  SELECT vec_id // 8 AS query_doc, vec_id AS q_tok, embedding AS qe
+        |  FROM embeddings WHERE vec_id // 8 < 4),
+        |pairs AS (
+        |  SELECT q.query_doc, q.q_tok, t.doc_id,
+        |         CAST(round(list_cosine_similarity(t.embedding::DOUBLE[], q.qe::DOUBLE[]) * 1e9) AS BIGINT) AS cos_nano
+        |  FROM tok t, q WHERE t.doc_id <> q.query_doc),
+        |best AS (
+        |  SELECT query_doc, q_tok, doc_id, max(cos_nano) AS best_nano
+        |  FROM pairs GROUP BY 1, 2, 3),
+        |scored AS (
+        |  SELECT query_doc, doc_id, CAST(sum(best_nano) AS BIGINT) AS score_nano
+        |  FROM best GROUP BY 1, 2)
+        |SELECT query_doc, CAST(rank AS BIGINT) AS rank, doc_id, score_nano
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_doc
+        |                 ORDER BY score_nano DESC, doc_id) AS rank
+        |      FROM scored)
+        |WHERE rank <= 5""".stripMargin,
 
     // the whole multimodal plumbing is oracle-checkable: the ordered
     // entropy sum (ORDER BY code) replicates the decoder's ascending

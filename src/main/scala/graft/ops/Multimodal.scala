@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: media as opaque `binary` payloads with a
@@ -324,5 +324,66 @@ object Multimodal {
         FrameSample(r.media_id, i, off, s)
       }
     }
+  }
+
+  /** Exact media dedup by payload digest — the binary-column analog of
+    * [[graft.ops.Dedup]]'s by-fingerprint text dedup: md5 the raw
+    * payload BYTES in the scan, shuffle only (digest, id, mime,
+    * n_bytes) — 16-byte keys instead of megabyte payloads — and keep
+    * the smallest id per digest. A 100 TB media lake dedups exactly
+    * this way (the digest is computed where the bytes already are; no
+    * payload ever crosses the network), and the same digest column is
+    * what object stores and crawl pipelines carry as the content
+    * address.
+    *
+    * Dedup is by CONTENT, deliberately across mime labels: the same
+    * bytes served as image/png and video/mp4 are still one payload, so
+    * `n_mimes` > 1 flags mislabeled copies — a real crawl pathology.
+    *
+    * Returns one row per duplicated digest (n_copies ≥ 2):
+    * (digest, keep_id, n_copies, n_mimes, n_bytes).
+    */
+  def dedupMediaExact(media: DataFrame): DataFrame =
+    media
+      .select(md5(col("payload")).as("digest"), col("media_id"),
+        col("mime"), col("n_bytes"))
+      .groupBy(col("digest"))
+      .agg(
+        min(col("media_id")).as("keep_id"),
+        count(lit(1)).as("n_copies"),
+        count_distinct(col("mime")).as("n_mimes"),
+        // identical bytes ⇒ identical length; min is just the portable pick
+        min(col("n_bytes")).as("n_bytes"))
+      .filter(col("n_copies") >= 2)
+
+  /** Content-address summary of a media table: per mime plus an 'ALL'
+    * row — the dedup-planning numbers a media lake reads before
+    * running [[dedupMediaExact]] (how much volume is duplicate bytes,
+    * per corpus slice). `bytes_dedup` counts each distinct digest's
+    * payload once; the ALL row dedups ACROSS mimes, so the per-mime
+    * `n_distinct` values can sum to more than ALL's when the same
+    * bytes circulate under different labels. Same scan shape as the
+    * dedup itself: digests in the scan, digest-keyed shuffles only.
+    */
+  def mediaDedupStats(media: DataFrame): DataFrame = {
+    val d = media.select(md5(col("payload")).as("digest"), col("mime"),
+      col("n_bytes"))
+    // two-level aggregation, no join: per-(group, digest) partials fold
+    // into the group stats — n_media = Σ copies, n_distinct = row
+    // count, bytes_dedup = Σ min-bytes. One digest-keyed shuffle per
+    // grouping, both partial-aggregable.
+    def statsBy(key: Column): DataFrame =
+      d.groupBy(key.as("mime_group"), col("digest"))
+        .agg(count(lit(1)).as("copies"), sum(col("n_bytes")).as("bytes_g"),
+          min(col("n_bytes")).as("b"))
+        .groupBy(col("mime_group"))
+        .agg(sum(col("copies")).as("n_media"),
+          count(lit(1)).as("n_distinct"),
+          sum(col("bytes_g")).as("bytes_total"),
+          sum(col("b")).as("bytes_dedup"))
+    statsBy(col("mime")).unionByName(statsBy(lit("ALL")))
+      .select(col("mime_group"), col("n_media"), col("n_distinct"),
+        (col("n_media") - col("n_distinct")).as("n_dup_copies"),
+        col("bytes_total"), col("bytes_dedup"))
   }
 }

@@ -881,6 +881,59 @@ object Similarity {
       queries, queryId, queryVec, k, codebookSize, rerank)
   }
 
+  /** ColBERT-style late-interaction (MaxSim) retrieval: documents and
+    * queries are SETS of token vectors and
+    * score(Q, D) = Σ_{q ∈ Q} max_{d ∈ D} cos(q, d) — each query token
+    * finds its best-matching document token, so phrase-level evidence
+    * survives pooling (the reason late interaction beats single-vector
+    * retrieval on precision). Khattab & Zaharia, SIGIR 2020 (public).
+    *
+    * Shape: query tokens broadcast against the corpus token scan; the
+    * per-(query token, doc) max and the per-(query, doc) sum are both
+    * partial-aggregable shuffles, so the full token×token matrix never
+    * exists past the map side. Scores ride as integer NANO-units
+    * (round(cos·1e9) — the integer-cents discipline at cosine scale):
+    * max and sum are then exact and partition-order independent, and
+    * the whole operator replays in DuckDB (q_maxsim's oracle).
+    *
+    * At 100 TB maxsim is the RE-RANK stage, not the scan: feed
+    * `docVecs` with an ANN-shortlisted candidate frame (lshTopK /
+    * ivfTopK over pooled doc vectors — see [[meanPoolByGroup]]) instead
+    * of the whole corpus; the operator is agnostic to which.
+    *
+    * Returns (query_doc, rank, doc_id, score_nano), top `k` docs per
+    * query document by (score DESC, doc_id) — a total portable order.
+    */
+  def maxSimTopK(
+      docVecs: DataFrame, docCol: String, vecCol: String,
+      queryVecs: DataFrame, queryDocCol: String, queryPosCol: String,
+      queryVecCol: String, k: Int): DataFrame = {
+    val pairs = docVecs
+      .select(col(docCol).as("doc_id"), col(vecCol).as("dv"))
+      .crossJoin(broadcast(queryVecs.select(
+        col(queryDocCol).as("query_doc"),
+        col(queryPosCol).as("q_tok"),
+        col(queryVecCol).as("qv"))))
+      .filter(col("doc_id") =!= col("query_doc"))
+      .select(col("query_doc"), col("q_tok"), col("doc_id"),
+        round(exprs.cosine_f(col("dv"), col("qv")) * lit(1e9)).cast("long")
+          .as("cos_nano"))
+    val perToken = pairs
+      .groupBy(col("query_doc"), col("q_tok"), col("doc_id"))
+      .agg(max(col("cos_nano")).as("best_nano"))
+    val scored = perToken
+      .groupBy(col("query_doc"), col("doc_id"))
+      .agg(sum(col("best_nano")).as("score_nano"))
+    // |Q| ≤ dozens of tokens ⇒ score ≤ |Q|·1e9 ≪ 2^53: the double cast
+    // the bounded heap consumes is exact
+    topKPerQuery(scored.select(
+        col("query_doc").as("query_id"), col("doc_id").as("neighbor_id"),
+        col("score_nano").cast("double").as("cosine")), k)
+      .select(col("query_id").as("query_doc"), col("rank"),
+        col("neighbor_id").as("doc_id"),
+        col("cosine").cast("long").as("score_nano"))
+  }
+
   /** Per-group mean pooling of an embedding column — the centroid
     * computation behind class prototypes, cluster summaries and
     * multi-vector document pooling.

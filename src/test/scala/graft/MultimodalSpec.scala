@@ -153,4 +153,43 @@ class MultimodalSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("dedupMediaExact groups identical payloads across mime labels, keep = min id") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // constructed duplicate load: ids 0/3/6 share bytes (two mimes),
+    // 1/4 share bytes (one mime), 2 and 5 are unique
+    val media = Seq(
+      (0L, "image/png", "same-bytes-A"),
+      (3L, "video/mp4", "same-bytes-A"),
+      (6L, "image/png", "same-bytes-A"),
+      (1L, "audio/wav", "same-bytes-B"),
+      (4L, "audio/wav", "same-bytes-B"),
+      (2L, "image/png", "unique-C"),
+      (5L, "video/mp4", "unique-D")
+    ).toDF("media_id", "mime", "text")
+      .select(col("media_id"), col("mime"),
+        encode(col("text"), "UTF-8").as("payload"),
+        length(col("text")).cast("long").as("n_bytes"))
+    val groups = Multimodal.dedupMediaExact(media)
+      .select("keep_id", "n_copies", "n_mimes", "n_bytes")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(groups === Array(
+      (0L, 3L, 2L, 12L), // A: ids 0/3/6, png+mp4, keep 0
+      (1L, 2L, 1L, 12L)  // B: ids 1/4, wav only, keep 1
+    ), "unique payloads must not appear; cross-mime copies must group")
+
+    val stats = Multimodal.mediaDedupStats(media)
+      .select("mime_group", "n_media", "n_distinct", "n_dup_copies",
+        "bytes_total", "bytes_dedup")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // ALL row dedups across mimes: 7 media, 4 distinct payloads
+    assert(stats("ALL") === ("ALL", 7L, 4L, 3L, 12L * 5 + 8 + 8, 12L * 2 + 8 + 8))
+    // per-mime png: ids 0/6 share A + unique C → 3 media, 2 distinct
+    assert(stats("image/png") === ("image/png", 3L, 2L, 1L, 12L * 2 + 8, 12L + 8))
+    // cross-mime duplication is only visible in ALL: per-mime distinct
+    // sums to 2+1+2 = 5 > ALL's 4 (payload A counted under two mimes)
+    assert(stats("image/png")._3 + stats("audio/wav")._3 + stats("video/mp4")._3 === 5L)
+  }
 }

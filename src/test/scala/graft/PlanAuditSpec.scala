@@ -130,7 +130,11 @@ class PlanAuditSpec extends SparkSpecBase {
       "q_dsir_weights",
       // token-budget: the 1-row budget scalar broadcasts into the
       // ≤10^4-row level frame; doc-side joins are key-equi on qm
-      "q_token_budget")
+      "q_token_budget",
+      // maxsim: query-token frame broadcast against the corpus token
+      // scan — the q_ann_pq shape (at scale the doc side is an ANN
+      // shortlist; the cross join is queries×docs by design)
+      "q_maxsim")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = SparkEntry.queries(name)(spark, Sf0001)
         .queryExecution.executedPlan.toString
