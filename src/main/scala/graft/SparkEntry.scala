@@ -2127,6 +2127,19 @@ object SparkEntry {
         Multimodal.mediaFromDocuments(Tables.documents(s, dir)))
         .orderBy(col("mime_group"))),
 
+    // E151: contrastive training-pair mining (DPR/SimCSE recipe) —
+    // 1 positive + 3 hard negatives (ranks 2-4) + 4 seeded random
+    // negatives drawn outside the top block (false-negative guard),
+    // each with its exact nano-unit cosine. Bounded-heap funnels on
+    // both blocks; md5 draw makes the random side oracle-replayable.
+    "q_contrastive_pairs" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val queries = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.contrastivePairs(e, "vec_id", "embedding",
+        queries, "qid", "qv", kHard = 3, nRandom = 4)
+    }),
+
     // E150: ColBERT-style late-interaction retrieval (MaxSim) — the
     // multi-vector corpus is carved from the embeddings table (doc =
     // vec_id div 8 → 8 token vectors per doc), queries are the first 4
@@ -6260,6 +6273,37 @@ object SparkEntry {
         |SELECT base.mime_group, n_media, n_distinct,
         |       n_media - n_distinct AS n_dup_copies, bytes_total, bytes_dedup
         |FROM base JOIN dd USING (mime_group)""".stripMargin,
+
+    // contrastive-pairs replay: the exact top block labels positive /
+    // hard_neg by cosine rank; the random block re-ranks the REST by
+    // the same md5("rnd:"+q+":"+c) draw the engine's bounded heap uses
+    "q_contrastive_pairs" ->
+      """WITH ex AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         round(list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 9) AS cosine
+        |  FROM embeddings c, embeddings q
+        |  WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |              ORDER BY cosine DESC, neighbor_id) AS rk
+        |  FROM ex),
+        |tops AS (
+        |  SELECT query_id,
+        |         CASE WHEN rk = 1 THEN 'positive' ELSE 'hard_neg' END AS role,
+        |         CAST(rk AS BIGINT) AS rank, neighbor_id,
+        |         CAST(round(cosine * 1e9) AS BIGINT) AS cos_nano
+        |  FROM ranked WHERE rk <= 4),
+        |rest AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |         row_number() OVER (PARTITION BY query_id
+        |           ORDER BY substring(md5('rnd:' || query_id || ':' || neighbor_id), 1, 12),
+        |                    neighbor_id) AS rr
+        |  FROM ranked WHERE rk > 4)
+        |SELECT * FROM tops
+        |UNION ALL
+        |SELECT query_id, 'rand_neg' AS role, CAST(rr AS BIGINT) AS rank,
+        |       neighbor_id, CAST(round(cosine * 1e9) AS BIGINT) AS cos_nano
+        |FROM rest WHERE rr <= 4""".stripMargin,
 
     // MaxSim replay: per-(query token, doc) max then per-(query, doc)
     // sum over integer nano-unit cosines — round(cos·1e9) is the same

@@ -881,6 +881,66 @@ object Similarity {
       queries, queryId, queryVec, k, codebookSize, rerank)
   }
 
+  /** Contrastive training-pair construction — the DPR/SimCSE data
+    * recipe (Karpukhin et al., EMNLP 2020, public): for each query,
+    * ONE positive (its nearest neighbor), `kHard` hard negatives (the
+    * next-ranked non-positives — the informative ones a contrastive
+    * loss actually learns from), and `nRandom` seeded random negatives
+    * drawn OUTSIDE the top neighborhood, so near-duplicates of the
+    * positive can't be mislabeled negative (the classic false-negative
+    * trap). Random draws rank by md5("rnd:"+query+":"+cand) —
+    * content-stable under any partitioning and replayable by the
+    * DuckDB oracle; every pair carries its exact cosine in integer
+    * nano-units.
+    *
+    * Shape: the top-(1+kHard) block is the bounded-heap exact top-k;
+    * the random block is another bounded heap over the md5 score, so
+    * the shuffle carries tasks×queries×n tiny structs — never the
+    * queries×corpus matrix. At 100 TB swap the exact top block for an
+    * ANN shortlist (same contract as [[maxSimTopK]]'s re-rank note);
+    * mining stays funnel-shaped either way.
+    *
+    * Returns (query_id, role ∈ {positive, hard_neg, rand_neg},
+    * rank-within-role, neighbor_id, cos_nano).
+    */
+  def contrastivePairs(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      kHard: Int, nRandom: Int): DataFrame = {
+    require(kHard >= 1 && nRandom >= 1)
+    val top = bruteForceTopK(corpus, corpusId, corpusVec,
+      queries, queryId, queryVec, k = 1 + kHard)
+    val labeled = top.select(col("query_id"),
+      when(col("rank") === 1, lit("positive")).otherwise(lit("hard_neg")).as("role"),
+      col("rank").cast("long").as("rank"), col("neighbor_id"),
+      round(col("cosine") * lit(1e9)).cast("long").as("cos_nano"))
+    // candidates outside the top block, ranked by the seeded md5 draw:
+    // first 12 hex digits = 48 bits → the negated long is an exact
+    // double, so the bounded heap's (score desc, id asc) order IS
+    // (md5 asc, id asc) — the portable draw order
+    val rndScore = -conv(substring(
+        md5(concat(lit("rnd:"), col("query_id").cast("string"),
+          lit(":"), col("neighbor_id").cast("string"))), 1, 12), 16, 10)
+      .cast("long").cast("double")
+    val outside = corpus.select(col(corpusId).as("neighbor_id"))
+      .crossJoin(broadcast(queries.select(col(queryId).as("query_id"))))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .join(top.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      .select(col("query_id"), col("neighbor_id"), rndScore.as("cosine"))
+    val rand = topKPerQuery(outside, nRandom)
+      .select(col("query_id"), lit("rand_neg").as("role"),
+        col("rank").cast("long").as("rank"), col("neighbor_id"))
+      .join(corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("cv")),
+        "neighbor_id")
+      .join(broadcast(queries.select(col(queryId).as("query_id"), col(queryVec).as("qv"))),
+        "query_id")
+      .select(col("query_id"), col("role"), col("rank"), col("neighbor_id"),
+        round(exprs.cosine_f(col("cv"), col("qv")) * lit(1e9)).cast("long")
+          .as("cos_nano"))
+    labeled.unionByName(rand)
+  }
+
   /** ColBERT-style late-interaction (MaxSim) retrieval: documents and
     * queries are SETS of token vectors and
     * score(Q, D) = Σ_{q ∈ Q} max_{d ∈ D} cos(q, d) — each query token

@@ -134,7 +134,10 @@ class PlanAuditSpec extends SparkSpecBase {
       // maxsim: query-token frame broadcast against the corpus token
       // scan — the q_ann_pq shape (at scale the doc side is an ANN
       // shortlist; the cross join is queries×docs by design)
-      "q_maxsim")
+      "q_maxsim",
+      // contrastive-pairs: exact top block (the q_ann_topk brute shape)
+      // plus the 20-id query frame broadcast for the md5 random draw
+      "q_contrastive_pairs")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = SparkEntry.queries(name)(spark, Sf0001)
         .queryExecution.executedPlan.toString

@@ -87,6 +87,38 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("contrastivePairs: roles partition correctly, random negatives never overlap the top block") {
+    val e = graft.sources.Tables.embeddings(spark, Sf001)
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val pairs = ops.Similarity.contrastivePairs(
+        e, "vec_id", "embedding", queries, "qid", "qv", kHard = 3, nRandom = 4)
+      .select("query_id", "role", "rank", "neighbor_id")
+      .as[(Long, String, Long, Long)].collect()
+    assert(pairs.length === 10 * (1 + 3 + 4))
+    val byQuery = pairs.groupBy(_._1)
+    byQuery.foreach { case (q, rows) =>
+      val roles = rows.groupBy(_._2).view.mapValues(_.length).toMap
+      assert(roles === Map("positive" -> 1, "hard_neg" -> 3, "rand_neg" -> 4))
+      // the false-negative guard: random negatives are disjoint from
+      // the exact top-(1+kHard) block and from the query itself
+      val topIds = rows.filter(r => r._2 != "rand_neg").map(_._4).toSet
+      val rndIds = rows.filter(_._2 == "rand_neg").map(_._4).toSet
+      assert((topIds & rndIds).isEmpty)
+      assert(!rndIds.contains(q) && !topIds.contains(q))
+      // positive is rank 1, hard negatives ranks 2..4 of the SAME ordering
+      assert(rows.filter(_._2 == "positive").map(_._3).toSeq === Seq(1L))
+      assert(rows.filter(_._2 == "hard_neg").map(_._3).sorted.toSeq === Seq(2L, 3L, 4L))
+    }
+    // determinism: a repartitioned corpus yields the identical pair set
+    val pairs2 = ops.Similarity.contrastivePairs(
+        e.repartition(7), "vec_id", "embedding", queries, "qid", "qv",
+        kHard = 3, nRandom = 4)
+      .select("query_id", "role", "rank", "neighbor_id")
+      .as[(Long, String, Long, Long)].collect()
+    assert(pairs.sortBy(r => (r._1, r._2, r._3)) === pairs2.sortBy(r => (r._1, r._2, r._3)))
+  }
+
   test("bruteForceTopK ranks by cosine with id tiebreak") {
     val queries = Seq((0L, Array(1.0f, 0.0f, 0.0f))).toDF("qid", "qv")
     val got = Similarity.bruteForceTopK(
