@@ -2127,6 +2127,16 @@ object SparkEntry {
         Multimodal.mediaFromDocuments(Tables.documents(s, dir)))
         .orderBy(col("mime_group"))),
 
+    // E152: weak supervision — 4 labeling functions voting
+    // {-1, 0, +1} on exact integer counts, combined by the one-step
+    // agreement-weighted label model (weights = micro-unit agreement
+    // with the unweighted majority over each LF's coverage). One text
+    // scan for votes, a 2K-counter combinable agg broadcast back, one
+    // labeling pass — and every number is exact, so the whole label
+    // model carries a DuckDB oracle.
+    "q_weak_labels" -> ((s, dir) =>
+      graft.ops.WeakLabels.weakLabels(Tables.documents(s, dir))),
+
     // E151: contrastive training-pair mining (DPR/SimCSE recipe) —
     // 1 positive + 3 hard negatives (ranks 2-4) + 4 seeded random
     // negatives drawn outside the top block (false-negative guard),
@@ -6273,6 +6283,63 @@ object SparkEntry {
         |SELECT base.mime_group, n_media, n_distinct,
         |       n_media - n_distinct AS n_dup_copies, bytes_total, bytes_dedup
         |FROM base JOIN dd USING (mime_group)""".stripMargin,
+
+    // weak-labels replay: LF votes from the same exact counts, the
+    // 8-counter agreement stats, micro-unit weights via one rounded
+    // division of exact ints (positive → half-up == half-away), and
+    // the integer dot-product score
+    "q_weak_labels" -> {
+      val stops = graft.ops.TextAnalysis.EnglishStopwords
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH c AS (
+         |  SELECT doc_id, length(text) AS nchars,
+         |         CASE WHEN length(text) = 0 THEN 0
+         |              ELSE len(string_split(text, ' ')) END AS ntok,
+         |         len(list_filter(string_split(text, ' '),
+         |             t -> t IN ($stops))) AS stops,
+         |         length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits,
+         |         length(regexp_replace(text, '[^A-Z]', '', 'g')) AS uppers
+         |  FROM documents),
+         |v AS (
+         |  SELECT doc_id,
+         |         CASE WHEN nchars >= 200 THEN 1 WHEN nchars < 50 THEN -1
+         |              ELSE 0 END AS lf_len,
+         |         CASE WHEN ntok > 0 AND stops * 20 >= ntok THEN 1
+         |              WHEN stops = 0 THEN -1 ELSE 0 END AS lf_stop,
+         |         CASE WHEN digits * 5 > nchars THEN -1
+         |              WHEN digits * 20 < nchars THEN 1 ELSE 0 END AS lf_digit,
+         |         CASE WHEN uppers * 4 > nchars THEN -1 ELSE 0 END AS lf_upper
+         |  FROM c),
+         |vm AS (SELECT *, sign(lf_len + lf_stop + lf_digit + lf_upper) AS m FROM v),
+         |st AS (
+         |  SELECT
+         |    sum(CASE WHEN lf_len <> 0 AND lf_len = m THEN 1 ELSE 0 END) AS a_len,
+         |    sum(CASE WHEN lf_len <> 0 THEN 1 ELSE 0 END) AS c_len,
+         |    sum(CASE WHEN lf_stop <> 0 AND lf_stop = m THEN 1 ELSE 0 END) AS a_stop,
+         |    sum(CASE WHEN lf_stop <> 0 THEN 1 ELSE 0 END) AS c_stop,
+         |    sum(CASE WHEN lf_digit <> 0 AND lf_digit = m THEN 1 ELSE 0 END) AS a_digit,
+         |    sum(CASE WHEN lf_digit <> 0 THEN 1 ELSE 0 END) AS c_digit,
+         |    sum(CASE WHEN lf_upper <> 0 AND lf_upper = m THEN 1 ELSE 0 END) AS a_upper,
+         |    sum(CASE WHEN lf_upper <> 0 THEN 1 ELSE 0 END) AS c_upper
+         |  FROM vm),
+         |w AS (
+         |  SELECT
+         |    CASE WHEN c_len = 0 THEN 0 ELSE CAST(round(a_len * 1e6 / c_len) AS BIGINT) END AS w_len,
+         |    CASE WHEN c_stop = 0 THEN 0 ELSE CAST(round(a_stop * 1e6 / c_stop) AS BIGINT) END AS w_stop,
+         |    CASE WHEN c_digit = 0 THEN 0 ELSE CAST(round(a_digit * 1e6 / c_digit) AS BIGINT) END AS w_digit,
+         |    CASE WHEN c_upper = 0 THEN 0 ELSE CAST(round(a_upper * 1e6 / c_upper) AS BIGINT) END AS w_upper
+         |  FROM st)
+         |SELECT vm.doc_id,
+         |       CAST(lf_len AS BIGINT) AS lf_len,
+         |       CAST(lf_stop AS BIGINT) AS lf_stop,
+         |       CAST(lf_digit AS BIGINT) AS lf_digit,
+         |       CAST(lf_upper AS BIGINT) AS lf_upper,
+         |       CAST(lf_len * w_len + lf_stop * w_stop + lf_digit * w_digit
+         |            + lf_upper * w_upper AS BIGINT) AS score_micro,
+         |       CAST(sign(lf_len * w_len + lf_stop * w_stop + lf_digit * w_digit
+         |            + lf_upper * w_upper) AS BIGINT) AS label
+         |FROM vm, w""".stripMargin
+    },
 
     // contrastive-pairs replay: the exact top block labels positive /
     // hard_neg by cosine rank; the random block re-ranks the REST by

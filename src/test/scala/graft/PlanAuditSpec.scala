@@ -137,7 +137,10 @@ class PlanAuditSpec extends SparkSpecBase {
       "q_maxsim",
       // contrastive-pairs: exact top block (the q_ann_topk brute shape)
       // plus the 20-id query frame broadcast for the md5 random draw
-      "q_contrastive_pairs")
+      "q_contrastive_pairs",
+      // weak-labels: the 1-row LF-weight frame broadcasts back over the
+      // votes (the q_tfidf corpus-stats shape)
+      "q_weak_labels")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = SparkEntry.queries(name)(spark, Sf0001)
         .queryExecution.executedPlan.toString
