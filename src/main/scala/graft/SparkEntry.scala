@@ -2127,6 +2127,24 @@ object SparkEntry {
         Multimodal.mediaFromDocuments(Tables.documents(s, dir)))
         .orderBy(col("mime_group"))),
 
+    // E153: retrieval eval metrics — MRR / nDCG@5 / recall@5 of the
+    // LSH run against the exact top-5 as qrels: the harness that turns
+    // any ranked retrieval into comparable numbers. log2 discounts are
+    // a driver-computed integer nano-unit table shared VERBATIM with
+    // the oracle, so no transcendental runs inside either engine.
+    "q_retrieval_metrics" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val queries = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val run = Similarity.lshTopK(e, "vec_id", "embedding",
+        queries, "qid", "qv", k = 5, numPlanes = 8, numTables = 6,
+        probeHamming = 2)
+      val qrels = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+          queries, "qid", "qv", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      Similarity.retrievalMetrics(run, qrels, k = 5)
+    }),
+
     // E152: weak supervision — 4 labeling functions voting
     // {-1, 0, +1} on exact integer counts, combined by the one-step
     // agreement-weighted label model (weights = micro-unit agreement
@@ -6283,6 +6301,56 @@ object SparkEntry {
         |SELECT base.mime_group, n_media, n_distinct,
         |       n_media - n_distinct AS n_dup_copies, bytes_total, bytes_dedup
         |FROM base JOIN dd USING (mime_group)""".stripMargin,
+
+    // retrieval-metrics replay: the LSH run and the exact top-5 from
+    // the proven candidate/cosine CTEs, then pure integer metric math
+    // with the ENGINE's own discount table interpolated as literals
+    "q_retrieval_metrics" -> {
+      val disc = graft.ops.Similarity.discNano(5)
+      val idcg = disc.scanLeft(0L)(_ + _).drop(1)
+      val discCase = disc.zipWithIndex
+        .map { case (d, i) => s"WHEN ${i + 1} THEN $d" }.mkString(" ")
+      val idcgCase = idcg.zipWithIndex
+        .map { case (d, i) => s"WHEN ${i + 1} THEN $d" }.mkString(" ")
+      AnnLshCandidateCte(nTables = 6, nPlanes = 8, hamming = 2) +
+      s""",
+         |scored AS (
+         |  SELECT query_id, neighbor_id,
+         |         round(list_cosine_similarity(ce.embedding::DOUBLE[], qe.embedding::DOUBLE[]), 9) AS cosine
+         |  FROM cand JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+         |            JOIN embeddings qe ON qe.vec_id = cand.query_id),
+         |run AS (
+         |  SELECT query_id, neighbor_id, rank
+         |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |        FROM scored)
+         |  WHERE rank <= 5),
+         |exact_scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         round(list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 9) AS cosine
+         |  FROM embeddings c, embeddings q
+         |  WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id),
+         |qrels AS (
+         |  SELECT query_id, neighbor_id
+         |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |        FROM exact_scored)
+         |  WHERE rank <= 5),
+         |j AS (
+         |  SELECT r.query_id, r.rank,
+         |         CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+         |  FROM run r LEFT JOIN qrels e
+         |    ON e.query_id = r.query_id AND e.neighbor_id = r.neighbor_id),
+         |nrel AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel FROM qrels GROUP BY 1),
+         |agg AS (
+         |  SELECT query_id,
+         |         max(CASE WHEN rel = 1 THEN CAST(round(1e9 / rank) AS BIGINT) ELSE 0 END) AS mrr_nano,
+         |         CAST(sum(CASE WHEN rel = 1 THEN CASE rank $discCase ELSE 0 END ELSE 0 END) AS BIGINT) AS dcg_nano,
+         |         CAST(sum(rel) AS BIGINT) AS n_hit
+         |  FROM j GROUP BY 1)
+         |SELECT a.query_id, mrr_nano,
+         |       CAST(round(dcg_nano * 1e9 / (CASE least(n_rel, 5) $idcgCase END)) AS BIGINT) AS ndcg_nano,
+         |       CAST(round(n_hit * 1e9 / n_rel) AS BIGINT) AS recall_nano
+         |FROM agg a JOIN nrel USING (query_id)""".stripMargin
+    },
 
     // weak-labels replay: LF votes from the same exact counts, the
     // 8-counter agreement stats, micro-unit weights via one rounded

@@ -881,6 +881,70 @@ object Similarity {
       queries, queryId, queryVec, k, codebookSize, rerank)
   }
 
+  /** Retrieval evaluation metrics — the harness that makes any ranked
+    * retrieval result (ANN, BM25, hybrid, maxsim) comparable: per
+    * query, reciprocal rank of the first relevant hit (MRR),
+    * nDCG@k, and recall@k against a relevance set.
+    *
+    * PORTABILITY: nDCG's log2 discounts are the only transcendental —
+    * they are precomputed ONCE driver-side as integer nano-units
+    * (round(1e9/log2(rank+1))) and the SAME literal table is embedded
+    * in the engine expression and interpolated into the DuckDB oracle
+    * text, so every downstream aggregate is an exact integer sum (the
+    * integer-cents discipline; binary relevance, so IDCG@k is the
+    * prefix sum of the same table). Output is *_nano columns.
+    *
+    * Shape: one equi-join of the run against the qrels on (query, doc)
+    * — both funnel-sized (queries×k rows) — then a per-query
+    * aggregation. Corpus size never appears; at 100 TB this costs what
+    * the run frame costs.
+    */
+  def retrievalMetrics(
+      run: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
+    // discount table, shared verbatim with the oracle via discNano
+    val disc = discNano(k)
+    val discCol = array(disc.map(lit): _*)
+    val idcgAt = disc.scanLeft(0L)(_ + _).drop(1) // idcg for |rel| = 1..k
+    val idcgCol = array(idcgAt.map(lit): _*)
+    val joined = run
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+      .filter(col("rank") <= k)
+      .join(qrels.select(col("query_id"), col("neighbor_id"), lit(1L).as("rel")),
+        Seq("query_id", "neighbor_id"), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(0L)))
+    val nRel = qrels.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_rel"))
+    joined
+      .groupBy(col("query_id"))
+      .agg(
+        max(when(col("rel") === 1L,
+          // rr_nano = round(1e9 / rank): exact for every rank ≤ k
+          round(lit(1e9) / col("rank").cast("double")).cast("long"))
+          .otherwise(0L)).as("mrr_nano"),
+        sum(when(col("rel") === 1L,
+          element_at(discCol, col("rank").cast("int"))).otherwise(0L))
+          .as("dcg_nano"),
+        sum(col("rel")).as("n_hit"))
+      .join(broadcast(nRel), Seq("query_id"), "left")
+      .select(col("query_id"), col("mrr_nano"),
+        // ndcg = dcg / idcg@min(n_rel, k) in nano-units: one exact
+        // integer division of nano sums scaled back up — computed as
+        // round(1e9·dcg/idcg), a single rounded division of exact ints
+        round(col("dcg_nano").cast("double") * lit(1e9)
+          / element_at(idcgCol, least(col("n_rel"), lit(k.toLong)).cast("int"))
+            .cast("double")).cast("long").as("ndcg_nano"),
+        round(col("n_hit").cast("double") * lit(1e9)
+          / col("n_rel").cast("double")).cast("long").as("recall_nano"))
+  }
+
+  /** The shared nDCG discount table: disc(rank) = round(1e9/log2(rank+1))
+    * for rank = 1..k. Driver-computed once; the engine embeds it as
+    * literals and the oracle interpolates the SAME values, so log2
+    * never runs inside either engine's query.
+    */
+  private[graft] def discNano(k: Int): Seq[Long] =
+    (1 to k).map(r => math.round(1e9 / (math.log(r + 1.0) / math.log(2.0))))
+
   /** Contrastive training-pair construction — the DPR/SimCSE data
     * recipe (Karpukhin et al., EMNLP 2020, public): for each query,
     * ONE positive (its nearest neighbor), `kHard` hard negatives (the

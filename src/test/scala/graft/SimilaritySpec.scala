@@ -87,6 +87,32 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("retrievalMetrics: hand-computed MRR/nDCG/recall on constructed runs") {
+    val disc = ops.Similarity.discNano(5)
+    val idcg = disc.scanLeft(0L)(_ + _).drop(1)
+    // run A hits qrels at ranks 1 and 3 (of 4 relevant); B hits nothing;
+    // C is the perfect run (all 3 relevant at ranks 1-3)
+    val run = Seq(
+      (1L, 1, 101L), (1L, 2, 999L), (1L, 3, 103L), (1L, 4, 998L), (1L, 5, 997L),
+      (2L, 1, 901L), (2L, 2, 902L),
+      (3L, 1, 301L), (3L, 2, 302L), (3L, 3, 303L)
+    ).toDF("query_id", "rank", "neighbor_id")
+    val qrels = Seq(
+      (1L, 101L), (1L, 103L), (1L, 105L), (1L, 107L),
+      (2L, 801L),
+      (3L, 301L), (3L, 302L), (3L, 303L)
+    ).toDF("query_id", "neighbor_id")
+    val got = ops.Similarity.retrievalMetrics(run, qrels, k = 5)
+      .select("query_id", "mrr_nano", "ndcg_nano", "recall_nano")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val dcgA = disc(0) + disc(2)
+    val ndcgA = math.round(dcgA.toDouble * 1e9 / idcg(3))
+    assert(got(1L) === ((1L, 1000000000L, ndcgA, 500000000L)))
+    assert(got(2L) === ((2L, 0L, 0L, 0L)))
+    // a perfect run scores exactly 1.0 in every metric
+    assert(got(3L) === ((3L, 1000000000L, 1000000000L, 1000000000L)))
+  }
+
   test("contrastivePairs: roles partition correctly, random negatives never overlap the top block") {
     val e = graft.sources.Tables.embeddings(spark, Sf001)
     val queries = e.filter(col("vec_id") < 10)
