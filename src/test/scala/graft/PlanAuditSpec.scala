@@ -140,7 +140,11 @@ class PlanAuditSpec extends SparkSpecBase {
       "q_contrastive_pairs",
       // weak-labels: the 1-row LF-weight frame broadcasts back over the
       // votes (the q_tfidf corpus-stats shape)
-      "q_weak_labels")
+      "q_weak_labels",
+      // retrieval-metrics: its qrels side embeds the brute-force exact
+      // top-5 (the q_ann_lsh_recall shape); the metric join itself is
+      // key-equi on (query, doc)
+      "q_retrieval_metrics")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = SparkEntry.queries(name)(spark, Sf0001)
         .queryExecution.executedPlan.toString
