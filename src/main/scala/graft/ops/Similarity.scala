@@ -531,12 +531,15 @@ object Similarity {
     * ~5% of corpus holds ~0.9 across two decades at flat wall cost.
     * Size `rerank` proportionally to the corpus.
     */
-  def pqTopK(
+  /** Flat-PQ index build: (codes(neighbor_id, codes), codebook) — the
+    * searchable compressed copy of the corpus [[pqTopK]] scans, exposed
+    * so other consumers (the streaming score-on-arrival path, persisted
+    * index tables) reuse the identical portable fit + encode.
+    */
+  def buildPqIndex(
       corpus: DataFrame, corpusId: String, corpusVec: String,
-      queries: DataFrame, queryId: String, queryVec: String,
-      k: Int, m: Int = 8, codebookSize: Int = 16,
-      fitFraction: Double = 1.0, fitIters: Int = 10, rerank: Int = 64): DataFrame = {
-    require(rerank >= k, "re-rank shortlist must be at least k")
+      m: Int = 8, codebookSize: Int = 16,
+      fitFraction: Double = 1.0, fitIters: Int = 10): (DataFrame, Array[Long]) = {
     val vecs = corpus
       .select(col(corpusId).as("neighbor_id"), col(corpusVec).as("cv"))
       .withColumn("nq", exprs.quant_norm20(col("cv")))
@@ -544,12 +547,22 @@ object Similarity {
       md5FitDraw(vecs, "neighbor_id", fitFraction, "pqfit"), "neighbor_id")
     val fitRows = collectFitRowsQ(sampled, "neighbor_id", "nq", "pqinit")
     require(fitRows.nonEmpty,
-      s"pqTopK: fitFraction=$fitFraction selected zero rows to fit the " +
-        "codebook on — raise fitFraction or check the corpus is non-empty")
+      s"buildPqIndex: fitFraction=$fitFraction selected zero rows to fit " +
+        "the codebook on — raise fitFraction or check the corpus is non-empty")
     val cb = fitPqCodebookQ(fitRows, m, codebookSize, fitIters)
-
     val codes = vecs.select(col("neighbor_id"),
       exprs.pq_encode_q(col("nq"), cb, m, codebookSize).as("codes"))
+    (codes, cb)
+  }
+
+  def pqTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, m: Int = 8, codebookSize: Int = 16,
+      fitFraction: Double = 1.0, fitIters: Int = 10, rerank: Int = 64): DataFrame = {
+    require(rerank >= k, "re-rank shortlist must be at least k")
+    val (codes, cb) = buildPqIndex(corpus, corpusId, corpusVec,
+      m, codebookSize, fitFraction, fitIters)
     val qTables = queries.select(col(queryId).as("query_id"),
       exprs.pq_table_q(exprs.quant_norm20(col(queryVec)), cb, m, codebookSize).as("qt"))
 
@@ -1099,7 +1112,7 @@ object Similarity {
     * The (score desc, id asc) ordering is total, so the result is
     * deterministic under any partitioning.
     */
-  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
+  private[graft] def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
     scored
       .groupBy(col("query_id"))
       .agg(graft.functions.TopKByScore.agg(col("cosine"), col("neighbor_id"), k).as("tk"))

@@ -38,6 +38,34 @@ class SimilaritySpec extends SparkSpecBase {
     assert(math.abs(n - 1048576.0) < 2.0)
   }
 
+  test("quantNorm20 never throws on NaN/Inf/denormal garbage and stays deterministic") {
+    import graft.functions.exprs
+    // pathological floats: the kernel must not throw, and two
+    // evaluations must agree (JVM-side determinism — cross-engine
+    // portability is only CLAIMED for finite inputs, which is what
+    // parquet testdata contains)
+    val vecs = Seq(
+      (0L, Array(Float.NaN, 1.0f, 2.0f, 3.0f)),
+      (1L, Array(Float.PositiveInfinity, 1.0f, 0.0f, 0.0f)),
+      (2L, Array(Float.NegativeInfinity, Float.NaN, 0.0f, 0.0f)),
+      (3L, Array(Float.MinPositiveValue, -0.0f, 1e-38f, 0.0f)),
+      (4L, Array(3.4e38f, 3.4e38f, 3.4e38f, 3.4e38f))
+    ).toDF("vec_id", "embedding")
+    val a = vecs.select(col("vec_id"), exprs.quant_norm20(col("embedding")))
+      .as[(Long, Array[Long])].collect().sortBy(_._1)
+    val b = vecs.repartition(3)
+      .select(col("vec_id"), exprs.quant_norm20(col("embedding")))
+      .as[(Long, Array[Long])].collect().sortBy(_._1)
+    assert(a.length === 5)
+    a.zip(b).foreach { case ((ia, va), (ib, vb)) =>
+      assert(ia === ib)
+      assert(va.toSeq === vb.toSeq, s"non-deterministic for vec $ia")
+      assert(va.length === 4)
+    }
+    // sub-quantum and negative-zero components quantize to exact zeros
+    assert(a(3)._2.toSeq === Seq(0L, 0L, 0L, 0L))
+  }
+
   test("pqEncodeQ ties break to the smallest codeword and codes stay in range") {
     import graft.functions.exprs
     // duplicate codewords: md5-rank init can seed identical subvectors;

@@ -732,4 +732,54 @@ class StreamingSpec extends SparkSpecBase {
     assert(msgs(e).exists(m => m.contains("malformed") || m.contains("failfast")),
       s"expected a malformed-record failure, got: ${msgs(e).mkString(" | ")}")
   }
+  test("score-on-arrival PQ retrieval: each microbatch's shortlist equals the batch ADC path") {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    implicit val sqlCtx = spark.sqlContext
+    val e = graft.sources.Tables.embeddings(spark, Sf001)
+    val (codes, cb) = graft.ops.Similarity.buildPqIndex(
+      e, "vec_id", "embedding", m = 8, codebookSize = 16,
+      fitFraction = 0.5, fitIters = 10)
+    val cached = codes.cache()
+    try {
+      cached.count()
+      val qvecs = e.filter(col("vec_id") < 10)
+        .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+      val stream = MemoryStream[(Long, Array[Float])]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-sret").toString
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Int, Long, Double)]()
+      val q = graft.streaming.StreamRetrieval.shortlistOnArrival(
+        stream.toDF().toDF("qid", "qv"), "qid", "qv",
+        cached, cb, m = 8, codebookSize = 16, rerank = 8, checkpoint = ckpt) {
+        (shortlist, batchId) =>
+          shortlist.select("query_id", "rank", "neighbor_id", "cosine")
+            .as[(Long, Int, Long, Double)].collect()
+            .foreach { case (a, b, c, d) => got.add((batchId, a, b, c, d)) }
+      }
+      try {
+        stream.addData(qvecs.take(5))
+        q.processAllAvailable()
+        stream.addData(qvecs.drop(5))
+        q.processAllAvailable()
+      } finally q.stop()
+      // batch reference: the IDENTICAL expression path over all 10 queries
+      val qt = e.filter(col("vec_id") < 10).select(col("vec_id").as("query_id"),
+        graft.functions.exprs.pq_table_q(
+          graft.functions.exprs.quant_norm20(col("embedding")), cb, 8, 16).as("qt"))
+      val want = graft.ops.Similarity.topKPerQuery(
+          cached.crossJoin(broadcast(qt))
+            .filter(col("query_id") =!= col("neighbor_id"))
+            .select(col("query_id"), col("neighbor_id"),
+              graft.functions.exprs.pq_adc_score_q(col("codes"), col("qt"), 16)
+                .cast("double").as("cosine")), 8)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+        .as[(Long, Int, Long, Double)].collect().toSet
+      val streamed = got.toArray(Array.empty[(Long, Long, Int, Long, Double)])
+      assert(streamed.length === want.size, "every query answered exactly once")
+      assert(streamed.map(r => (r._2, r._3, r._4, r._5)).toSet === want,
+        "microbatch shortlists must equal the batch ADC path")
+      // arrival semantics: batch 0 answered queries 0-4, batch 1 the rest
+      assert(streamed.filter(_._1 == 0L).map(_._2).toSet === (0L until 5L).toSet)
+      assert(streamed.filter(_._1 == 1L).map(_._2).toSet === (5L until 10L).toSet)
+    } finally cached.unpersist()
+  }
 }
