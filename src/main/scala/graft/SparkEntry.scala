@@ -471,6 +471,30 @@ object SparkEntry {
           sum(col("vm")).as("value_milli"))
     }),
 
+    // E155: sequence training-example construction — per-user
+    // next-event-prediction pairs (context of the 3 preceding event
+    // types → target), the dataset-building step behind session-based
+    // recommenders and behavioral LMs. One window sort per user on
+    // (ts, event_id) — the q_sessionize shape — lag() assembles the
+    // context (no self-join, no explode), full-context examples only;
+    // context emitted as a '>'-joined string so the artifact is flat.
+    // At 100 TB this is one user-keyed shuffle; context length is a
+    // compile-time constant so the plan stays one Window operator.
+    "q_seq_examples" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .withColumn("c1", lag(col("event_type"), 3).over(w))
+        .withColumn("c2", lag(col("event_type"), 2).over(w))
+        .withColumn("c3", lag(col("event_type"), 1).over(w))
+        .filter(col("c1").isNotNull)
+        .select(col("user_id"), col("event_id").as("target_event_id"),
+          concat_ws(">", col("c1"), col("c2"), col("c3")).as("context"),
+          col("event_type").as("target"))
+    }),
+
     // E36: fixed-width revenue histogram — integer bucket arithmetic on
     // exact cents (25k-currency-unit buckets), one scan one shuffle
     "q_histogram" -> ((s, dir) =>
@@ -5325,6 +5349,19 @@ object SparkEntry {
         |       quantile_cont(l_quantity, 0.75) AS p75,
         |       CAST(count(*) AS BIGINT) AS n
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_seq_examples" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, event_type,
+        |         lag(event_type, 3) OVER w AS c1,
+        |         lag(event_type, 2) OVER w AS c2,
+        |         lag(event_type, 1) OVER w AS c3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, event_id AS target_event_id,
+        |       c1 || '>' || c2 || '>' || c3 AS context,
+        |       event_type AS target
+        |FROM o WHERE c1 IS NOT NULL""".stripMargin,
 
     "q_sessionize" ->
       """WITH flagged AS (
