@@ -38,6 +38,22 @@ def fresh_con():
 
 con = fresh_con()
 
+
+def _oracle_child(sql, out_path, err_path):
+    """Run one oracle in a CHILD PROCESS (timeout mode): hard isolation —
+    a kill() reclaims a wedged query's CPU/memory outright, and no
+    interrupt state can leak into later queries (the r9 sf1 sweep saw a
+    best-effort thread interrupt surface as a spurious 'Interrupted!'
+    failure on the NEXT, trivially fast oracle)."""
+    try:
+        c = fresh_con()
+        c.sql(sql).df().to_parquet(out_path)
+    except Exception as e:  # surface the child's message to the parent
+        with open(err_path, "w") as f:
+            f.write(f"{type(e).__name__}: {e}")
+        sys.exit(3)
+
+
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 fails = []
 # resume support for long scale runs: names already PASSed in a prior
@@ -56,32 +72,29 @@ for name, sql in sorted(oracle.items()):
         continue
     try:
         if timeout_s is not None:
-            # a fresh per-query connection so an interrupted/abandoned
-            # query can never wedge the shared connection
-            import threading
-            box = {}
-            qcon = fresh_con()
-            def run():
-                try: box["df"] = qcon.sql(sql).df()
-                except Exception as e: box["err"] = e
-            t = threading.Thread(target=run, daemon=True)
-            t.start(); t.join(timeout_s)
-            if t.is_alive():
-                try: qcon.interrupt()
-                except Exception: pass
-                t.join(10)
-                # close ONLY if the query thread actually stopped —
-                # close() on a connection still executing can block the
-                # main thread or crash natively; a leaked connection is
-                # the lesser evil (daemon thread, process-exit reclaims)
-                if not t.is_alive():
-                    try: qcon.close()
-                    except Exception: pass
+            # each timed oracle runs in its own PROCESS (see
+            # _oracle_child): kill() on expiry reclaims the work, and
+            # nothing — connection state, interrupts, allocator damage —
+            # survives into the next query
+            import multiprocessing as mp
+            import tempfile
+            tmp = tempfile.mktemp(prefix=f"oracle_{name}_", suffix=".parquet")
+            errf = tmp + ".err"
+            p = mp.Process(target=_oracle_child, args=(sql, tmp, errf), daemon=True)
+            p.start(); p.join(timeout_s)
+            if p.is_alive():
+                p.kill(); p.join(10)
                 oracle_timeouts.append(name)
                 print(f"SKIP {name} (oracle exceeded {timeout_s:.0f}s in DuckDB)", flush=True)
                 continue
-            if "err" in box: raise box["err"]
-            want = box["df"]
+            if os.path.exists(errf):
+                msg = open(errf).read()
+                os.remove(errf)
+                raise RuntimeError(f"oracle subprocess: {msg}")
+            if p.exitcode != 0 or not os.path.exists(tmp):
+                raise RuntimeError(f"oracle subprocess died (exit {p.exitcode})")
+            want = pd.read_parquet(tmp)
+            os.remove(tmp)
         else:
             want = con.sql(sql).df()
         got = pd.read_parquet(f"{outdir}/{name}")
