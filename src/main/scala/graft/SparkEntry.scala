@@ -2151,6 +2151,27 @@ object SparkEntry {
         Multimodal.mediaFromDocuments(Tables.documents(s, dir)))
         .orderBy(col("mime_group"))),
 
+    // E156: curation-label propagation over the near-dup graph — a
+    // curation decision made once must reach every near-duplicate, or
+    // filtered content re-enters through its copies. Per dup component
+    // the member weak-labels vote (majority; ties → the label carried
+    // by the smallest member id); singletons keep their own label.
+    // Composes E152's label model with the minhash closure; the
+    // `changed` flag marks docs the graph overrode. Scale shape: the
+    // funnel-sized pair set + O(log n) closure (the E117 machinery),
+    // one root-keyed tally shuffle.
+    "q_component_labels" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minhashNearDupPairs(docs, "text", "doc_id")
+      val comps = Dedup.componentMinLabels(pairs)
+      val rooted = graft.ops.WeakLabels.weakLabels(docs)
+        .select(col("doc_id"), col("label"))
+        .join(comps.select(col("id").as("doc_id"), col("root")),
+          Seq("doc_id"), "left")
+        .withColumn("root", coalesce(col("root"), col("doc_id")))
+      graft.ops.WeakLabels.componentMajorityLabel(rooted)
+    }),
+
     // E153: retrieval eval metrics — MRR / nDCG@5 / recall@5 of the
     // LSH run against the exact top-5 as qrels: the harness that turns
     // any ranked retrieval into comparable numbers. log2 discounts are
@@ -3887,6 +3908,54 @@ object SparkEntry {
   /** 64-bit wrap-around multiply `x * c mod 2^64` for DuckDB: 32-bit
     * hi/lo split so every intermediate fits signed INT128.
     */
+  /** Shared CTE block: the E152 weak-label votes + one-step agreement
+    * weights — CTEs c/v/vm/st/w, no WITH prefix, ends after `w` with
+    * no trailing comma. Reused by the q_weak_labels oracle and the
+    * q_component_labels propagation oracle.
+    */
+  private def WeakLabelVoteCtes: String = {
+    val stops = graft.ops.TextAnalysis.EnglishStopwords
+      .map(w => s"'$w'").mkString(", ")
+    s"""c AS (
+         |  SELECT doc_id, length(text) AS nchars,
+         |         CASE WHEN length(text) = 0 THEN 0
+         |              ELSE len(string_split(text, ' ')) END AS ntok,
+         |         len(list_filter(string_split(text, ' '),
+         |             t -> t IN ($stops))) AS stops,
+         |         length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits,
+         |         length(regexp_replace(text, '[^A-Z]', '', 'g')) AS uppers
+         |  FROM documents),
+         |v AS (
+         |  SELECT doc_id,
+         |         CASE WHEN nchars >= 200 THEN 1 WHEN nchars < 50 THEN -1
+         |              ELSE 0 END AS lf_len,
+         |         CASE WHEN ntok > 0 AND stops * 20 >= ntok THEN 1
+         |              WHEN stops = 0 THEN -1 ELSE 0 END AS lf_stop,
+         |         CASE WHEN digits * 5 > nchars THEN -1
+         |              WHEN digits * 20 < nchars THEN 1 ELSE 0 END AS lf_digit,
+         |         CASE WHEN uppers * 4 > nchars THEN -1 ELSE 0 END AS lf_upper
+         |  FROM c),
+         |vm AS (SELECT *, sign(lf_len + lf_stop + lf_digit + lf_upper) AS m FROM v),
+         |st AS (
+         |  SELECT
+         |    sum(CASE WHEN lf_len <> 0 AND lf_len = m THEN 1 ELSE 0 END) AS a_len,
+         |    sum(CASE WHEN lf_len <> 0 THEN 1 ELSE 0 END) AS c_len,
+         |    sum(CASE WHEN lf_stop <> 0 AND lf_stop = m THEN 1 ELSE 0 END) AS a_stop,
+         |    sum(CASE WHEN lf_stop <> 0 THEN 1 ELSE 0 END) AS c_stop,
+         |    sum(CASE WHEN lf_digit <> 0 AND lf_digit = m THEN 1 ELSE 0 END) AS a_digit,
+         |    sum(CASE WHEN lf_digit <> 0 THEN 1 ELSE 0 END) AS c_digit,
+         |    sum(CASE WHEN lf_upper <> 0 AND lf_upper = m THEN 1 ELSE 0 END) AS a_upper,
+         |    sum(CASE WHEN lf_upper <> 0 THEN 1 ELSE 0 END) AS c_upper
+         |  FROM vm),
+         |w AS (
+         |  SELECT
+         |    CASE WHEN c_len = 0 THEN 0 ELSE CAST(round(a_len * 1e6 / c_len) AS BIGINT) END AS w_len,
+         |    CASE WHEN c_stop = 0 THEN 0 ELSE CAST(round(a_stop * 1e6 / c_stop) AS BIGINT) END AS w_stop,
+         |    CASE WHEN c_digit = 0 THEN 0 ELSE CAST(round(a_digit * 1e6 / c_digit) AS BIGINT) END AS w_digit,
+         |    CASE WHEN c_upper = 0 THEN 0 ELSE CAST(round(a_upper * 1e6 / c_upper) AS BIGINT) END AS w_upper
+         |  FROM st)""".stripMargin
+  }
+
   private def mulMod64(x: String, c: String): String =
     s"((($x & 4294967295)::HUGEINT * $c::HUGEINT" +
       s" + ((($x >> 32)::HUGEINT * $c::HUGEINT) % 4294967296::HUGEINT)" +
@@ -6393,48 +6462,55 @@ object SparkEntry {
     // 8-counter agreement stats, micro-unit weights via one rounded
     // division of exact ints (positive → half-up == half-away), and
     // the integer dot-product score
-    "q_weak_labels" -> {
-      val stops = graft.ops.TextAnalysis.EnglishStopwords
-        .map(w => s"'$w'").mkString(", ")
-      s"""WITH c AS (
-         |  SELECT doc_id, length(text) AS nchars,
-         |         CASE WHEN length(text) = 0 THEN 0
-         |              ELSE len(string_split(text, ' ')) END AS ntok,
-         |         len(list_filter(string_split(text, ' '),
-         |             t -> t IN ($stops))) AS stops,
-         |         length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits,
-         |         length(regexp_replace(text, '[^A-Z]', '', 'g')) AS uppers
-         |  FROM documents),
-         |v AS (
-         |  SELECT doc_id,
-         |         CASE WHEN nchars >= 200 THEN 1 WHEN nchars < 50 THEN -1
-         |              ELSE 0 END AS lf_len,
-         |         CASE WHEN ntok > 0 AND stops * 20 >= ntok THEN 1
-         |              WHEN stops = 0 THEN -1 ELSE 0 END AS lf_stop,
-         |         CASE WHEN digits * 5 > nchars THEN -1
-         |              WHEN digits * 20 < nchars THEN 1 ELSE 0 END AS lf_digit,
-         |         CASE WHEN uppers * 4 > nchars THEN -1 ELSE 0 END AS lf_upper
-         |  FROM c),
-         |vm AS (SELECT *, sign(lf_len + lf_stop + lf_digit + lf_upper) AS m FROM v),
-         |st AS (
-         |  SELECT
-         |    sum(CASE WHEN lf_len <> 0 AND lf_len = m THEN 1 ELSE 0 END) AS a_len,
-         |    sum(CASE WHEN lf_len <> 0 THEN 1 ELSE 0 END) AS c_len,
-         |    sum(CASE WHEN lf_stop <> 0 AND lf_stop = m THEN 1 ELSE 0 END) AS a_stop,
-         |    sum(CASE WHEN lf_stop <> 0 THEN 1 ELSE 0 END) AS c_stop,
-         |    sum(CASE WHEN lf_digit <> 0 AND lf_digit = m THEN 1 ELSE 0 END) AS a_digit,
-         |    sum(CASE WHEN lf_digit <> 0 THEN 1 ELSE 0 END) AS c_digit,
-         |    sum(CASE WHEN lf_upper <> 0 AND lf_upper = m THEN 1 ELSE 0 END) AS a_upper,
-         |    sum(CASE WHEN lf_upper <> 0 THEN 1 ELSE 0 END) AS c_upper
-         |  FROM vm),
-         |w AS (
-         |  SELECT
-         |    CASE WHEN c_len = 0 THEN 0 ELSE CAST(round(a_len * 1e6 / c_len) AS BIGINT) END AS w_len,
-         |    CASE WHEN c_stop = 0 THEN 0 ELSE CAST(round(a_stop * 1e6 / c_stop) AS BIGINT) END AS w_stop,
-         |    CASE WHEN c_digit = 0 THEN 0 ELSE CAST(round(a_digit * 1e6 / c_digit) AS BIGINT) END AS w_digit,
-         |    CASE WHEN c_upper = 0 THEN 0 ELSE CAST(round(a_upper * 1e6 / c_upper) AS BIGINT) END AS w_upper
-         |  FROM st)
-         |SELECT vm.doc_id,
+    // component-label propagation replay: the exact 5-gram jaccard
+    // pair set + recursive closure (the q_dup_component_sizes block),
+    // the shared weak-label CTEs, then the per-root majority vote with
+    // the (n DESC, min member id) tie order
+    "q_component_labels" -> ("WITH RECURSIVE\n" +
+      """grams AS (
+        |  SELECT DISTINCT doc_id, substr(text, i, 5) AS g
+        |  FROM (SELECT doc_id, text,
+        |               unnest(range(1, greatest(length(text) - 3, 2))) AS i
+        |        FROM documents)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+        |          FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |pairs AS (SELECT ia, ib FROM inter
+        |          JOIN sizes sa ON sa.doc_id = ia
+        |          JOIN sizes sb ON sb.doc_id = ib
+        |          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+        |edges AS (SELECT ia AS s, ib AS d FROM pairs
+        |          UNION SELECT ib, ia FROM pairs),
+        |reach AS (SELECT s, d FROM edges
+        |          UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+        |roots AS (SELECT s AS id, least(s, min(d)) AS root
+        |          FROM reach GROUP BY s),
+        |""".stripMargin + WeakLabelVoteCtes + ",\n" +
+      """wl AS (
+        |  SELECT vm.doc_id,
+        |         CAST(sign(lf_len * w_len + lf_stop * w_stop + lf_digit * w_digit
+        |              + lf_upper * w_upper) AS BIGINT) AS label
+        |  FROM vm, w),
+        |rooted AS (
+        |  SELECT wl.doc_id, coalesce(r.root, wl.doc_id) AS root, wl.label
+        |  FROM wl LEFT JOIN roots r ON r.id = wl.doc_id),
+        |tally AS (
+        |  SELECT root, label, count(*) AS n, min(doc_id) AS min_id
+        |  FROM rooted GROUP BY 1, 2),
+        |comp AS (
+        |  SELECT root, label AS comp_label FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY root
+        |                ORDER BY n DESC, min_id) AS rk
+        |    FROM tally)
+        |  WHERE rk = 1)
+        |SELECT rooted.doc_id, rooted.root, rooted.label AS own_label,
+        |       comp.comp_label,
+        |       CAST(CASE WHEN rooted.label <> comp.comp_label THEN 1 ELSE 0 END AS BIGINT) AS changed
+        |FROM rooted JOIN comp USING (root)""".stripMargin),
+
+    "q_weak_labels" -> ("WITH " + WeakLabelVoteCtes + "\n" +
+      s"""         |SELECT vm.doc_id,
          |       CAST(lf_len AS BIGINT) AS lf_len,
          |       CAST(lf_stop AS BIGINT) AS lf_stop,
          |       CAST(lf_digit AS BIGINT) AS lf_digit,
@@ -6443,8 +6519,7 @@ object SparkEntry {
          |            + lf_upper * w_upper AS BIGINT) AS score_micro,
          |       CAST(sign(lf_len * w_len + lf_stop * w_stop + lf_digit * w_digit
          |            + lf_upper * w_upper) AS BIGINT) AS label
-         |FROM vm, w""".stripMargin
-    },
+         |FROM vm, w""".stripMargin),
 
     // contrastive-pairs replay: the exact top block labels positive /
     // hard_neg by cosine rank; the random block re-ranks the REST by

@@ -82,4 +82,28 @@ object WeakLabels {
         score.as("score_micro") :+
         signum(score).cast("long").as("label"): _*)
   }
+
+  /** Component-majority label propagation: given per-doc
+    * (doc_id, root, label) rows — root = the doc's near-dup component
+    * root, itself for singletons — attach each component's majority
+    * label (`comp_label`) and a `changed` flag for members the vote
+    * overrode. Ties break to the label carried by the smallest member
+    * id — a total portable order the q_component_labels oracle
+    * replays. One root-keyed tally shuffle over funnel-sized frames;
+    * the per-root label-count frame is tiny (≤ 3 labels × roots).
+    */
+  def componentMajorityLabel(rooted: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tally = rooted.groupBy(col("root"), col("label"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
+    val w = Window.partitionBy(col("root"))
+      .orderBy(col("n").desc, col("min_id").asc)
+    val compLab = tally.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("root"), col("label").as("comp_label"))
+    rooted.join(compLab, "root")
+      .select(col("doc_id"), col("root"), col("label").as("own_label"),
+        col("comp_label"),
+        (col("label") =!= col("comp_label")).cast("long").as("changed"))
+  }
 }

@@ -139,8 +139,9 @@ class PlanAuditSpec extends SparkSpecBase {
       // plus the 20-id query frame broadcast for the md5 random draw
       "q_contrastive_pairs",
       // weak-labels: the 1-row LF-weight frame broadcasts back over the
-      // votes (the q_tfidf corpus-stats shape)
-      "q_weak_labels",
+      // votes (the q_tfidf corpus-stats shape); component-label-prop
+      // embeds the same label model upstream of its closure+vote
+      "q_weak_labels", "q_component_labels",
       // retrieval-metrics: its qrels side embeds the brute-force exact
       // top-5 (the q_ann_lsh_recall shape); the metric join itself is
       // key-equi on (query, doc)

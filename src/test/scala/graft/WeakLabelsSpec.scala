@@ -56,6 +56,44 @@ class WeakLabelsSpec extends SparkSpecBase {
     } finally out.unpersist()
   }
 
+  test("componentMajorityLabel: override, tie-to-smallest-member, singleton identity") {
+    // the vote mechanism on constructed components. (The LF family's
+    // votes rarely diverge between true near-duplicates — measured
+    // changed=0 across all organic components at sf0.1 — so the
+    // override/tie paths need constructed labels, not constructed text.)
+    val rooted = Seq(
+      // component 1: majority +1 overrides the one -1 member
+      (10L, 1L, 1L), (11L, 1L, 1L), (12L, 1L, -1L),
+      // component 2: 2-2 tie; the smallest member id (20) carries -1,
+      // so -1 must win the tie
+      (20L, 2L, -1L), (21L, 2L, 1L), (22L, 2L, 1L), (23L, 2L, -1L),
+      // singleton keeps its own label, changed = 0
+      (30L, 30L, 0L)
+    ).toDF("doc_id", "root", "label")
+    val out = WeakLabels.componentMajorityLabel(rooted)
+      .select("doc_id", "own_label", "comp_label", "changed")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out.size === 8)
+    assert(out(12L) === ((12L, -1L, 1L, 1L)), "minority member must be overridden")
+    assert(out(10L) === ((10L, 1L, 1L, 0L)))
+    Seq(20L, 23L).foreach(id => assert(out(id)._3 === -1L,
+      "tie must resolve to the smallest member's label"))
+    Seq(21L, 22L).foreach(id => assert(out(id) === ((id, 1L, -1L, 1L))))
+    assert(out(30L) === ((30L, 0L, 0L, 0L)))
+    // end-to-end composition on real data: every component emits ONE
+    // label, own labels within agreeing components are untouched
+    val docs = graft.sources.Tables.documents(spark, Sf001)
+    val pairs = graft.ops.Dedup.minhashNearDupPairs(docs, "text", "doc_id")
+    val comps = graft.ops.Dedup.componentMinLabels(pairs)
+    val realRooted = WeakLabels.weakLabels(docs).select(col("doc_id"), col("label"))
+      .join(comps.select(col("id").as("doc_id"), col("root")), Seq("doc_id"), "left")
+      .withColumn("root", coalesce(col("root"), col("doc_id")))
+    val real = WeakLabels.componentMajorityLabel(realRooted)
+    assert(real.count() === docs.count(), "one propagated label per document")
+    assert(real.select("root", "comp_label").distinct().groupBy("root").count()
+      .filter(col("count") > 1).count() === 0L, "one comp_label per component")
+  }
+
   test("deterministic under repartitioning") {
     val docs = graft.sources.Tables.documents(spark, Sf001)
     val a = WeakLabels.weakLabels(docs)
