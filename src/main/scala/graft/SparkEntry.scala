@@ -2739,6 +2739,19 @@ object SparkEntry {
             .as("burst"))
     }),
 
+    // E157: PSI distribution drift — is the current window's value
+    // distribution still the reference window's? The train-on-new-
+    // crawl gate E112's per-series burst chart can't express: one
+    // scalar verdict over the WHOLE distribution shape (classical
+    // thresholds 0.1/0.2), decomposed per bin so the shifted bins are
+    // visible. One events pass into ≤10 groups, then all arithmetic on
+    // the fixed 10-row frame (Drift scaladoc has the exactness story).
+    "q_drift_psi" -> ((s, dir) =>
+      graft.ops.Drift.psiDrift(
+        Tables.events(s, dir), "value",
+        col("ts") < lit("2024-01-16").cast("timestamp"))
+        .orderBy(col("bin"))),
+
     // E114: linear interpolation over a daily spine — the time-series
     // resampling step gap-fill's carry-forward (q_gap_fill) can't
     // express: missing days get v_prev + (v_next − v_prev)·(Δ/span),
@@ -6717,6 +6730,45 @@ object SparkEntry {
         |  ON a.event_type = b.event_type
         | AND date_diff('day', b.day, a.day) BETWEEN 0 AND 7
         |GROUP BY a.event_type, a.day, a.n""".stripMargin,
+
+    // PSI drift replay: same add-half-doubled integer quotients, same
+    // quotient-then-multiply double into ln, single round per micro
+    // column (the q_dsir_weights exactness posture); the bin spine
+    // makes empty bins explicit in both engines
+    "q_drift_psi" ->
+      """WITH b AS (
+        |  SELECT CAST(least(greatest(floor(value / 10.0), 0), 9) AS BIGINT) AS bin,
+        |         ts < TIMESTAMP '2024-01-16' AS r
+        |  FROM events),
+        |cnt AS (
+        |  SELECT bin, sum(CASE WHEN r THEN 1 ELSE 0 END) AS refc,
+        |         sum(CASE WHEN r THEN 0 ELSE 1 END) AS curc
+        |  FROM b GROUP BY bin),
+        |spine AS (SELECT unnest(range(10)) AS bin),
+        |f AS (
+        |  SELECT spine.bin, coalesce(refc, 0) AS refc, coalesce(curc, 0) AS curc
+        |  FROM spine LEFT JOIN cnt ON cnt.bin = spine.bin),
+        |t AS (
+        |  SELECT bin, refc, curc,
+        |         sum(refc) OVER () AS rt, sum(curc) OVER () AS ct
+        |  FROM f),
+        |per AS (
+        |  SELECT bin, CAST(refc AS BIGINT) AS ref_cnt,
+        |         CAST(curc AS BIGINT) AS cur_cnt,
+        |         CAST(round(1e6 * ln(
+        |           ((refc * 2 + 1)::DOUBLE / (rt * 2 + 10)) *
+        |           ((ct * 2 + 10)::DOUBLE / (curc * 2 + 1)))) AS BIGINT) AS lr_micro,
+        |         CAST(round(1e6 *
+        |           ((refc * 2 + 1)::DOUBLE / (rt * 2 + 10)
+        |            - (curc * 2 + 1)::DOUBLE / (ct * 2 + 10)) *
+        |           ln(((refc * 2 + 1)::DOUBLE / (rt * 2 + 10)) *
+        |              ((ct * 2 + 10)::DOUBLE / (curc * 2 + 1)))) AS BIGINT)
+        |           AS contrib_micro
+        |  FROM t)
+        |SELECT bin, ref_cnt, cur_cnt, lr_micro, contrib_micro,
+        |       CAST(sum(contrib_micro) OVER () AS BIGINT) AS psi_micro,
+        |       (sum(contrib_micro) OVER () > 200000) AS drift_flag
+        |FROM per ORDER BY bin""".stripMargin,
 
     "q_interpolate" ->
       """WITH daily AS (
