@@ -2834,6 +2834,17 @@ object SparkEntry {
         .orderBy(col("n").desc, col("pair").asc)
         .limit(30)),
 
+    // E158: word2phrase collocation mining — which adjacent pairs are
+    // PHRASES (co-occur above independence after the rare-pair
+    // discount), the step that merges multi-word expressions before
+    // tokenizer induction. E116 counts the pairs; this scores them:
+    // discounted lift (c_ab−δ)·N/(c_a·c_b) with the verdict compare
+    // in decimal(38,0) so it stays exact where long·long overflows
+    // (Phrases scaladoc has the plan shape: staged vocabulary-sized
+    // unigram counts, row-local bigram enumeration).
+    "q_collocations" -> ((s, dir) =>
+      graft.ops.Phrases.collocations(Tables.documents(s, dir), "text")),
+
     // E121: LM-based quality scoring (the CCNet/KenLM filter shape):
     // add-one-smoothed bigram LM trained ON the corpus, each doc scored
     // by its mean negative log-likelihood (cross-entropy) — low = fluent
@@ -6823,6 +6834,31 @@ object SparkEntry {
         |  FROM (SELECT string_split(text, ' ') AS ws FROM documents))
         |SELECT pair, CAST(count(*) AS BIGINT) AS n
         |FROM p GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 30""".stripMargin,
+
+    // collocation replay: same split/enumeration as q_bpe_pairs, the
+    // integer verdict in HUGEINT (the engine's decimal(38,0)), the
+    // informational lift as the identically-formed double chain
+    "q_collocations" ->
+      """WITH ws AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |uc AS (SELECT t, count(*) AS c
+        |       FROM (SELECT unnest(w) AS t FROM ws) GROUP BY t),
+        |n AS (SELECT sum(c) AS nt FROM uc),
+        |bc AS (SELECT w1, w2, count(*) AS pair_count
+        |       FROM (SELECT w[i] AS w1, w[i + 1] AS w2
+        |             FROM ws, unnest(range(1, len(w))) AS u(i))
+        |       GROUP BY 1, 2),
+        |j AS (SELECT bc.w1, bc.w2, pair_count, u1.c AS c1, u2.c AS c2, nt
+        |      FROM bc JOIN uc u1 ON u1.t = bc.w1
+        |              JOIN uc u2 ON u2.t = bc.w2, n
+        |      WHERE pair_count > 5)
+        |SELECT w1, w2, CAST(pair_count AS BIGINT) AS pair_count,
+        |       CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2,
+        |       CAST(round((pair_count - 5)::DOUBLE * nt * 1e6
+        |                  / ((c1::DOUBLE) * c2)) AS BIGINT) AS lift_micro,
+        |       ((pair_count - 5)::HUGEINT * nt > (c1 * 1)::HUGEINT * c2)
+        |         AS is_phrase
+        |FROM j
+        |ORDER BY lift_micro DESC, w1 ASC, w2 ASC LIMIT 30""".stripMargin,
 
     "q_curation_lineage" -> {
       val stops = TextAnalysis.EnglishStopwords.map(w => s"'$w'").mkString(", ")

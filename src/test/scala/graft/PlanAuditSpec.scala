@@ -145,7 +145,11 @@ class PlanAuditSpec extends SparkSpecBase {
       // retrieval-metrics: its qrels side embeds the brute-force exact
       // top-5 (the q_ann_lsh_recall shape); the metric join itself is
       // key-equi on (query, doc)
-      "q_retrieval_metrics")
+      "q_retrieval_metrics",
+      // collocations: the 1-row token-total frame broadcasts onto the
+      // scored pairs (q_tfidf's corpus-stats shape); both count joins
+      // are key-equi on the word
+      "q_collocations")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = SparkEntry.queries(name)(spark, Sf0001)
         .queryExecution.executedPlan.toString
