@@ -1541,6 +1541,16 @@ object SparkEntry {
       Dedup.dropNearDups(Tables.documents(s, dir), "text", "doc_id")
         .select(col("doc_id"), col("source"))),
 
+    // E159: corpus-level source-similarity matrix — which FEEDS overlap
+    // in content (mirrors, shared boilerplate corpora), the curation
+    // question upstream of doc-level dedup. Exact MinHash algebra: a
+    // source's signature is the elementwise min of its docs' signatures
+    // (one text pass + a catalog-sized keyed min); the oracle replays
+    // the full kernel — rolling-gram hash, splitmix64, the 64 embedded
+    // (a,b) permutations — bit-for-bit in DuckDB.
+    "q_source_similarity" -> ((s, dir) =>
+      Dedup.sourceSimilarity(Tables.documents(s, dir), "text", "source")),
+
     // E64: quality-aware dedup — the production policy: within each
     // near-dup cluster keep the HIGHEST-QUALITY member (min-id only as
     // the tiebreak), composing the closure labels with the quality
@@ -4655,6 +4665,55 @@ object SparkEntry {
          |          UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
          |SELECT doc_id, source FROM documents
          |WHERE NOT EXISTS (SELECT 1 FROM reach WHERE s = doc_id AND d < doc_id)""".stripMargin,
+
+    // source-similarity replay: a BIT-EXACT DuckDB port of the
+    // minhash_sig kernel itself (unlike the dedup oracles, which replay
+    // exact jaccard) — 5-gram rolling hash in mod-2^64 (powers of
+    // B=1000003 folded driver-side), the splitmix64 chain of
+    // SimhashOracleCte, and the 64 universal-hash permutations with the
+    // SAME java.util.Random(42) coefficients the engine memoizes,
+    // embedded as a VALUES table. Per-source min over all grams ≡ the
+    // engine's min-of-per-doc-mins (min over a union of sets).
+    "q_source_similarity" -> {
+      val rnd = new java.util.Random(42L)
+      val as0 = Array.fill(64)(1L + rnd.nextInt(Int.MaxValue - 1).toLong)
+      val bs0 = Array.fill(64)(rnd.nextInt(Int.MaxValue).toLong)
+      val co = (0 until 64).map(p => s"($p, ${as0(p)}, ${bs0(p)})")
+        .mkString(", ")
+      val bigB = BigInt(1000003); val m64 = BigInt(2).pow(64)
+      val c2 = (bigB * bigB) % m64
+      val c3 = (bigB * bigB * bigB) % m64
+      val c4 = (bigB * bigB * bigB * bigB) % m64
+      s"""WITH co(p, a, b) AS (VALUES $co),
+         |g AS (
+         |  SELECT source,
+         |         ((ascii(substring(text, i, 1))::HUGEINT * $c4::HUGEINT
+         |           + ascii(substring(text, i + 1, 1))::HUGEINT * $c3::HUGEINT
+         |           + ascii(substring(text, i + 2, 1))::HUGEINT * $c2::HUGEINT
+         |           + ascii(substring(text, i + 3, 1))::HUGEINT * 1000003
+         |           + ascii(substring(text, i + 4, 1)))
+         |          % 18446744073709551616::HUGEINT)::UBIGINT AS h
+         |  FROM documents,
+         |       LATERAL (SELECT unnest(range(1, length(text) - 3)) AS i)),
+         |m1 AS (SELECT source, ((h::HUGEINT + 11400714819323198485::HUGEINT)
+         |         % 18446744073709551616::HUGEINT)::UBIGINT AS x FROM g),
+         |m2 AS (SELECT source, xor(x, x >> 30) AS x FROM m1),
+         |m3 AS (SELECT source, ${mulMod64("x", "13787848793156543929")} AS x FROM m2),
+         |m4 AS (SELECT source, xor(x, x >> 27) AS x FROM m3),
+         |m5 AS (SELECT source, ${mulMod64("x", "10723151780598845931")} AS x FROM m4),
+         |xs AS (SELECT source,
+         |         ((xor(x, x >> 31) & 2147483647)::BIGINT) % 2147483647 AS v
+         |       FROM m5),
+         |mins AS (SELECT source, p, min((a * v + b) % 2147483647) AS m
+         |         FROM xs, co GROUP BY 1, 2),
+         |prs AS (SELECT a.source AS source_a, b.source AS source_b,
+         |               sum(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) AS n_agree
+         |        FROM mins a JOIN mins b ON a.p = b.p AND a.source < b.source
+         |        GROUP BY 1, 2)
+         |SELECT source_a, source_b, CAST(n_agree AS BIGINT) AS n_agree,
+         |       CAST(n_agree * 15625 AS BIGINT) AS est_jaccard_micro
+         |FROM prs ORDER BY source_a, source_b""".stripMargin
+    },
 
     "q_dedup_keep_best" -> {
       val stops = TextAnalysis.EnglishStopwords.map(w => s"'$w'").mkString(", ")

@@ -878,4 +878,49 @@ object Dedup {
       .select(col("id"), col("cluster"), col("cent_sim"),
         col("group_root"), (col("id") === col("keep_id")).as("kept"))
   }
+
+  // --------------------------------------------- source similarity matrix
+
+  /** Corpus-level MinHash Jaccard between SOURCES — which feeds overlap
+    * in content (mirrors, scrapes of the same sites, shared boilerplate
+    * corpora), the curation question upstream of per-document dedup:
+    * a source pair with high corpus Jaccard is a candidate for dropping
+    * one side wholesale before any doc-level work runs.
+    *
+    * The estimator is exact MinHash algebra: a source's signature is the
+    * elementwise MIN of its documents' signatures (min over a union of
+    * shingle sets == min of the per-set mins), so per-source signatures
+    * come from ONE text pass (the codegen'd minhash_sig kernel) plus a
+    * (source, permutation)-keyed min — |sources|·k rows, catalog-sized.
+    * est J(A,B) = agreeing-permutation fraction; emitted in exact
+    * integer micro-units (requires k | 10⁶ — 64 divides it).
+    *
+    * Scale shape: the pairwise stage joins the tiny per-source frame on
+    * the permutation index — |sources|²·k comparisons, fine for
+    * catalog-sized source counts (10³-10⁴). For web-scale source
+    * universes (10⁶ domains) the same signatures feed the banded-LSH
+    * funnel instead ([[minhashNearDupPairs]]' machinery) — the matrix
+    * here is deliberately the dense, exact-output variant the oracle
+    * can replay in full.
+    */
+  def sourceSimilarity(docs: DataFrame, textCol: String, srcCol: String,
+      shingleN: Int = 5, numHashes: Int = 64, seed: Long = 42L): DataFrame = {
+    require(1000000L % numHashes == 0,
+      "numHashes must divide 1e6 for exact micro-unit output")
+    val sigs = Staging.stageToDisk(
+      docs.select(col(srcCol).as("source"),
+          exprs.minhash_sig(col(textCol), shingleN, numHashes, seed).as("sig"))
+        .select(col("source"), posexplode(col("sig")).as(Seq("p", "v")))
+        .groupBy(col("source"), col("p")).agg(min(col("v")).as("m")))
+    val a = sigs.select(col("source").as("source_a"), col("p"),
+      col("m").as("ma"))
+    val b = sigs.select(col("source").as("source_b"), col("p"),
+      col("m").as("mb"))
+    a.join(b, Seq("p")).filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(sum(when(col("ma") === col("mb"), 1L).otherwise(0L)).as("n_agree"))
+      .select(col("source_a"), col("source_b"), col("n_agree"),
+        (col("n_agree") * (1000000L / numHashes)).as("est_jaccard_micro"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
 }
