@@ -160,6 +160,29 @@ object SparkEntry {
       Clustering.clusterInfo(fitted.predictions, "change")
     }),
 
+    // R15 (portable, r10 — closes the last no-oracle row): the SAME
+    // change-analysis clustering on the PORTABLE integer Lloyd.
+    // q_kmeans_clusters stays the Spark-ML-parity rows check (its
+    // k-means‖ init is not portably replayable); this variant's fit is
+    // the semDeDup contract — exact integer features (change CENTS +
+    // reduced flag), md5-rank init, truncating-division updates — so
+    // every assignment and the per-cluster summary (all exact ints)
+    // replay bit-for-bit in DuckDB.
+    "q_kmeans_portable" -> ((s, dir) => {
+      val ch = changeDf(s, dir)
+        .select(col("o_custkey"),
+          round(col("change") * 100).cast("long").as("c_cents"),
+          when(col("is_reduced"), 1L).otherwise(0L).as("r"))
+      val assigned = Clustering.portableFitAssign(
+        ch, "o_custkey", Seq(col("c_cents"), col("r")), k = 5, iters = 3)
+      assigned.join(ch.withColumnRenamed("o_custkey", "id"), "id")
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("r")).as("n_reduced"),
+          min(col("c_cents")).as("min_change_cents"),
+          max(col("c_cents")).as("max_change_cents"))
+    }),
+
     // R17: DISTINCT projection
     "q_distinct_rows" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -4094,12 +4117,17 @@ object SparkEntry {
        |  SELECT vec_id, i.i AS i,
        |         CAST(floor(CAST(embedding[i.i + 1] AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT) AS q
        |  FROM embeddings, range(64) i(i)),
-       |fit AS (SELECT vec_id FROM embeddings
+       |fit0 AS (SELECT vec_id FROM embeddings
        |        WHERE substring(md5('ivffit:' || vec_id), 1, 2) < '$fitThrHex'),
+       |fitn AS (SELECT count(*) AS cnt FROM fit0),
+       |fit AS (SELECT vec_id FROM fit0, fitn
+       |        WHERE cnt <= 100000
+       |           OR substring(md5('fitcap:' || vec_id), 1, 8)
+       |              < lpad(printf('%x', greatest(1, (100000 * 4294967296) // cnt)), 8, '0')),
        |init AS (
        |  SELECT vec_id, cell FROM (
        |    SELECT vec_id,
-       |           CAST(row_number() OVER (ORDER BY md5('ivf:' || vec_id), vec_id) - 1 AS INT) AS cell
+       |           CAST(row_number() OVER (ORDER BY md5('ivf:' || vec_id), CAST(vec_id AS VARCHAR)) - 1 AS INT) AS cell
        |    FROM fit)
        |  WHERE cell < $numCells),
        |c0 AS (SELECT init.cell, qd.i, qd.q AS c FROM init JOIN qd USING (vec_id)),
@@ -4257,10 +4285,16 @@ object SparkEntry {
       m: Int, k: Int, iters: Int, rerank: Int, fitThrHex: String): String = {
     val dsub = 64 / m
     AnnNqCte +
-    s"""pfit AS MATERIALIZED (SELECT vec_id FROM embeddings
+    s"""pfit0 AS MATERIALIZED (SELECT vec_id FROM embeddings
        |         WHERE substring(md5('pqfit:' || vec_id), 1, 2) < '$fitThrHex'),
+       |pfitn AS MATERIALIZED (SELECT count(*) AS cnt FROM pfit0),
+       |pfit AS MATERIALIZED (
+       |  SELECT vec_id FROM pfit0, pfitn
+       |  WHERE cnt <= 100000
+       |     OR substring(md5('fitcap:' || vec_id), 1, 8)
+       |        < lpad(printf('%x', greatest(1, (100000 * 4294967296) // cnt)), 8, '0')),
        |pford AS MATERIALIZED (SELECT vec_id,
-       |                 row_number() OVER (ORDER BY md5('pqinit:' || vec_id), vec_id) AS rk
+       |                 row_number() OVER (ORDER BY md5('pqinit:' || vec_id), CAST(vec_id AS VARCHAR)) AS rk
        |          FROM pfit),
        |pall AS MATERIALIZED (SELECT vec_id, CAST(i // $dsub AS INT) AS s,
        |                CAST(i % $dsub AS INT) AS d, x FROM nq),
@@ -4305,10 +4339,16 @@ object SparkEntry {
       numCells: Int, m: Int, k: Int, iters: Int, fitThrHex: String): String = {
     val dsub = 64 / m
     AnnNqCte +
-    s"""vfit AS MATERIALIZED (SELECT vec_id FROM embeddings
+    s"""vfit0 AS MATERIALIZED (SELECT vec_id FROM embeddings
        |         WHERE substring(md5('ivfpqfit:' || vec_id), 1, 2) < '$fitThrHex'),
+       |vfitn AS MATERIALIZED (SELECT count(*) AS cnt FROM vfit0),
+       |vfit AS MATERIALIZED (
+       |  SELECT vec_id FROM vfit0, vfitn
+       |  WHERE cnt <= 100000
+       |     OR substring(md5('fitcap:' || vec_id), 1, 8)
+       |        < lpad(printf('%x', greatest(1, (100000 * 4294967296) // cnt)), 8, '0')),
        |vford AS MATERIALIZED (SELECT vec_id,
-       |                 row_number() OVER (ORDER BY md5('ivfpqinit:' || vec_id), vec_id) AS rk
+       |                 row_number() OVER (ORDER BY md5('ivfpqinit:' || vec_id), CAST(vec_id AS VARCHAR)) AS rk
        |          FROM vfit),
        |gall AS MATERIALIZED (SELECT vec_id, 0 AS s, i AS d, x FROM nq),
        |gsv AS MATERIALIZED (SELECT gall.* FROM gall JOIN vfit USING (vec_id)),
@@ -4492,6 +4532,47 @@ object SparkEntry {
 
     "q_distinct_rows" ->
       "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+
+    // full integer-Lloyd replay of Clustering.portableFitAssign over
+    // the change pipeline: md5-rank init, 3 rounds of exact-int argmin
+    // (ties → smallest cell via the min(dist·5+cell) encoding) +
+    // truncating `//` updates with empty cells carried over
+    "q_kmeans_portable" -> {
+      val rounds = (1 to 3).map { r =>
+        s"""d$r AS (SELECT f.id, c.cell, CAST(sum((f.x - c.c) * (f.x - c.c)) AS BIGINT) AS dist
+           |        FROM feat f JOIN kc${r - 1} c ON c.i = f.i GROUP BY 1, 2),
+           |a$r AS (SELECT id, CAST(min(dist::HUGEINT * 5 + cell) % 5 AS INT) AS cell
+           |        FROM d$r GROUP BY 1),
+           |s$r AS (SELECT a.cell, f.i, CAST(sum(f.x) AS BIGINT) AS s, count(*) AS n
+           |        FROM a$r a JOIN feat f USING (id) GROUP BY 1, 2),
+           |kc$r AS (SELECT c.cell, c.i, coalesce(s.s // s.n, c.c) AS c
+           |         FROM kc${r - 1} c LEFT JOIN s$r s ON s.cell = c.cell AND s.i = c.i),
+           |""".stripMargin
+      }.mkString
+      s"""WITH bb AS (
+         |  SELECT o_custkey AS id, CAST(v1_cents - v0_cents AS BIGINT) AS cc,
+         |         CASE WHEN v1_cents <= v0_cents THEN 1 ELSE 0 END AS rr
+         |  FROM (SELECT o_custkey,
+         |               SUM(CASE WHEN year(o_orderdate) = $P0 THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS v0_cents,
+         |               SUM(CASE WHEN year(o_orderdate) = $P1 THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS v1_cents
+         |        FROM orders WHERE year(o_orderdate) IN ($P0, $P1)
+         |        GROUP BY o_custkey)
+         |  WHERE v0_cents IS NOT NULL AND v1_cents IS NOT NULL),
+         |feat AS (SELECT id, 0 AS i, cc AS x FROM bb
+         |         UNION ALL SELECT id, 1 AS i, CAST(rr AS BIGINT) AS x FROM bb),
+         |rk AS (SELECT id, CAST(row_number() OVER (ORDER BY md5('km:' || id), CAST(id AS VARCHAR)) - 1 AS INT) AS cell
+         |       FROM bb),
+         |kc0 AS (SELECT rk.cell, f.i, f.x AS c FROM rk JOIN feat f USING (id) WHERE rk.cell < 5),
+         |""".stripMargin + rounds +
+      s"""dfin AS (SELECT f.id, c.cell, CAST(sum((f.x - c.c) * (f.x - c.c)) AS BIGINT) AS dist
+         |         FROM feat f JOIN kc3 c ON c.i = f.i GROUP BY 1, 2),
+         |af AS (SELECT id, CAST(min(dist::HUGEINT * 5 + cell) % 5 AS INT) AS cluster
+         |       FROM dfin GROUP BY 1)
+         |SELECT af.cluster, CAST(count(*) AS BIGINT) AS n,
+         |       CAST(sum(bb.rr) AS BIGINT) AS n_reduced,
+         |       min(bb.cc) AS min_change_cents, max(bb.cc) AS max_change_cents
+         |FROM af JOIN bb USING (id) GROUP BY 1""".stripMargin
+    },
 
     "q_yoy_change" ->
       """SELECT o_orderpriority, o_year, revenue,
@@ -7708,6 +7789,7 @@ object SparkEntry {
         |  SELECT doc_id, (lang = 'en') AS tgt,
         |         ('0x' || substr(md5(w), 1, 6))::BIGINT % 4096 AS b
         |  FROM documents, LATERAL unnest(string_split(text, ' ')) AS u(w)
+        |  WHERE length(w) > 0
         |),
         |counts AS (
         |  SELECT b, count(*) AS rc,

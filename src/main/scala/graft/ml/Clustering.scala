@@ -3,7 +3,7 @@ package graft.ml
 import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
 import org.apache.spark.ml.evaluation.ClusteringEvaluator
 import org.apache.spark.ml.feature.VectorAssembler
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** KMeans clustering of the change analysis, as the reference does it.
@@ -87,4 +87,62 @@ object Clustering {
     */
   def clusterInfo(predictions: DataFrame, valueCol: String): DataFrame =
     graft.ops.PeriodChange.rangeLabels(predictions, "cluster", valueCol)
+
+  /** PORTABLE integer k-means over EXACT integer features — the
+    * engine-replayable sibling of [[fitPredict]] (r10, closes the last
+    * no-oracle row): the reference pipeline keeps its Spark-ML-parity
+    * check (`q_kmeans_clusters`, k-means‖ init is not portably
+    * replayable), and THIS fit gives the same clustering shape a full
+    * DuckDB oracle, via the [[graft.ops.Dedup.semDeDup]] discipline:
+    *
+    *  - features arrive as already-exact integers (cents, flags —
+    *    caller's responsibility; no quantization step here);
+    *  - init = the k rows of smallest (md5(tag+":"+id), id-as-string) in
+    *    rank order (the portable deterministic draw; the md5 hashes the
+    *    STRING form of the id, so the string form is the tiebreak too);
+    *  - `iters` fixed Lloyd rounds: assignment = argmin of exact int64
+    *    squared distance (ties → smallest cell), update = TRUNCATING
+    *    integer division of component sums (DuckDB `//`), empty cells
+    *    carry over.
+    *
+    * Scale shape: identical to the semDeDup fit — each round is one
+    * distributed codegen'd argmin pass plus one k×dim-row aggregate
+    * collected driver-side; nothing corpus-sized ever reaches the
+    * driver. Caller must keep Σ(Δfeature)² inside int64 (cents-scale
+    * features with dim ≤ ~16 are far inside it).
+    *
+    * Returns (id, cluster).
+    */
+  def portableFitAssign(
+      df: DataFrame, idCol: String, featCols: Seq[Column],
+      k: Int, iters: Int, tag: String = "km"): DataFrame = {
+    import graft.functions.exprs
+    val keyed = df.select(col(idCol).as("id"),
+      array(featCols.map(_.cast("long")): _*).as("qv"))
+    val staged = graft.ops.Staging.stageToDisk(keyed)
+    val initRows = staged
+      .withColumn("h", md5(concat(lit(tag + ":"), col("id").cast("string"))))
+      .orderBy(col("h"), col("id").cast("string")).limit(k)
+      .select(col("qv")).collect()
+    require(initRows.length >= k, s"portable k-means: ${initRows.length} rows < k=$k")
+    var cents: Array[Array[Long]] =
+      initRows.map(_.getAs[scala.collection.Seq[Long]](0).toArray)
+    val dim = cents(0).length
+    for (_ <- 1 to iters) {
+      val sums = staged
+        .withColumn("cell", exprs.argmin_cell(col("qv"), cents.flatten, k, dim))
+        .select(col("cell"), posexplode(col("qv")).as(Seq("i", "q")))
+        .groupBy(col("cell"), col("i"))
+        .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone()) // empty cells carry over
+      sums.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) =
+          r.getLong(2) / r.getLong(3) // truncating div = DuckDB `//`
+      }
+      cents = next
+    }
+    staged.select(col("id"),
+      exprs.argmin_cell(col("qv"), cents.flatten, k, dim).as("cluster"))
+  }
 }

@@ -62,6 +62,13 @@ object Dsir {
     val toks = docs
       .select(col(idCol).as("id"), isTarget.as("tgt"),
         explode(split(col(textCol), " ")).as("w"))
+      // drop the phantom '' tokens both engines' splitters emit for
+      // empty text / consecutive spaces (r10, closes the r8 advisory's
+      // last oracle-family site): an empty-text doc now has NO tokens —
+      // and therefore no weight row at all (no 0/0 per-token quotient) —
+      // instead of one md5("")-bucket feature; the oracle mirrors the
+      // guard
+      .filter(length(col("w")) > 0)
       .select(col("id"), col("tgt"), bucket(col("w"), numBuckets).as("b"))
     // bucket counts for both models in ONE pass over the tokens
     val counts = toks.groupBy(col("b"))

@@ -152,16 +152,28 @@ object Similarity {
     * itself) and engages only when the selected sample exceeds the cap,
     * so small-corpus results — including every published recall curve —
     * are unchanged. Costs one count() of the fit selection per fit.
+    *
+    * PORTABLE (r10, closes the r9 advisory): the cut is an md5 hex
+    * prefix comparison — keep rows whose first 8 hex digits of
+    * md5("fitcap:"+id) fall below thr = max(1, (MaxFitSample·2^32) //
+    * cnt) formatted %08x (truncating int64 division, cnt = the draw's
+    * count) — so any engine that can count the same draw can replay the
+    * cap exactly; the SparkEntry fit CTEs emit this predicate verbatim
+    * and the bit-for-bit replay contract now holds PAST the cap (the
+    * r9 xxhash64 cut broke it exactly where the cap engaged, sf10+).
     */
   private[graft] val MaxFitSample: Long = 100000L
 
-  private[graft] def capFitSample(sel: DataFrame, idCol: String): DataFrame = {
+  private[graft] def capFitSample(
+      sel: DataFrame, idCol: String,
+      maxFit: Long = MaxFitSample): DataFrame = {
     val cnt = sel.count()
-    if (cnt <= MaxFitSample) sel
+    if (cnt <= maxFit) sel
     else {
-      val mod = 1000000000L
-      val cut = math.max(1L, mod * MaxFitSample / cnt)
-      sel.filter(pmod(xxhash64(lit("fit-cap"), col(idCol)), lit(mod)) < lit(cut))
+      val thr = math.max(1L, (maxFit << 32) / cnt)
+      sel.filter(
+        substring(md5(concat(lit("fitcap:"), col(idCol).cast("string"))), 1, 8)
+          < lit(f"$thr%08x"))
     }
   }
 
@@ -200,26 +212,24 @@ object Similarity {
     //    round is driver-local arithmetic over the collected sample
     //    (the r3 Spark-ML fit paid a scheduler round-trip per round).
     // capFitSample still guards the collect: it engages above ~100k
-    // sampled vectors (xxhash64 cut — engine-specific), so the
-    // portability contract holds for every oracle scale (≤ 50k docs)
-    // and the 100 TB fit stays driver-safe; past the cap the fit is
-    // still deterministic, just not cross-engine-replayable.
+    // sampled vectors, and since r10 the cut is itself portable (md5
+    // 8-hex-digit prefix, replayed verbatim by the fit CTEs), so the
+    // bit-for-bit replay contract holds at EVERY scale — including
+    // sf10+, where the cap verifiably engages — while the 100 TB fit
+    // stays driver-safe.
     val vecs = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("cv"))
       .withColumn("qv_q", quantize20(col("cv")))
-    val sel0 =
-      if (fitFraction >= 1.0) vecs
-      else {
-        val thr = f"${math.max(1L, math.round(fitFraction * 256))}%02x"
-        vecs.filter(substring(
-          md5(concat(lit("ivffit:"), col("neighbor_id").cast("string"))),
-          1, 2) < lit(thr))
-      }
-    val sampled = capFitSample(sel0, "neighbor_id")
+    val sampled = capFitSample(
+      md5FitDraw(vecs, "neighbor_id", fitFraction, "ivffit"), "neighbor_id")
+    // portable order (md5, id-as-string): the md5 runs over the string
+    // form of the id, so the string form is the natural tiebreak too —
+    // and it keeps the fit contract alive for string-keyed corpora
+    // (the r9 cast-to-long NPE'd on non-numeric ids)
     val fitRows = sampled
       .select(md5(concat(lit("ivf:"), col("neighbor_id").cast("string"))).as("h"),
-        col("neighbor_id").cast("long").as("id"), col("qv_q"))
+        col("neighbor_id").cast("string").as("id"), col("qv_q"))
       .collect()
-      .map(r => (r.getString(0), r.getLong(1),
+      .map(r => (r.getString(0), r.getString(1),
         r.getAs[scala.collection.Seq[Long]](2).toArray))
       .sortBy { case (h, id, _) => (h, id) }
     require(fitRows.length >= numCells,
@@ -484,7 +494,12 @@ object Similarity {
       vecs: DataFrame, idCol: String, fitFraction: Double, tag: String): DataFrame =
     if (fitFraction >= 1.0) vecs
     else {
-      val thr = f"${math.max(1L, math.round(fitFraction * 256))}%02x"
+      // clamp to 0xff: round(fitFraction·256) = 256 for fractions in
+      // [255.5/256, 1.0) would format as the 3-char '100' and the
+      // lexicographic 2-char-prefix compare would then keep only ~1/16
+      // of rows (r9 advisory) — 'ff' keeps 255/256, the closest
+      // representable draw below 1.0 at this granularity
+      val thr = f"${math.min(255L, math.max(1L, math.round(fitFraction * 256)))}%02x"
       vecs.filter(substring(
         md5(concat(lit(tag + ":"), col(idCol).cast("string"))), 1, 2) < lit(thr))
     }
@@ -500,9 +515,13 @@ object Similarity {
     sampled
       .select(
         md5(concat(lit(initTag + ":"), col(idCol).cast("string"))).as("h"),
-        col(idCol).cast("long").as("id"), col(nqCol))
+        // tiebreak on the STRING form of the id — the same form the md5
+        // hashes — so string-keyed corpora fit too (the r9 cast-to-long
+        // NPE'd on them); md5 ties never occur in practice, so numeric
+        // corpora order identically
+        col(idCol).cast("string").as("id"), col(nqCol))
       .collect()
-      .map(r => (r.getString(0), r.getLong(1),
+      .map(r => (r.getString(0), r.getString(1),
         r.getAs[scala.collection.Seq[Long]](2).toArray))
       .sortBy { case (h, id, _) => (h, id) }
       .map(_._3)
@@ -938,7 +957,11 @@ object Similarity {
           element_at(discCol, col("rank").cast("int"))).otherwise(0L))
           .as("dcg_nano"),
         sum(col("rel")).as("n_hit"))
-      .join(broadcast(nRel), Seq("query_id"), "left")
+      // INNER join (r10, r9 advisory): a query present in the run but
+      // absent from the qrels has no defined recall/nDCG denominator —
+      // drop it, exactly as the q_retrieval_metrics oracle does, rather
+      // than emit null metrics from a null division
+      .join(broadcast(nRel), Seq("query_id"), "inner")
       .select(col("query_id"), col("mrr_nano"),
         // ndcg = dcg / idcg@min(n_rel, k) in nano-units: one exact
         // integer division of nano sums scaled back up — computed as

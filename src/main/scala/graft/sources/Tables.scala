@@ -17,8 +17,35 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Seeded md5 row-sample for the SAMPLED-ORACLE mode (r10, r9 verdict
+    * item 6): `SPARK_GRAFT_TBL_SAMPLE="documents:doc_id:20,customer:
+    * c_custkey:40"` restricts each named table to rows whose
+    * md5("vsample:"+id) 2-hex-digit prefix is below the threshold
+    * (here 32/256 = 12.5% and 64/256 = 25%). compare_oracle.py mirrors
+    * the EXACT predicate into its DuckDB views (COMPARE_TBL_SAMPLE), so
+    * engine and oracle run the full query logic — recursive closures
+    * included — over the SAME seeded sub-corpus. This converts the sf1
+    * brute-force-oracle timeouts (pairwise-jaccard and closure replays
+    * whose DuckDB cost is quadratic-ish by design) from documented
+    * skips into measured hash compares within the oracle budget.
+    * Unset (the driver's case and every normal run): a no-op.
+    */
+  private lazy val tblSample: Map[String, (String, String)] =
+    sys.env.get("SPARK_GRAFT_TBL_SAMPLE")
+      .map(_.split(",").map { s =>
+        val Array(t, c, thr) = s.split(":")
+        t -> (c, thr)
+      }.toMap).getOrElse(Map.empty)
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    tblSample.get(name).fold(df) { case (idCol, thr) =>
+      import org.apache.spark.sql.functions._
+      df.filter(substring(
+        md5(concat(lit("vsample:"), col(idCol).cast("string"))), 1, 2)
+        < lit(thr))
+    }
+  }
 
   /** Right-size partitioning ahead of a CPU-heavy per-row kernel. A
     * single-file single-row-group table scans as ONE task, so the

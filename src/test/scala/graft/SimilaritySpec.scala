@@ -695,4 +695,26 @@ class SimilaritySpec extends SparkSpecBase {
     val small = spark.range(5000).select(col("id").as("vec_id"))
     assert(Similarity.capFitSample(small, "vec_id").count() === 5000L)
   }
+
+  test("capFitSample portable contract: engaged cap selects EXACTLY the documented md5 predicate set") {
+    // r10 (closes the r9 medium advisory): the cap must be replayable
+    // by any engine — keep rows whose md5("fitcap:"+id) first 8 hex
+    // digits fall below %08x(max(1, (maxFit·2^32) // cnt)). Recomputed
+    // here INDEPENDENTLY via MessageDigest over the same id strings, at
+    // a parameter where the cap verifiably engages.
+    val n = 1000L
+    val maxFit = 100L
+    val df = spark.range(n).select(col("id").as("vec_id"))
+    val got = Similarity.capFitSample(df, "vec_id", maxFit = maxFit)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val thr = f"${math.max(1L, (maxFit << 32) / n)}%08x"
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = (0L until n)
+      .filter(id => md5hex(s"fitcap:$id").substring(0, 8) < thr).toSet
+    assert(got === want, "cap selection must equal the documented predicate set")
+    // the cap engaged (selected ≈ maxFit, well below n) — not vacuous
+    assert(got.size < 200 && got.size > 50, s"expected ~$maxFit selected, got ${got.size}")
+  }
 }

@@ -27,13 +27,27 @@ def fresh_con():
     thr = os.environ.get("COMPARE_THREADS", "8")
     c.sql(f"SET memory_limit='{mem}'")
     c.sql(f"SET threads={thr}")
+    # SAMPLED-ORACLE mode (r10): COMPARE_TBL_SAMPLE mirrors the engine's
+    # SPARK_GRAFT_TBL_SAMPLE — "documents:doc_id:20,customer:c_custkey:40"
+    # restricts each named table's view to the same seeded md5 sub-corpus
+    # the engine ran on, so brute-force oracles (pairwise, recursive
+    # closures) fit the timeout budget at sf1+ as measured hash compares.
+    sample = {}
+    for spec in filter(None, os.environ.get("COMPARE_TBL_SAMPLE", "").split(",")):
+        t, idcol, thr = spec.split(":")
+        sample[t] = (idcol, thr)
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
         p = f"{sfdir}/{t}.parquet"
         # driver testdata ships single files; scale-up dirs (ScaleGen)
         # are multi-file parquet directories — glob those
         src = f"{p}/*.parquet" if os.path.isdir(p) else p
-        c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+        where = ""
+        if t in sample:
+            idcol, thr = sample[t]
+            where = (f" WHERE substring(md5('vsample:' || {idcol}), 1, 2)"
+                     f" < '{thr}'")
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'{where}")
     return c
 
 con = fresh_con()
@@ -139,10 +153,13 @@ for name, why in fails:
     print(f"FAIL {name}: {why[:400]}")
 # machine-readable summary so scale-run callers can't mistake a
 # mostly-skipped compare for full coverage
-print(json.dumps({"n_pass_or_checked": len(oracle) - len(oracle_timeouts),
-                  "n_fail": len(fails),
-                  "n_oracle_timeouts": len(oracle_timeouts),
-                  "oracle_timeouts": oracle_timeouts}))
+summary = {"n_pass_or_checked": len(oracle) - len(oracle_timeouts),
+           "n_fail": len(fails),
+           "n_oracle_timeouts": len(oracle_timeouts),
+           "oracle_timeouts": oracle_timeouts}
+if os.environ.get("COMPARE_TBL_SAMPLE"):
+    summary["tbl_sample"] = os.environ["COMPARE_TBL_SAMPLE"]
+print(json.dumps(summary))
 # exit codes: 0 = full pass, 1 = failures, 2 = no failures but partial
 # coverage (timeouts) — callers checking only the exit status must
 # acknowledge the skips
