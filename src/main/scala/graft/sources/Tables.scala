@@ -108,6 +108,12 @@ object Tables {
     * Cost: one footer read per file, O(files) driver metadata I/O.
     */
   def parquetRowCount(spark: SparkSession, dir: String, name: String): Long = {
+    // sampled-oracle mode: corpus-sizing decisions (semdedup's k, the
+    // adaptive LSH plane count) must see the SAMPLED cardinality, or
+    // the engine would size for the full corpus while the mirrored
+    // DuckDB oracle counts the sampled view — a real count() of the
+    // sampled frame replaces the footer shortcut only in that mode
+    if (tblSample.contains(name)) return load(spark, dir, name).count()
     val conf = spark.sessionState.newHadoopConf()
     val path = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
     val fs = path.getFileSystem(conf)
