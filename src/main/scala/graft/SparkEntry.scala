@@ -4111,6 +4111,17 @@ object SparkEntry {
     * rows of every probed cell up to rank `maxRn`, queries = vec_id <
     * 20, no trailing comma.
     */
+  /** Fit-cap predicate pieces interpolated into the three ANN fit CTEs
+    * below, so the oracle shares ONE constant with the engine
+    * ([[Similarity.MaxFitSample]], r10 advisory): a future cap change
+    * cannot silently break the bit-for-bit replay exactly where the cap
+    * engages. Threshold = the FitCapCheck-proven md5 8-hex draw,
+    * (cap · 2^32) // cnt, zero-padded to 8 hex digits.
+    */
+  private val FitCap: Long = Similarity.MaxFitSample
+  private val FitCapThr: String =
+    s"lpad(printf('%x', greatest(1, ($FitCap * ${1L << 32}) // cnt)), 8, '0')"
+
   private def AnnIvfCandidateCte(
       numCells: Int, maxRn: Int, fitThrHex: String): String =
     s"""WITH qd AS (
@@ -4121,9 +4132,9 @@ object SparkEntry {
        |        WHERE substring(md5('ivffit:' || vec_id), 1, 2) < '$fitThrHex'),
        |fitn AS (SELECT count(*) AS cnt FROM fit0),
        |fit AS (SELECT vec_id FROM fit0, fitn
-       |        WHERE cnt <= 100000
+       |        WHERE cnt <= $FitCap
        |           OR substring(md5('fitcap:' || vec_id), 1, 8)
-       |              < lpad(printf('%x', greatest(1, (100000 * 4294967296) // cnt)), 8, '0')),
+       |              < $FitCapThr),
        |init AS (
        |  SELECT vec_id, cell FROM (
        |    SELECT vec_id,
@@ -4290,9 +4301,9 @@ object SparkEntry {
        |pfitn AS MATERIALIZED (SELECT count(*) AS cnt FROM pfit0),
        |pfit AS MATERIALIZED (
        |  SELECT vec_id FROM pfit0, pfitn
-       |  WHERE cnt <= 100000
+       |  WHERE cnt <= $FitCap
        |     OR substring(md5('fitcap:' || vec_id), 1, 8)
-       |        < lpad(printf('%x', greatest(1, (100000 * 4294967296) // cnt)), 8, '0')),
+       |        < $FitCapThr),
        |pford AS MATERIALIZED (SELECT vec_id,
        |                 row_number() OVER (ORDER BY md5('pqinit:' || vec_id), CAST(vec_id AS VARCHAR)) AS rk
        |          FROM pfit),
@@ -4344,9 +4355,9 @@ object SparkEntry {
        |vfitn AS MATERIALIZED (SELECT count(*) AS cnt FROM vfit0),
        |vfit AS MATERIALIZED (
        |  SELECT vec_id FROM vfit0, vfitn
-       |  WHERE cnt <= 100000
+       |  WHERE cnt <= $FitCap
        |     OR substring(md5('fitcap:' || vec_id), 1, 8)
-       |        < lpad(printf('%x', greatest(1, (100000 * 4294967296) // cnt)), 8, '0')),
+       |        < $FitCapThr),
        |vford AS MATERIALIZED (SELECT vec_id,
        |                 row_number() OVER (ORDER BY md5('ivfpqinit:' || vec_id), CAST(vec_id AS VARCHAR)) AS rk
        |          FROM vfit),

@@ -142,7 +142,13 @@ object Clustering {
       }
       cents = next
     }
-    staged.select(col("id"),
+    // The cache only has to outlive the Lloyd loop above; the final
+    // assignment is one deterministic codegen'd scan, so release BEFORE
+    // returning (r10 advisory: the session-lifetime DISK_ONLY leak) and
+    // let the caller's materialization recompute from source.
+    val out = staged.select(col("id"),
       exprs.argmin_cell(col("qv"), cents.flatten, k, dim).as("cluster"))
+    graft.ops.Staging.release(staged)
+    out
   }
 }

@@ -33,8 +33,17 @@ object Tables {
   private lazy val tblSample: Map[String, (String, String)] =
     sys.env.get("SPARK_GRAFT_TBL_SAMPLE")
       .map(_.split(",").map { s =>
-        val Array(t, c, thr) = s.split(":")
-        t -> (c, thr)
+        // The threshold compares as a RAW STRING against a lowercase
+        // 2-hex-digit md5 prefix, so normalize + validate here: an
+        // uppercase or 1/3-digit spec would silently change selectivity
+        // (r10 advisory). Fail loudly on anything malformed.
+        s.split(":") match {
+          case Array(t, c, thr) if thr.matches("(?i)[0-9a-f]{2}") =>
+            t -> (c, thr.toLowerCase)
+          case _ => throw new IllegalArgumentException(
+            s"SPARK_GRAFT_TBL_SAMPLE entry '$s' is not " +
+              "'table:idCol:hh' with hh exactly 2 hex digits")
+        }
       }.toMap).getOrElse(Map.empty)
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {

@@ -225,13 +225,15 @@ object EventStream {
     val tmp = s"$state/.tmp-$batchId"
     rmTree(Paths.get(tmp)) // leftover from a crashed attempt of this batch
     merged.write.mode("overwrite").partitionBy("__b").parquet(tmp)
-    touched.foreach { b =>
+    touched.zipWithIndex.foreach { case (b, i) =>
       val src = Paths.get(s"$tmp/__b=$b")
       Files.createDirectories(Paths.get(s"$state/b$b"))
       val dst = Paths.get(s"$state/b$b/g$batchId")
       rmTree(dst) // crashed earlier attempt of this same batch
       if (Files.exists(src)) Files.move(src, dst)
+      if (i == 0) killPoint("mid_stage") // after the FIRST gen move only
     }
+    killPoint("post_stage") // all gens staged, manifest not yet promoted
 
     // ONE atomic rename promotes all new generations together
     val newManifest = manifest ++ touched.map(_ -> batchId)
@@ -240,6 +242,7 @@ object EventStream {
       newManifest.toSeq.sorted.map { case (b, g) => s"$b,$g" }.mkString("\n"))
     Files.move(tmpManifest, root.resolve("MANIFEST"),
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    killPoint("post_promote") // promoted; superseded gens not yet GC'd
 
     // GC superseded generations + the tmp dir (post-promote: a crash
     // here only leaves orphans, never dangling manifest entries)
@@ -249,6 +252,16 @@ object EventStream {
     }
     rmTree(Paths.get(tmp))
   }
+
+  /** TEST-ONLY crash injection (UpsertFaultSpec): `halt()` the JVM —
+    * no shutdown hooks, no finally blocks — at a named point of the
+    * stage→promote protocol. The spec sets `GRAFT_UPSERT_KILL_POINT` in
+    * a CHILD process's environment; unset (every production run), this
+    * is a map lookup and nothing more.
+    */
+  private def killPoint(name: String): Unit =
+    if (sys.env.get("GRAFT_UPSERT_KILL_POINT").contains(name))
+      Runtime.getRuntime.halt(137)
 
   private def readManifest(state: String): Map[Int, Long] = {
     import java.nio.file.{Files, Paths}
