@@ -3942,16 +3942,19 @@ object SparkEntry {
     // the artifact is stable and small at any scale.
     "q_semdedup" -> ((s, dir) => {
       val embs = Tables.embeddings(s, dir)
-      // k scales with the corpus (the paper's configuration: cells of
-      // roughly constant size, here ~256) so the within-cluster
-      // quadratic term stays bounded — measured at the 10× scale-up:
-      // fixed k=8 spent 19 s in 8×C(2500,2) cosine pairs, k=n/256
-      // bounds the per-cell work at any corpus size. n comes from the
-      // parquet footers DRIVER-SIDE (no job in this query's graph —
-      // `embs.count()` is metadata-only work but still schedules a
-      // stage per invocation).
+      // TWO-LEVEL sizing (r11): k here is the LEVEL-1 cell count;
+      // semDeDup subdivides each cell into ⌈|c|/256⌉ subcells, so final
+      // cells hold ~256 vectors at any corpus size (the paper's
+      // constant-cell-size configuration). k ≈ ⌈√(n/256)⌉ balances the
+      // two levels — per-row assignment cost is k + n/(256k) ≈ 2√(n/256)
+      // instead of the flat min(n/256, 1024) whose cap made cells (and
+      // the within-cell quadratic term) grow superlinearly at the
+      // 2M-vector probe. n comes from the parquet footers DRIVER-SIDE
+      // (no job in this query's graph — `embs.count()` is metadata-only
+      // work but still schedules a stage per invocation).
       val n = Tables.parquetRowCount(s, dir, "embeddings")
-      val k = math.max(8L, math.min(1024L, n / 256L)).toInt
+      val k = math.max(8L,
+        math.min(1024L, math.ceil(math.sqrt(n / 256.0)).toLong)).toInt
       val d = graft.ops.Dedup.semDeDup(embs, "vec_id", "embedding", k = k)
       d.groupBy(col("cluster"))
         .agg(count(lit(1)).as("n_vecs"),
@@ -6382,8 +6385,10 @@ object SparkEntry {
     // min (cent_sim, id) per group root.
     "q_semdedup" ->
       """WITH RECURSIVE
-        |params AS (SELECT greatest(8, least(1024, count(*) // 256)) AS k FROM embeddings),
-        |qd AS (
+        |params AS (SELECT greatest(8, least(1024,
+        |             CAST(ceil(sqrt(CAST(count(*) AS DOUBLE) / 256.0)) AS BIGINT))) AS k
+        |           FROM embeddings),
+        |qd AS MATERIALIZED (
         |  SELECT vec_id, i.i AS i,
         |         CAST(floor(CAST(embedding[i.i + 1] AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT) AS q
         |  FROM embeddings, range(64) i(i)),
@@ -6408,26 +6413,67 @@ object SparkEntry {
         |       FROM d2 GROUP BY 1),
         |s2 AS (SELECT a2.cell, qd.i, CAST(sum(qd.q) AS BIGINT) AS s, count(*) AS n
         |       FROM a2 JOIN qd USING (vec_id) GROUP BY 1, 2),
-        |c2 AS (SELECT c1.cell, c1.i, coalesce(s2.s // s2.n, c1.c) AS c
+        |c2 AS MATERIALIZED (SELECT c1.cell, c1.i, coalesce(s2.s // s2.n, c1.c) AS c
         |       FROM c1 LEFT JOIN s2 ON s2.cell = c1.cell AND s2.i = c1.i),
         |df AS (SELECT qd.vec_id, c.cell, sum((qd.q - c.c) * (qd.q - c.c)) AS dist
         |       FROM qd JOIN c2 c USING (i) GROUP BY 1, 2),
-        |af AS (SELECT vec_id, CAST(min(dist::HUGEINT * 1024 + cell) % 1024 AS INT) AS cell
+        |af AS MATERIALIZED (SELECT vec_id, CAST(min(dist::HUGEINT * 1024 + cell) % 1024 AS INT) AS cell
         |       FROM df GROUP BY 1),
-        |norms AS (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS n2 FROM qd GROUP BY 1),
-        |cnorm AS (SELECT cell, CAST(sum(c * c) AS BIGINT) AS n2 FROM c2 GROUP BY 1),
-        |cdot AS (SELECT af.vec_id, af.cell, CAST(sum(qd.q * c.c) AS BIGINT) AS dot
-        |         FROM af JOIN qd USING (vec_id)
-        |         JOIN c2 c ON c.cell = af.cell AND c.i = qd.i
-        |         GROUP BY 1, 2),
+        |-- LEVEL 2 (r11): k2(c) = ceil(|c|/256) subcells per coarse cell,
+        |-- all cells fitted together — the engine's two-level Lloyd
+        |k2 AS MATERIALIZED (SELECT cell, greatest(1, least(1024, (count(*) + 255) // 256)) AS k2
+        |       FROM af GROUP BY cell),
+        |i2 AS MATERIALIZED (SELECT i0.vec_id, i0.cell, i0.sub FROM (
+        |         SELECT vec_id, cell,
+        |                CAST(row_number() OVER (PARTITION BY cell
+        |                       ORDER BY md5('sd2:' || vec_id), vec_id) - 1 AS INT) AS sub
+        |         FROM af) i0
+        |       JOIN k2 USING (cell) WHERE i0.sub < k2.k2),
+        |e0 AS MATERIALIZED (SELECT i2.cell, i2.sub, qd.i, qd.q AS c FROM i2 JOIN qd USING (vec_id)),
+        |f1 AS (SELECT qd.vec_id, e.sub, sum((qd.q - e.c) * (qd.q - e.c)) AS dist
+        |       FROM qd JOIN af USING (vec_id)
+        |       JOIN e0 e ON e.cell = af.cell AND e.i = qd.i
+        |       GROUP BY 1, 2),
+        |g1 AS MATERIALIZED (SELECT vec_id, CAST(min(dist::HUGEINT * 1024 + sub) % 1024 AS INT) AS sub
+        |       FROM f1 GROUP BY 1),
+        |t1 AS (SELECT af.cell, g1.sub, qd.i, CAST(sum(qd.q) AS BIGINT) AS s, count(*) AS n
+        |       FROM g1 JOIN af USING (vec_id) JOIN qd USING (vec_id) GROUP BY 1, 2, 3),
+        |e1 AS MATERIALIZED (SELECT e0.cell, e0.sub, e0.i, coalesce(t1.s // t1.n, e0.c) AS c
+        |       FROM e0 LEFT JOIN t1 ON t1.cell = e0.cell AND t1.sub = e0.sub AND t1.i = e0.i),
+        |f2 AS (SELECT qd.vec_id, e.sub, sum((qd.q - e.c) * (qd.q - e.c)) AS dist
+        |       FROM qd JOIN af USING (vec_id)
+        |       JOIN e1 e ON e.cell = af.cell AND e.i = qd.i
+        |       GROUP BY 1, 2),
+        |g2 AS MATERIALIZED (SELECT vec_id, CAST(min(dist::HUGEINT * 1024 + sub) % 1024 AS INT) AS sub
+        |       FROM f2 GROUP BY 1),
+        |t2 AS (SELECT af.cell, g2.sub, qd.i, CAST(sum(qd.q) AS BIGINT) AS s, count(*) AS n
+        |       FROM g2 JOIN af USING (vec_id) JOIN qd USING (vec_id) GROUP BY 1, 2, 3),
+        |e2 AS MATERIALIZED (SELECT e1.cell, e1.sub, e1.i, coalesce(t2.s // t2.n, e1.c) AS c
+        |       FROM e1 LEFT JOIN t2 ON t2.cell = e1.cell AND t2.sub = e1.sub AND t2.i = e1.i),
+        |ff AS (SELECT qd.vec_id, e.sub, sum((qd.q - e.c) * (qd.q - e.c)) AS dist
+        |       FROM qd JOIN af USING (vec_id)
+        |       JOIN e2 e ON e.cell = af.cell AND e.i = qd.i
+        |       GROUP BY 1, 2),
+        |gf AS MATERIALIZED (SELECT vec_id, CAST(min(dist::HUGEINT * 1024 + sub) % 1024 AS INT) AS sub
+        |       FROM ff GROUP BY 1),
+        |af2 AS MATERIALIZED (SELECT af.vec_id, af.cell, gf.sub,
+        |               CAST(af.cell * 1024 + gf.sub AS INT) AS cluster
+        |        FROM af JOIN gf USING (vec_id)),
+        |norms AS MATERIALIZED (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS n2 FROM qd GROUP BY 1),
+        |cnorm AS MATERIALIZED (SELECT cell, sub, CAST(sum(c * c) AS BIGINT) AS n2 FROM e2 GROUP BY 1, 2),
+        |cdot AS (SELECT af2.vec_id, af2.cell, af2.sub, CAST(sum(qd.q * c.c) AS BIGINT) AS dot
+        |         FROM af2 JOIN qd USING (vec_id)
+        |         JOIN e2 c ON c.cell = af2.cell AND c.sub = af2.sub AND c.i = qd.i
+        |         GROUP BY 1, 2, 3),
         |cs AS (SELECT cdot.vec_id,
         |              round(CASE WHEN n1.n2 = 0 OR cn.n2 = 0 THEN 0.0
         |                         ELSE CAST(dot AS DOUBLE)
         |                              / (sqrt(CAST(n1.n2 AS DOUBLE)) * sqrt(CAST(cn.n2 AS DOUBLE))) END,
         |                    9) AS cent_sim
-        |       FROM cdot JOIN norms n1 USING (vec_id) JOIN cnorm cn ON cn.cell = cdot.cell),
+        |       FROM cdot JOIN norms n1 USING (vec_id)
+        |       JOIN cnorm cn ON cn.cell = cdot.cell AND cn.sub = cdot.sub),
         |pdot AS (SELECT a.vec_id AS ia, b.vec_id AS ib, CAST(sum(qa.q * qb.q) AS BIGINT) AS dot
-        |         FROM af a JOIN af b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |         FROM af2 a JOIN af2 b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
         |         JOIN qd qa ON qa.vec_id = a.vec_id
         |         JOIN qd qb ON qb.vec_id = b.vec_id AND qb.i = qa.i
         |         GROUP BY 1, 2),
@@ -6440,15 +6486,15 @@ object SparkEntry {
         |reach AS (SELECT s, d FROM edges
         |          UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
         |roots AS (SELECT s AS vec_id, least(s, min(d)) AS root FROM reach GROUP BY s),
-        |lab AS (SELECT af.vec_id, af.cell, cs.cent_sim,
-        |               coalesce(r.root, af.vec_id) AS group_root
-        |        FROM af JOIN cs ON cs.vec_id = af.vec_id
-        |        LEFT JOIN roots r ON r.vec_id = af.vec_id),
+        |lab AS MATERIALIZED (SELECT af2.vec_id, af2.cluster, cs.cent_sim,
+        |               coalesce(r.root, af2.vec_id) AS group_root
+        |        FROM af2 JOIN cs ON cs.vec_id = af2.vec_id
+        |        LEFT JOIN roots r ON r.vec_id = af2.vec_id),
         |keep AS (SELECT group_root, vec_id AS keep_id FROM (
         |           SELECT *, row_number() OVER (PARTITION BY group_root
         |                       ORDER BY cent_sim, vec_id) AS rn FROM lab)
         |         WHERE rn = 1)
-        |SELECT CAST(lab.cell AS INT) AS cluster, count(*) AS n_vecs,
+        |SELECT CAST(lab.cluster AS INT) AS cluster, count(*) AS n_vecs,
         |       CAST(sum(CASE WHEN lab.vec_id = keep.keep_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |       count(DISTINCT lab.group_root) AS n_groups,
         |       round(min(lab.cent_sim), 6) AS min_cent_sim

@@ -685,7 +685,15 @@ object Dedup {
         explode(graft.functions.exprs.winnow_anchors(
           graft.functions.exprs.gram_hashes64(col(textCol), m), w)).as("a"))
       .select(col("id"), (col("a.p") + 1).as("p"), col("a.h").as("h"))
-    val matches = anchors.as("a").join(anchors.as("b"),
+    // the anchor self-join is hash-equality on a near-unique 8-byte key
+    // (measured bucket max = 4 on the replicated 5M-doc probe): a
+    // sort-merge join sorts BOTH 290M-row sides (the r11 profile put
+    // 89% of the query's wall and 7.5 GB of spill in those two sorts) —
+    // a shuffled-hash join builds one per-partition map and streams the
+    // other side, no sort anywhere. Per-partition build memory is
+    // shuffle-partition-sized; size spark.sql.shuffle.partitions to the
+    // corpus as usual at cluster scale.
+    val matches = anchors.as("a").hint("shuffle_hash").join(anchors.as("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id"))
       .select(col("a.id").as("ia"), col("b.id").as("ib"),
         col("a.p").as("pa"), col("b.p").as("pb"))
@@ -779,23 +787,44 @@ object Dedup {
     * retaining the least-redundant exemplar; ties break on min id).
     * Singletons are kept by definition.
     *
-    * Plan shape at scale: the Lloyd fit/assign is linear passes over
-    * the vectors (distributed assignment, k×dim centroid aggregate
-    * collected driver-side per round); the within-cluster self-join
-    * shuffles each side once on `cluster` and candidate pairs carry
-    * IDS ONLY (vectors re-joined just for survivors, the
-    * embeddingNearDupPairs discipline); the closure runs on the
-    * funnel-sized pair set. A pathologically hot cluster serializes
-    * its own |c|² — the remedy at scale is a larger k (smaller cells),
-    * exactly the paper's configuration, not a different algorithm.
+    * Plan shape at scale — TWO-LEVEL clustering (r11): a single Lloyd
+    * level needs k ∝ n cells to keep cells at a constant target size,
+    * but a flat argmin over k ∝ n centroids makes the assignment pass
+    * O(n·k) = O(n²/target) — measured superlinear at the 2M-vector
+    * probe (k capped at 1024 ⇒ cells grew to ~2000 ⇒ the within-cell
+    * quadratic term alone was ~35× the 10×-smaller run). So the cells
+    * come from two nested Lloyd fits:
+    *
+    *  - LEVEL 1: `k` coarse cells (callers size k ≈ ⌈√(n/target)⌉,
+    *    clamped ≤ 1024 so the codebook stays a bounded codegen
+    *    literal), exactly the r9 integer Lloyd — distributed argmin,
+    *    k×dim aggregate collected driver-side per round;
+    *  - LEVEL 2: within each coarse cell c, k₂(c) = ⌈|c|/target⌉
+    *    subcells (≤ 1024), ALL cells fitted in the same passes: init =
+    *    the k₂(c) members of smallest md5 per cell (one window), each
+    *    Lloyd round = one broadcast-join fan-out (a row meets only its
+    *    OWN cell's subcentroids, ~k₂ ≈ √(n/target) of them) collapsed
+    *    map-side by a per-id argmin, plus one (cell, sub, i) aggregate.
+    *    Centroids live in a DATAFRAME end to end — the driver never
+    *    materializes the O(n/target) level-2 codebook.
+    *
+    * Per-row assignment cost is k + k₂ ≈ 2√(n/target) instead of
+    * min(n/target, cap), and the final cells hold ~target vectors at
+    * ANY corpus size, so the within-cluster quadratic term stays
+    * n·target — linear. The within-cluster self-join shuffles each side
+    * once on `cluster` and candidate pairs carry IDS ONLY (vectors
+    * re-joined just for survivors, the embeddingNearDupPairs
+    * discipline); the closure runs on the funnel-sized pair set.
     *
     * Returns one row per input vector:
-    * (id, cluster, cent_sim, group_root, kept).
+    * (id, cluster, cent_sim, group_root, kept) — `cluster` encodes
+    * (level-1 cell)·1024 + subcell, stable because both factors are
+    * < 1024.
     */
   def semDeDup(
       embs: DataFrame, idCol: String, vecCol: String,
       k: Int = 8, tau: Double = 0.95, seed: Long = 1L,
-      maxIter: Int = 2): DataFrame = {
+      maxIter: Int = 2, subCellTarget: Int = 256): DataFrame = {
     val spark = embs.sparkSession
     // r9: the clustering moved from Spark ML KMeans to a PORTABLE
     // integer Lloyd so the ENTIRE operator is DuckDB-replayable and
@@ -850,14 +879,72 @@ object Dedup {
       }
       cents = next
     }
-    val centDf = spark.createDataFrame(
-        cents.zipWithIndex.map { case (c, j) => (j, c.toSeq) }.toSeq)
-      .toDF("cluster", "cent")
+    // final LEVEL-1 assignment — staged: consumed by the k₂ counts, the
+    // level-2 init window, every level-2 round, and the final labeling
+    val lvl1 = Staging.stageToDisk(staged.withColumn("cell",
+      exprs.argmin_cell(col("qv"), cents.flatten, cents.length, dim)))
+
+    // ---- LEVEL 2: per-cell subcell counts k₂(c) = ⌈|c|/target⌉ ≤ 1024.
+    // `div` matches DuckDB's `//` on the non-negative counts here.
+    val k2 = lvl1.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_c"))
+      .select(col("cell"), expr(
+        s"greatest(1L, least(1024L, (n_c + ${subCellTarget - 1}) div $subCellTarget))")
+        .as("k2"))
+    // init: the k₂(c) members of smallest (md5, id) per cell, one window
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell"))
+      .orderBy(md5(concat(lit("sd2:"), col("id").cast("string"))), col("id"))
+    var cent2 = lvl1
+      .withColumn("rn", row_number().over(w2))
+      .join(k2, "cell")
+      .filter(col("rn") <= col("k2"))
+      .select(col("cell"), (col("rn") - 1).cast("int").as("sub"),
+        col("qv").as("cent"))
+      .localCheckpoint(true)
+    for (_ <- 1 to maxIter) {
+      // fan-out join: each row meets its own cell's ~k₂ subcentroids,
+      // collapsed map-side by the per-id argmin (ties → smallest sub,
+      // the struct ordering) — fanned rows never reach an exchange
+      val asg2 = lvl1.join(cent2, "cell")
+        .select(col("id"),
+          struct(exprs.dist2_q(col("qv"), col("cent")).as("d"),
+            col("sub").as("sub")).as("w"))
+        .groupBy(col("id")).agg(min(col("w")).as("w"))
+        .select(col("id"), col("w.sub").as("sub"))
+      // update: (cell, sub, i) sums; empty subcells keep their previous
+      // centroid (the LEFT join); truncating div = DuckDB `//` on the
+      // non-negative counts, and matches the level-1 driver loop on the
+      // possibly-negative sums only because BOTH engines truncate
+      val sums2 = lvl1.select(col("id"), col("cell"), col("qv"))
+        .join(asg2, "id")
+        .select(col("cell"), col("sub"), posexplode(col("qv")).as(Seq("i", "q")))
+        .groupBy(col("cell"), col("sub"), col("i"))
+        .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+      cent2 = cent2
+        .select(col("cell"), col("sub"), posexplode(col("cent")).as(Seq("i", "c")))
+        .join(sums2, Seq("cell", "sub", "i"), "left")
+        .select(col("cell"), col("sub"), col("i"),
+          coalesce(expr("s div n"), col("c")).as("c"))
+        .groupBy(col("cell"), col("sub"))
+        .agg(expr("transform(array_sort(collect_list(struct(i, c))), x -> x.c)")
+          .as("cent"))
+        .localCheckpoint(true)
+    }
+    // final level-2 assignment + cent_sim against the level-2 centroid;
+    // cluster = cell·1024 + sub (both < 1024)
+    val asgF = lvl1.join(cent2, "cell")
+      .select(col("id"),
+        struct(exprs.dist2_q(col("qv"), col("cent")).as("d"),
+          col("sub").as("sub")).as("w"))
+      .groupBy(col("id")).agg(min(col("w")).as("w"))
+      .select(col("id"), col("w.sub").as("sub"))
     val assigned = Staging.stageToDisk(
-      staged.withColumn("cluster",
-          exprs.argmin_cell(col("qv"), cents.flatten, cents.length, dim))
-        .join(broadcast(centDf), "cluster")
-        .select(col("id"), col("cluster"), col("qv"),
+      lvl1.join(asgF, "id")
+        .join(cent2, Seq("cell", "sub"))
+        .select(col("id"),
+          (col("cell").cast("long") * 1024L + col("sub")).cast("int").as("cluster"),
+          col("qv"),
           round(exprs.cosine_q(col("qv"), col("cent")), 9).as("cent_sim")))
     // within-cluster τ-pairs; ids only past the filter
     val a = assigned.select(col("cluster"), col("id"), col("qv"))

@@ -319,9 +319,9 @@ object Similarity {
     val probes = ranked.filter(col("rn") <= nProbe)
       .select(col("query_id"), col("qv"), col("cell"))
 
-    val candidates = cells.join(broadcast(probes), Seq("cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
     if (rerankShortlist <= 0) {
+      val candidates = cells.join(broadcast(probes), Seq("cell"))
+        .filter(col("query_id") =!= col("neighbor_id"))
       val scored = candidates.select(col("query_id"), col("neighbor_id"),
         round(exprs.cosine_f(col("cv"), col("qv")), 9).as("cosine"))
       topKPerQuery(scored, k)
@@ -332,10 +332,21 @@ object Similarity {
       // DuckDB-replayable — see HashKernels.radSketchQ) replacing the
       // float JL sketch; same accuracy class (Achlioptas 2003), and the
       // shortlist CONTENTS become part of the q_ann_ivf oracle.
-      val pre = candidates.select(col("query_id"), col("neighbor_id"),
-        round(exprs.cosine_q(
-          exprs.rad_sketch_q(col("cv"), sketchDim, dim, seed + 7001),
-          exprs.rad_sketch_q(col("qv"), sketchDim, dim, seed + 7001)), 9).as("cosine"))
+      // r11: sketches are computed BEFORE the candidate join — once per
+      // corpus row on the stream side and once per probe row inside the
+      // broadcast — instead of per (query, candidate) pair; a probed row
+      // matches ~|queries|·nProbe/numCells probes, so the per-pair
+      // recompute was the dominant scoring cost at the 2M-vector probe
+      // (sketchDim·dim madds per sketch vs sketchDim per pair-cosine).
+      // Identical values → the q_ann_ivf oracle is untouched.
+      val probesSk = probes.withColumn("qsk",
+        exprs.rad_sketch_q(col("qv"), sketchDim, dim, seed + 7001))
+      val pre = cells
+        .withColumn("csk", exprs.rad_sketch_q(col("cv"), sketchDim, dim, seed + 7001))
+        .join(broadcast(probesSk), Seq("cell"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          round(exprs.cosine_q(col("csk"), col("qsk")), 9).as("cosine"))
       val shortlist = topKPerQuery(pre, rerankShortlist)
         .select(col("query_id"), col("neighbor_id"))
       // stage 2 — exact: re-join vectors for the shortlist only

@@ -1,0 +1,51 @@
+#!/bin/bash
+# Full-surface sf10 oracle sweep (r10 verdict item 5): every registered
+# query dumped by Verify at sfgen/sf10 and hash-compared against DuckDB
+# on the same parquet. The pair-funnel drivers (documents / embeddings /
+# supplier) are subset by the SHARED md5 table-sample predicate — the
+# r10 sampled-oracle mechanism, proven equal-selection by FitCapCheck —
+# so the brute-force-replay family stays DuckDB-tractable while every
+# OTHER table (60M-row lineitem included) runs FULL at sf10.
+# Output: bench_baselines/r11_sf10_oracle_sweep.json
+set -u
+cd "$(dirname "$0")/.."
+OUT=${1:-bench_baselines/r11_sf10_oracle_sweep.json}
+SF=${2:-sfgen/sf10}
+SAMPLE=${SAMPLE:-documents:doc_id:20,embeddings:vec_id:20,supplier:s_suppkey:20}
+TIMEOUT=${TIMEOUT:-180}
+VOUT=$(mktemp -d /tmp/sf10sweep.XXXX)
+
+SPARK_GRAFT_TBL_SAMPLE="$SAMPLE" SPARK_DRIVER_MEM=${SPARK_DRIVER_MEM:-64g} \
+  bash tools/runmain.sh graft.Verify "$SF" "$VOUT" || exit 1
+
+COMPARE_TBL_SAMPLE="$SAMPLE" COMPARE_RESUME_LOG="$VOUT/resume.log" \
+COMPARE_MEM=${COMPARE_MEM:-24GB} COMPARE_THREADS=${COMPARE_THREADS:-16} \
+  python3 tools/compare_oracle.py "$SF" "$VOUT" "$TIMEOUT" | tee "$VOUT/compare.log"
+CMP=$?
+
+python3 - "$VOUT/compare.log" "$OUT" "$CMP" "$SAMPLE" "$TIMEOUT" <<'EOF'
+import json, sys
+log, out, cmp_rc, sample, tmo = sys.argv[1], sys.argv[2], int(sys.argv[3]), sys.argv[4], sys.argv[5]
+passes, fails, skips = [], [], []
+for line in open(log):
+    if line.startswith("PASS "): passes.append(line.split()[1])
+    elif line.startswith("FAIL "): fails.append(line.rstrip()[:300])
+    elif line.startswith("SKIP "): skips.append(line.split()[1])
+rec = {
+ "record": "r11 full-surface sf10 oracle sweep: all registered queries "
+           "dumped at sfgen/sf10 (500k docs / 200k embeddings / 60M-row "
+           "lineitem scale) and hash-compared in DuckDB; the pair-funnel "
+           "tables subset by the shared md5 sample predicate so the "
+           "replay family stays oracle-tractable, all other tables FULL",
+ "sample": sample, "oracle_timeout_s": int(tmo),
+ "n_pass": len(passes), "n_fail": len(fails),
+ "n_oracle_timeout_skip": len(skips), "skipped": skips, "fails": fails,
+ # rc 2 = timeouts-but-no-fails: the documented SKIP outcome for
+ # brute-force oracles at scale, still green
+ "green": cmp_rc in (0, 2) and not fails,
+}
+json.dump(rec, open(out, "w"), indent=1)
+print(json.dumps({k: rec[k] for k in
+      ["n_pass", "n_fail", "n_oracle_timeout_skip", "green"]}))
+sys.exit(0 if rec["green"] else 1)
+EOF
