@@ -3380,67 +3380,101 @@ object SparkEntry {
       // gram_hashes64 = ONE rolling pass per doc; the per-position
       // xxhash64(substring(...)) form it replaces was O(len·n) bytes +
       // one allocation per gram, 33 CPU-seconds at sf0.1.
-      // PER-DOC gram ARRAYS are staged (chained), not the exploded
-      // stream: the freq count and the doc-join branches below both
-      // consume grams, and unstaged each re-ran the kernel +
-      // array_distinct over the corpus (two ~40 CPU-s map stages under
-      // load — the r6 contention residual). Staging the 1.4M-row
-      // EXPLODED stream was measured-and-rejected in r6 (+1 s disk
-      // round-trip); the per-doc array frame is corpus-row-count rows
-      // (~12 MB at sf0.1) and keeps the explode a cheap cache read.
-      val docGrams = graft.ops.Staging.stageToDiskChained(
-        Tables.spreadForKernel(Tables.documents(s, dir))
-          .select(col("doc_id"), array_distinct(
-            graft.functions.exprs.gram_hashes64(col("text"), 12)).as("ga")))
-      val grams = docGrams.select(col("doc_id"), explode(col("ga")).as("g"))
-      val freq = grams.groupBy(col("g")).agg(count(lit(1)).as("f"))
-      // keyed feeds FOUR scan branches (prefix self-join a/b, verify
-      // set join a/b) — EAGERLY staged to disk: with a lazy checkpoint
-      // those branches' stages launch concurrently and each recomputes
-      // the scan→explode→freq→collect chain before any blocks are
-      // published (measured 4× duplicated work, 12 s vs 5 s at sf0.1).
-      // DISK_ONLY (not the checkpoint's MEMORY_AND_DISK) so the toks
-      // arrays hold zero heap between the four reads — this query's
-      // allocation profile is what ages the heap in long sessions;
-      // Bench/Verify's per-query clearCache releases it.
-      val keyed = graft.ops.Staging.stageToDisk(grams.join(freq, "g")
-        .groupBy(col("doc_id"))
-        .agg(sort_array(collect_list(struct(col("f"), col("g")))).as("toks"))
-        .withColumn("m", size(col("toks")))
-        .withColumn("plen", col("m") - ceil(lit(tau) * col("m")).cast("int") + 1))
-      // MinHash signatures over the SAME gram arrays the verify compares
-      // (so the estimate targets exactly the verify's Jaccard), via the
-      // codegen'd minhash_sig_l kernel — one pass over the staged per-doc
-      // long arrays, 64 min-updates per element, no text re-scan. (A
-      // higher-order-function formulation of the same signature was
-      // measured at 27 CPU-s at sf0.1 — interpreted per-element lambda
-      // eval; the kernel does it in under a second.) Feeds the
-      // pre-verify est-filter below; staged because both est-join sides
-      // consume it. O(corpus · 64) long ops — corpus-linear.
-      val sigs = graft.ops.Staging.stageToDisk(docGrams.select(col("doc_id"),
-        graft.functions.exprs.minhash_sig_l(col("ga"), 64, 42L).as("sig")))
-      // docGrams' consumers are keyed's and sigs' materializations —
-      // release as soon as both frames' blocks exist
-      graft.ops.Staging.release(docGrams)
+      // NOTHING corpus×full-array-sized is staged (r11 ENOSPC fix): the
+      // earlier shape staged the per-doc gram arrays AND a full-toks
+      // keyed frame — ~40 GB of DISK_ONLY blocks at the 5M-doc probe,
+      // which filled the host's disk before the prefix join even ran.
+      // The gram kernel is cheap enough to re-run per consumer that
+      // needs full arrays (one corpus pass for keyed, a 5% sample pass
+      // for the ranks, a funnel-filtered pass for the verify sets); the
+      // only staged frame is the PREFIX-sized keyed frame below.
+      val srcDocs = Tables.documents(s, dir)
+      // Canonical token order WITHOUT a distributed frequency join
+      // (r11): heavy-gram ranks are estimated from a deterministic 5%
+      // doc sample, capped top-2M by count (driver state ≤ ~32 MB at
+      // ANY corpus size), broadcast as a binary-searchable (sorted
+      // keys, log2-bucket ranks) pair, and applied MAP-SIDE by the
+      // heavy_rank_order kernel — each doc's gram array is reordered
+      // rarest-first in one per-row call. The r10 shape computed exact
+      // global df (groupBy over the exploded ~corpus×grams stream) and
+      // joined it back per gram, then re-grouped per doc: at the 5M-doc
+      // probe that was two ~1.4B-row exchanges plus a sort-aggregate —
+      // ~90 GB of disk for an ordering HEURISTIC. Prefix filtering is
+      // lossless under any consistent total order and the est-filter +
+      // exact verify decide per pair, so the order affects candidate
+      // COUNT only, never results (see HeavyRankOrder's scaladoc; df
+      // probe: vocab 131M, df≥64 tail 1.4M, max df 778 at 5M docs).
+      // The sample filter pushes below spreadForKernel's round-robin,
+      // so only the 5% sample's text ever shuffles here.
+      val heavyRows = Tables.spreadForKernel(srcDocs)
+        .filter(pmod(xxhash64(col("doc_id")), lit(20)) === 0)
+        .select(explode(array_distinct(
+          graft.functions.exprs.gram_hashes64(col("text"), 12))).as("g"))
+        .groupBy(col("g")).agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2)
+        .orderBy(col("c").desc, col("g")).limit(2000000)
+        .collect()
+      val heavySorted = heavyRows
+        .map(r => (r.getLong(0), (63 - java.lang.Long.numberOfLeadingZeros(
+          r.getLong(1))).toByte))
+        .sortBy(_._1)
+      val bcKeys = s.sparkContext.broadcast(heavySorted.map(_._1))
+      val bcRanks = s.sparkContext.broadcast(heavySorted.map(_._2))
+      // keyed = the ONLY staged frame, and it is PREFIX-sized: (doc_id,
+      // m, the plen-long prefix slice, the 64-hash MinHash sig) ≈
+      // 1.4 KB/doc vs ~4.5 KB/doc for full toks + a separate sig frame
+      // — the difference between ~7 GB and the ~40 GB that ENOSPC'd the
+      // 5M-doc probe. EAGERLY staged DISK_ONLY: it feeds FOUR branches
+      // (prefix self-join a/b, est-filter sig joins a/b), and with a
+      // lazy checkpoint those branches' stages would each recompute the
+      // scan→order chain; DISK_ONLY so the arrays hold zero heap
+      // between reads (Bench/Verify's per-query clearCache releases
+      // it). The sig is computed over the FULL toks array before the
+      // prefix slice is taken — min() is order-invariant, so sig(toks)
+      // == sig(raw grams) and the estimate targets exactly the verify's
+      // full-set Jaccard. (The chained projections below keep the gram
+      // kernel + reorder evaluated ONCE per row: toks is referenced by
+      // several non-cheap consumers, which blocks CollapseProject from
+      // inlining it per consumer.)
+      val keyed = graft.ops.Staging.stageToDisk(
+        Tables.spreadForKernel(srcDocs)
+          .select(col("doc_id"),
+            graft.functions.BroadcastRank.heavyRankOrder(array_distinct(
+                graft.functions.exprs.gram_hashes64(col("text"), 12)),
+              bcKeys, bcRanks).as("toks"))
+          .select(col("doc_id"), size(col("toks")).as("m"), col("toks"))
+          .select(col("doc_id"), col("m"),
+            expr(s"slice(toks, 1, m - cast(ceil($tau * m) as int) + 1)")
+              .as("ptoks"),
+            graft.functions.exprs.minhash_sig_l(col("toks"), 64, 42L).as("sig")))
       // positional prefix filter (the "PP" in PPJoin): a shared element
       // at 1-based sorted position rn caps the possible overlap at
       // 1 + min(ma − rn_a, mb − rn_b); pairs that can't reach the
       // τ-equivalent overlap α = ⌈τ/(1+τ)·(ma+mb)⌉ die at the join,
       // before the distinct (measured 90k → 17k candidates at sf0.1)
-      // explicit pg-keyed repartition: the prefix stream is only ~6 MB,
-      // so AQE coalesces the self-join's input to a handful of
-      // partitions — but the JOIN's work is quadratic in bucket size,
-      // not linear in input bytes, and under load the coalesced stage
-      // serialized on 10 tasks (r7 profile). A user repartition pins
-      // the join at full parallelism; AQE honors user-specified
-      // partition counts.
+      // explicit pg-keyed repartition: the prefix stream is only ~6 MB
+      // at sf0.1, so AQE coalesces the self-join's input to a handful
+      // of partitions — but the JOIN's work is quadratic in bucket
+      // size, not linear in input bytes, and under load the coalesced
+      // stage serialized on 10 tasks (r7 profile). A user repartition
+      // pins the join's parallelism; AQE honors user partition counts.
+      // The count is ADAPTIVE (r11): a pinned 32 was right at sf0.1 but
+      // at 5M docs it handed each shuffled-hash task a ~15M-row build;
+      // one partition per ~50k docs bounds the per-task build (~1M
+      // prefix rows) at any corpus size. Row count is parquet metadata
+      // — no scan.
+      val nParts = math.max(s.sessionState.conf.numShufflePartitions,
+        math.min(2048, (srcDocs.count() / 50000L).toInt + 1))
       val prefixes = keyed
         .select(col("doc_id"), col("m"),
-          posexplode(expr("slice(toks, 1, plen)")).as(Seq("pos", "p")))
-        .select(col("doc_id"), col("m"), (col("pos") + 1).as("rn"),
-          col("p.g").as("pg"))
-        .repartition(32, col("pg"))
-      val cand = prefixes.as("a").join(prefixes.as("b"),
+          posexplode(col("ptoks")).as(Seq("pos", "pg")))
+        .select(col("doc_id"), col("m"), (col("pos") + 1).as("rn"), col("pg"))
+        .repartition(nParts, col("pg"))
+      // shuffle_hash (r11): the pg keys are near-unique 8-byte gram
+      // hashes; sort-merge sorted the ~Σplen-row prefix stream TWICE
+      // (the 5M-doc probe put its disk-filling sort spill here), where
+      // a per-partition hash build walks the buckets with no sort.
+      val cand = prefixes.as("a").hint("shuffle_hash").join(prefixes.as("b"),
           col("a.pg") === col("b.pg") && col("a.doc_id") < col("b.doc_id") &&
             greatest(col("a.m"), col("b.m")) * tau <= least(col("a.m"), col("b.m")) &&
             (lit(1) + least(col("a.m") - col("a.rn"), col("b.m") - col("b.rn")) >=
@@ -3463,23 +3497,28 @@ object SparkEntry {
       // false-negative posture as the minhash family, documented there).
       // No broadcast hint on the sig joins: locally the ~2.6 MB sig
       // frame auto-broadcasts; at corpus scale the planner shuffles the
-      // funnel-sized id pairs against it instead.
+      // funnel-sized id pairs against it instead. The sigs are cache
+      // reads of the staged keyed frame — no extra kernel pass.
+      val sigs = keyed.select(col("doc_id"), col("sig"))
       val candF = graft.ops.Staging.stageToDisk(cand
         .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
         .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
         .filter(graft.functions.exprs.sig_agree(col("sig_a"), col("sig_b"))
           >= tau - 4.0 / (2.0 * math.sqrt(64.0)))
         .select(col("id_a"), col("id_b")))
-      graft.ops.Staging.release(sigs)
       // verify via the sorted-merge Jaccard kernel (zero allocation per
-      // pair) instead of array_intersect (hash set per pair). Sets are
-      // built (and their ~500-long arrays SORTED) only for docs that
-      // actually reach the verify — post-est-filter that is funnel-sized
-      // (~500 docs at sf0.1, vs all 5,000 before).
+      // pair) instead of array_intersect (hash set per pair). Full gram
+      // sets are re-derived from the SOURCE for docs that actually
+      // reach the verify — post-est-filter that is funnel-sized (~500
+      // docs at sf0.1) at any corpus size, so the broadcast-semi join
+      // keeps the corpus scan in place (no text shuffle) and the gram
+      // kernel runs only for surviving rows. sort_array(distinct grams)
+      // == sort_array(toks): same set, same signed order.
       val candIds = candF.select(col("id_a").as("doc_id"))
         .union(candF.select(col("id_b").as("doc_id"))).distinct()
-      val sets = keyed.join(candIds, "doc_id").select(col("doc_id"),
-        sort_array(expr("transform(toks, t -> t.g)")).as("gs"))
+      val sets = srcDocs.join(broadcast(candIds), "doc_id")
+        .select(col("doc_id"), sort_array(array_distinct(
+          graft.functions.exprs.gram_hashes64(col("text"), 12))).as("gs"))
       // broadcast the candidate PAIRS into the first set join: candF is
       // funnel-sized (ids only) at any scale, while sets carries the
       // per-doc gram arrays. The second join's array payloads are now

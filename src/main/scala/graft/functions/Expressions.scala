@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, FloatType, IntegerType, LongType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Custom Catalyst expressions for the hashing hot paths. Both generate
@@ -333,6 +333,34 @@ object HashKernels extends Serializable {
     var eq = 0
     var i = 0
     while (i < n) { if (a.getLong(i) == b.getLong(i)) eq += 1; i += 1 }
+    eq.toDouble / n
+  }
+
+  /** Low-byte digest of a MinHash signature: one byte per hash position
+    * (the values are 31-bit universal-hash outputs, so the low byte is
+    * uniform). Equality of signature values implies equality of digest
+    * bytes, so [[digestAgree]] over digests is always ≥ [[sigAgree]]
+    * over the full signatures — a digest-based estimate cut is strictly
+    * MORE permissive (false byte-collisions inflate agreement by at
+    * most (1−est)/256 in expectation), never lossier. The point is
+    * shuffle bytes: 64 B per row on the banding exchange vs 520 B for
+    * the full 64-long signature.
+    */
+  def sigDigest(a: ArrayData): Array[Byte] = {
+    val n = a.numElements()
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) { out(i) = (a.getLong(i) & 0xffL).toByte; i += 1 }
+    out
+  }
+
+  /** Agreeing-byte fraction of two [[sigDigest]] digests. */
+  def digestAgree(a: Array[Byte], b: Array[Byte]): Double = {
+    val n = math.min(a.length, b.length)
+    if (n == 0) return 0.0
+    var eq = 0
+    var i = 0
+    while (i < n) { if (a(i) == b(i)) eq += 1; i += 1 }
     eq.toDouble / n
   }
 
@@ -916,6 +944,34 @@ case class SigAgree(left: Expression, right: Expression) extends BinaryExpressio
     copy(left = l, right = r)
 }
 
+/** `sig_digest(sig)`: low-byte digest of a MinHash signature (binary,
+  * one byte per position — see [[HashKernels.sigDigest]]).
+  */
+case class SigDigest(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "sig_digest"
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.sigDigest(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.sigDigest($c)")
+  override protected def withNewChildInternal(c: Expression): SigDigest = copy(child = c)
+}
+
+/** `digest_agree(a, b)`: agreeing-byte fraction of two sig_digest
+  * digests (the shuffle-compact MinHash agreement estimator).
+  */
+case class DigestAgree(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "digest_agree"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashKernels.digestAgree(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.HashKernels.digestAgree($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DigestAgree =
+    copy(left = l, right = r)
+}
+
 /** `shingle_set(text, n)`: sorted distinct int shingle hashes. */
 case class ShingleSet(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
@@ -1231,6 +1287,10 @@ object exprs {
     ColumnBridge.column(JaccardSorted(expr(a), expr(b)))
   def sig_agree(a: Column, b: Column): Column =
     ColumnBridge.column(SigAgree(expr(a), expr(b)))
+  def sig_digest(a: Column): Column =
+    ColumnBridge.column(SigDigest(expr(a)))
+  def digest_agree(a: Column, b: Column): Column =
+    ColumnBridge.column(DigestAgree(expr(a), expr(b)))
   def jaccard_sorted_l(a: Column, b: Column): Column =
     ColumnBridge.column(JaccardSortedL(expr(a), expr(b)))
   def cosine_f(a: Column, b: Column): Column =

@@ -60,16 +60,19 @@ object Dedup {
     *  1. one scan computing the k-hash signature per doc (single-pass
     *     custom expression, stays in WholeStageCodegen);
     *  2. explode to `bands` rows/doc keyed by (band, hash-of-band-slice)
-    *     — the ONLY data that shuffles is (key, doc_id);
+    *     — the ONLY data that shuffles is (key, doc_id, 64 B digest);
     *  3. self-join on the band key = raw candidates (skew note: a
     *     degenerate band bucket is capped upstream by signature
     *     entropy; AQE skew join handles the rest);
     *  4. est-FILTER the raw candidates on MinHash signature agreement
-    *     (the Jaccard estimator, cut 4σ under the threshold) — banding
-    *     alone admits ~0.5-Jaccard pairs, which on boilerplate-heavy
-    *     corpora is almost everything (measured sf0.1: 199,505 raw
-    *     candidates, 256 true pairs); the estimate costs 64 long
-    *     compares per pair against a shingle build + merge per pair;
+    *     IN the banding join's projection, via the one-byte-per-hash
+    *     digest each bucket row carries (the Jaccard estimator, cut 4σ
+    *     under the threshold) — banding alone admits ~0.5-Jaccard
+    *     pairs, which on boilerplate-heavy corpora is almost everything
+    *     (measured sf0.1: 199,505 raw candidates, 256 true pairs); the
+    *     estimate costs 64 byte compares per pair, evaluated before ANY
+    *     pair-level exchange, so no shuffle anywhere in the funnel
+    *     scales with the raw candidate count;
     *  5. join the SURVIVING ids back to the SOURCE, computing shingle
     *     sets only for plausible docs, and verify exact Jaccard.
     *
@@ -86,9 +89,11 @@ object Dedup {
     * shingling only matched rows. Cost: one extra corpus scan; only
     * signature- and funnel-sized frames are staged.
     *
-    * Staging: the signature frame, filtered candidate pairs, and
-    * candidate shingle sets are [[Staging]]-materialized (each feeds
-    * two+ consumer branches) and released before return; the verified
+    * Staging: the filtered candidate pairs and candidate shingle sets
+    * are [[Staging]]-materialized (each feeds two+ consumer branches)
+    * and released before return (the signature frame needs no staging —
+    * the banding self-join reuses one exchange, so the kernel runs once
+    * per doc with no second consumer); the verified
     * pair set — the small funnel output downstream closure loops and
     * anti-joins reuse — is an eager localCheckpoint, so nothing this
     * operator persists stays registered in the session cache after it
@@ -97,31 +102,23 @@ object Dedup {
   def minhashNearDupPairs(
       docs: DataFrame, textCol: String, idCol: String,
       p: MinhashParams = MinhashParams()): DataFrame = {
-    // spread: the signature kernel must not serialize on a one-split scan
-    // STAGED (chained): the signature frame feeds both sides of the LSH
-    // self-join AND both sides of the est-filter join below — unstaged,
-    // each consumer re-runs the most expensive map kernel in the
-    // pipeline over the whole corpus. (id, 64 longs) ≈ 0.5KB/row.
-    val sigs = Staging.stageToDiskChained(
-      graft.sources.Tables.spreadForKernel(docs).select(
-        col(idCol).as("id"),
-        exprs.minhash_sig(col(textCol), p.shingleN, p.numHashes, p.seed).as("sig")))
-
+    // spread: the signature kernel must not serialize on a one-split scan.
+    // Bucket rows carry (id, band-hash, DIGEST) — the full 64-long
+    // signature never leaves the map side. sig_digest keeps one byte per
+    // hash position (64 B vs 520 B), so the banding exchange stays
+    // corpus-linear at ~90 B/row · bands; the self-join reuses that ONE
+    // exchange for both sides, so the signature kernel runs once per doc.
+    val sigged = graft.sources.Tables.spreadForKernel(docs).select(
+      col(idCol).as("id"),
+      exprs.minhash_sig(col(textCol), p.shingleN, p.numHashes, p.seed).as("sig"))
     val bandCols = (0 until p.bands).map { i =>
       struct(lit(i).as("band"),
         xxhash64(slice(col("sig"), i * p.rowsPerBand + 1, p.rowsPerBand)).as("bh"))
     }
-    val buckets = sigs
-      .select(col("id"), explode(array(bandCols: _*)).as("b"))
-      .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
-
-    val a = buckets.as("a")
-    val b = buckets.as("b")
-    val rawCandidates = a.join(b,
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+    val buckets = sigged
+      .select(col("id"), exprs.sig_digest(col("sig")).as("dg"),
+        explode(array(bandCols: _*)).as("b"))
+      .select(col("id"), col("dg"), col("b.band").as("band"), col("b.bh").as("bh"))
 
     // PRE-VERIFY est-filter — the step that keeps the funnel "rare by
     // construction" honest on boilerplate-heavy corpora. Banding's
@@ -130,29 +127,41 @@ object Dedup {
     // produce candidate sets dominated by ~0.2-Jaccard pairs (measured
     // at sf0.1: 199,505 candidates spanning 98% of docs, of which 256
     // are true ≥0.8 pairs). Filtering on the MinHash Jaccard ESTIMATE
-    // (signature agreement — already computed, 64 compares/pair)
-    // collapses the funnel before the expensive shingle-set build +
-    // sorted-merge verify. Cut = threshold − estFilterSigmas·σ with
-    // σ ≤ 1/(2√k) (default 4σ): a true threshold pair falls below it
-    // w.p. ~3e-5 PER PAIR, so the output is banding ∘ est-filter ∘
-    // exact-verify — NOT exactly banding ∘ exact-verify. That residual
-    // false-negative probability composes with banding's own misses
-    // (which dominate: a 0.8-Jaccard pair escapes 16×4 banding w.p.
-    // ~2%); at billions of candidate pairs the expected est-filter miss
-    // count is nonzero. Widen estFilterSigmas if that residual matters
-    // more than the pruning. The EXACT verify still decides membership
-    // for every pair that reaches it.
+    // (digest agreement — 64 byte-compares, computed IN the banding
+    // join's projection) collapses the funnel before any pair-level
+    // shuffle: the r10 shape joined the full signatures onto the raw
+    // candidate set AFTER the distinct, which pushed candidates×520 B
+    // through two exchanges — ~130 GB at the 5M-doc probe (243M raw
+    // pairs), the stage that filled the probe host's disk. Est-filtering
+    // in the join leaves only survivors for the distinct, and no
+    // pair-count-scaled shuffle exists anywhere in the funnel.
+    // Cut = threshold − estFilterSigmas·σ with σ ≤ 1/(2√k) (default
+    // 4σ): a true threshold pair falls below it w.p. ~3e-5 PER PAIR, so
+    // the output is banding ∘ est-filter ∘ exact-verify — NOT exactly
+    // banding ∘ exact-verify. That residual false-negative probability
+    // composes with banding's own misses (which dominate: a 0.8-Jaccard
+    // pair escapes 16×4 banding w.p. ~2%). The digest estimate is
+    // strictly ≥ the full-signature estimate (byte equality ⊇ long
+    // equality, bias ≤ (1−est)/256), so moving to digests only ADMITS
+    // borderline pairs — the exact verify still decides membership for
+    // every pair that reaches it. Widen estFilterSigmas if the residual
+    // matters more than the pruning.
+    // shuffle_hash: bucket keys are near-unique 8-byte hashes (probe
+    // max bucket ~1.8k at 5M docs); a sort-merge join would sort the
+    // ~bands·corpus row stream twice for buckets a hash map walks —
+    // the same call as the span family's anchor join.
     val estCut = math.max(0.0,
       p.jaccardThreshold - p.estFilterSigmas / (2.0 * math.sqrt(p.numHashes.toDouble)))
-    // candidates (now the PLAUSIBLE set) feeds the shingle join-back and
-    // the final verify — staged so the LSH self-join + est-filter run
-    // exactly once. CHAINED: candDocs' one materialization job below
-    // computes this subtree (and sigs') and fills both caches.
-    val candidates = Staging.stageToDiskChained(rawCandidates
-      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
-      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
-      .filter(exprs.sig_agree(col("sig_a"), col("sig_b")) >= estCut)
-      .select(col("id_a"), col("id_b")))
+    val a = buckets.as("a")
+    val b = buckets.as("b")
+    // candidates (the PLAUSIBLE set) feeds the shingle join-back and
+    // the final verify — staged so the banding self-join runs once.
+    val candidates = Staging.stageToDiskChained(a.hint("shuffle_hash").join(b,
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.id") < col("b.id"))
+      .filter(exprs.digest_agree(col("a.dg"), col("b.dg")) >= estCut)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct())
 
     // Shingle only the docs that appear in some candidate pair. The id
     // set and the shingled candidate docs are both tiny; stage the
@@ -179,7 +188,7 @@ object Dedup {
         // outlives this call (asserted in DedupSpec's hygiene test)
         verified.localCheckpoint(eager = true)
       } finally Staging.release(candDocs)
-    } finally Staging.release(candidates, sigs)
+    } finally Staging.release(candidates)
   }
 
   /** Smallest-id connected-component labels over an undirected pair set:
@@ -502,7 +511,9 @@ object Dedup {
     * OR-amplify recall: a pair is a candidate if it collides in ANY
     * table, so the miss probability decays exponentially in the table
     * count — the LSH analog of MinHash banding. Pairs that collide in
-    * several tables are deduplicated before the cosine verify.
+    * several tables are verified in each table's bucket join (the
+    * cosine is deterministic, so the duplicates are identical rows)
+    * and deduplicated after the threshold filter.
     */
   def embeddingNearDupPairs(
       embs: DataFrame, vecCol: String, idCol: String,
@@ -513,28 +524,33 @@ object Dedup {
       struct(lit(t).as("t"),
         Similarity.hyperplaneSignature(col("v"), numPlanes, dim, seed + t).as("sig"))
     }
-    // Bucket rows and candidate pairs carry IDS ONLY. Carrying the
-    // vectors through the explode/join/dedup would (a) multiply the
-    // shuffled bytes by numTables and (b) force the distinct into a
-    // SortAggregate (array-typed agg buffers aren't hash-able) — a full
-    // sort of the candidate space. Ids alone keep it a HashAggregate;
-    // vectors are joined back only for the (rare) surviving candidates.
+    // Bucket rows CARRY THEIR VECTOR; the cosine is computed and
+    // thresholded in the bucket join's own projection, and only
+    // (id_a, id_b, cosine) survivors reach the dedup. The r10 shape
+    // shuffled ids-only buckets and re-joined vectors onto the DISTINCT
+    // candidate set — but that makes two exchanges scale with the
+    // CANDIDATE count × vector width (~30 collision pairs/vector at the
+    // 2M probe ⇒ ~32 GB), where bucket rows scale with corpus ×
+    // numTables (~4 GB at 2M, and the self-join reuses the one
+    // exchange). Pair-count-scaled shuffles are the thing that dies
+    // first on skewed corpora; corpus-linear ones just get slower.
+    // The distinct stays a HashAggregate — vectors are projected away
+    // before it, and duplicate collisions (same pair in several tables)
+    // produce identical deterministic cosines.
+    // shuffle_hash: bucket keys are numPlanes-bit signatures (adaptive
+    // planes keep mean occupancy ~16); no sort, per-partition builds.
     val buckets = keyed
-      .select(col("id"), explode(array(tableCols: _*)).as("b"))
-      .select(col("id"), col("b.t").as("t"), col("b.sig").as("sig"))
+      .select(col("id"), col("v"), explode(array(tableCols: _*)).as("b"))
+      .select(col("id"), col("v"), col("b.t").as("t"), col("b.sig").as("sig"))
     val a = buckets.as("a")
     val b = buckets.as("b")
-    val candidates = a.join(b,
+    a.hint("shuffle_hash").join(b,
         col("a.t") === col("b.t") && col("a.sig") === col("b.sig") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-    candidates
-      .join(keyed.select(col("id").as("id_a"), col("v").as("va")), "id_a")
-      .join(keyed.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
-      .withColumn("cosine", exprs.cosine_f(col("va"), col("vb")))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        exprs.cosine_f(col("a.v"), col("b.v")).as("cosine"))
       .filter(col("cosine") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cosine"))
+      .distinct()
   }
 
   // ---------------------------------------------- incremental (delta) dedup
