@@ -15,7 +15,11 @@ class StreamBenchSpec extends SparkSpecBase {
 
   test("rate->session_window->upsert sustains 2k rows/s with bounded state") {
     val dir = java.nio.file.Files.createTempDirectory("sbspec").toString
-    val rec = StreamBench.run(spark, rowsPerSecond = 2000, runSeconds = 18,
+    // 40 s, not 18: on a slow-start host the first batches run 4-7 s
+    // against the 2 s trigger (codegen + state-store init + parquet
+    // upsert on 4 cores), and the warmup skip of 3 batches needs a
+    // long enough tail of measured batches left to judge sustain.
+    val rec = StreamBench.run(spark, rowsPerSecond = 2000, runSeconds = 40,
       stateDir = dir)
     info(StreamBench.json(rec))
     // throughput: the post-warmup window ingests >= 90% of the nominal
