@@ -3421,20 +3421,20 @@ object SparkEntry {
       val bcKeys = s.sparkContext.broadcast(heavySorted.map(_._1))
       val bcRanks = s.sparkContext.broadcast(heavySorted.map(_._2))
       // keyed = the ONLY staged frame, and it is PREFIX-sized: (doc_id,
-      // m, the plen-long prefix slice, the 64-hash MinHash sig) ≈
-      // 1.4 KB/doc vs ~4.5 KB/doc for full toks + a separate sig frame
-      // — the difference between ~7 GB and the ~40 GB that ENOSPC'd the
-      // 5M-doc probe. EAGERLY staged DISK_ONLY: it feeds FOUR branches
-      // (prefix self-join a/b, est-filter sig joins a/b), and with a
-      // lazy checkpoint those branches' stages would each recompute the
-      // scan→order chain; DISK_ONLY so the arrays hold zero heap
-      // between reads (Bench/Verify's per-query clearCache releases
-      // it). The sig is computed over the FULL toks array before the
-      // prefix slice is taken — min() is order-invariant, so sig(toks)
-      // == sig(raw grams) and the estimate targets exactly the verify's
-      // full-set Jaccard. (The chained projections below keep the gram
-      // kernel + reorder evaluated ONCE per row: toks is referenced by
-      // several non-cheap consumers, which blocks CollapseProject from
+      // m, the plen-long prefix slice, a 64-BYTE signature digest) ≈
+      // 0.6 KB/doc vs ~4.5 KB/doc for full toks + a separate sig frame
+      // — the difference between ~3 GB and the ~40 GB that ENOSPC'd the
+      // 5M-doc probe. EAGERLY staged DISK_ONLY: it feeds the prefix
+      // self-join's two sides, and with a lazy checkpoint those
+      // branches' stages would each recompute the scan→order chain;
+      // DISK_ONLY so the arrays hold zero heap between reads
+      // (Bench/Verify's per-query clearCache releases it). The digest
+      // is computed over the FULL toks array before the prefix slice
+      // is taken — min() is order-invariant, so sig(toks) == sig(raw
+      // grams) and the estimate targets exactly the verify's full-set
+      // Jaccard. (The chained projections below keep the gram kernel +
+      // reorder evaluated ONCE per row: toks is referenced by several
+      // non-cheap consumers, which blocks CollapseProject from
       // inlining it per consumer.)
       val keyed = graft.ops.Staging.stageToDisk(
         Tables.spreadForKernel(srcDocs)
@@ -3446,7 +3446,8 @@ object SparkEntry {
           .select(col("doc_id"), col("m"),
             expr(s"slice(toks, 1, m - cast(ceil($tau * m) as int) + 1)")
               .as("ptoks"),
-            graft.functions.exprs.minhash_sig_l(col("toks"), 64, 42L).as("sig")))
+            graft.functions.exprs.sig_digest(
+              graft.functions.exprs.minhash_sig_l(col("toks"), 64, 42L)).as("dg")))
       // positional prefix filter (the "PP" in PPJoin): a shared element
       // at 1-based sorted position rn caps the possible overlap at
       // 1 + min(ma − rn_a, mb − rn_b); pairs that can't reach the
@@ -3466,46 +3467,49 @@ object SparkEntry {
       val nParts = math.max(s.sessionState.conf.numShufflePartitions,
         math.min(2048, (srcDocs.count() / 50000L).toInt + 1))
       val prefixes = keyed
-        .select(col("doc_id"), col("m"),
+        .select(col("doc_id"), col("m"), col("dg"),
           posexplode(col("ptoks")).as(Seq("pos", "pg")))
-        .select(col("doc_id"), col("m"), (col("pos") + 1).as("rn"), col("pg"))
+        .select(col("doc_id"), col("m"), col("dg"),
+          (col("pos") + 1).as("rn"), col("pg"))
         .repartition(nParts, col("pg"))
       // shuffle_hash (r11): the pg keys are near-unique 8-byte gram
       // hashes; sort-merge sorted the ~Σplen-row prefix stream TWICE
       // (the 5M-doc probe put its disk-filling sort spill here), where
       // a per-partition hash build walks the buckets with no sort.
+      //
+      // PRE-VERIFY est-filter IN the join (the r11
+      // Dedup.minhashNearDupPairs shape): the prefix funnel's survivors
+      // are overwhelmingly junk — measured at sf0.1: 16,871 candidates
+      // of which 16,612 have TRUE jaccard < 0.1 and only 259 reach
+      // τ = 0.8 (the positional filter can't see past one shared gram;
+      // an aggregated positional bound was measured to kill ZERO of
+      // them). The r10 shape est-filtered AFTER the distinct by joining
+      // 512-B signatures onto the pair set — at the 5M-doc probe the
+      // pre-distinct pair exchange (~500M duplicated pairs) plus the
+      // two signature joins' sort-merge spill filled the host's disk
+      // (ENOSPC surfacing as SPILL_OUT_OF_MEMORY). Filtering on the
+      // 64-BYTE digest each prefix row carries (agreement cut τ − 4σ,
+      // σ = 1/(2√64) ⇒ 0.55) collapses the funnel ~65× before ANY
+      // pair-level exchange — the distinct sees est-survivors only, and
+      // no shuffle anywhere scales with the raw candidate count. Digest
+      // agreement ≥ full-signature agreement pointwise (byte equality ⊇
+      // long equality, bias ≤ (1−est)/256), so vs the r10 sig_agree cut
+      // this only ADMITS borderline pairs — and the exact verify still
+      // decides membership of every survivor. Residual: a true τ-pair
+      // falls under the cut w.p. ~3e-7 (same documented posture as the
+      // minhash family; the DuckDB oracle is the exact all-pairs ground
+      // truth, so the est-filter is recall-audited every round).
+      val estCut = tau - 4.0 / (2.0 * math.sqrt(64.0))
       val cand = prefixes.as("a").hint("shuffle_hash").join(prefixes.as("b"),
           col("a.pg") === col("b.pg") && col("a.doc_id") < col("b.doc_id") &&
             greatest(col("a.m"), col("b.m")) * tau <= least(col("a.m"), col("b.m")) &&
             (lit(1) + least(col("a.m") - col("a.rn"), col("b.m") - col("b.rn")) >=
               ceil(lit(tau / (1 + tau)) * (col("a.m") + col("b.m")))))
+        .filter(graft.functions.exprs.digest_agree(col("a.dg"), col("b.dg"))
+          >= estCut)
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
         .distinct()
-      // PRE-VERIFY est-filter (r8, the Dedup.minhashNearDupPairs shape):
-      // the prefix funnel's survivors are overwhelmingly junk — measured
-      // at sf0.1: 16,871 candidates of which 16,612 have TRUE jaccard
-      // < 0.1 and only 259 reach τ = 0.8 (the positional filter can't
-      // see past one shared gram; an aggregated positional bound was
-      // measured to kill ZERO of them). Each junk candidate previously
-      // dragged two ~500-long gram arrays through the verify exchange —
-      // 46 MB of shuffle + the per-pair sorted merge, the query's
-      // biggest stage (5.4 CPU-s at sf0.1). The signature agreement cut
-      // (τ − 4σ, σ = 1/(2√64) ⇒ 0.55) collapses the funnel ~65× before
-      // any array moves; the corpus separates by a 0.7 jaccard gap, so
-      // a true pair falls under the cut w.p. ~3e-7 (the exact verify
-      // still decides membership of every survivor — same residual
-      // false-negative posture as the minhash family, documented there).
-      // No broadcast hint on the sig joins: locally the ~2.6 MB sig
-      // frame auto-broadcasts; at corpus scale the planner shuffles the
-      // funnel-sized id pairs against it instead. The sigs are cache
-      // reads of the staged keyed frame — no extra kernel pass.
-      val sigs = keyed.select(col("doc_id"), col("sig"))
-      val candF = graft.ops.Staging.stageToDisk(cand
-        .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
-        .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
-        .filter(graft.functions.exprs.sig_agree(col("sig_a"), col("sig_b"))
-          >= tau - 4.0 / (2.0 * math.sqrt(64.0)))
-        .select(col("id_a"), col("id_b")))
+      val candF = graft.ops.Staging.stageToDisk(cand)
       // verify via the sorted-merge Jaccard kernel (zero allocation per
       // pair) instead of array_intersect (hash set per pair). Full gram
       // sets are re-derived from the SOURCE for docs that actually

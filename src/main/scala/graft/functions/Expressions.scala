@@ -710,6 +710,35 @@ object HashKernels extends Serializable {
     * `floor(q*1048576.0/sqrt(n2)+0.5)`). The zero vector maps to
     * zeros, not NaN. Output ≈ the unit vector at scale 2^20.
     */
+  /** Elementwise int64 difference (see [[SubQ]]). Length = min of the
+    * two arrays, matching zip_with-on-equal-length semantics for the
+    * equal-dim vectors this is used on.
+    */
+  def subQ(a: ArrayData, b: ArrayData): ArrayData = {
+    val n = math.min(a.numElements(), b.numElements())
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) { out(i) = a.getLong(i) - b.getLong(i); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Plain 2^20 integer quantization (no normalization): the exact
+    * arithmetic of the Catalyst HOF `transform(v, x ->
+    * cast(floor(cast(x as double)·1048576.0 + 0.5) as bigint))` —
+    * float→double exact, power-of-2 scale, Math.floor — in one
+    * codegen-friendly kernel call (see [[Quantize20]]).
+    */
+  def quantize20(v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = math.floor(v.getFloat(i).toDouble * 1048576.0 + 0.5).toLong
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def quantNorm20(v: ArrayData): ArrayData = {
     val n = v.numElements()
     val q = new Array[Long](n)
@@ -1151,6 +1180,42 @@ case class ContainmentCounts(child: Expression, n: Int, evalSets: Array[Array[In
     copy(child = c)
 }
 
+/** `quantize20(vec)`: plain (un-normalized) integer quantization
+  * q_i = floor(v_i·2^20 + 0.5) of a float vector — bit-identical to
+  * the `transform(v, x -> floor(cast(x as double)·1048576.0 + 0.5))`
+  * HOF it replaces on the IVF/semdedup front halves. The HOF form is
+  * CodegenFallback (every HigherOrderFunction is), which dropped the
+  * corpus-scan projection out of whole-stage codegen into per-element
+  * interpreted eval — measured ~100 µs/row at dim 64 vs ~1 µs here,
+  * ×3 consumer passes of the unstaged cells frame = the dominant cost
+  * of q_ann_ivf at the 2M-vector probe.
+  */
+case class Quantize20(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "quantize20"
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.quantize20(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.quantize20($c)")
+  override protected def withNewChildInternal(c: Expression): Quantize20 = copy(child = c)
+}
+
+/** `sub_q(a, b)`: elementwise int64 difference of two long arrays —
+  * the PQ residual (nq − centroid). Replaces `zip_with(a, b, _-_)`,
+  * which (like every HigherOrderFunction) is CodegenFallback and was
+  * evaluated interpreted per corpus row on the IVF+PQ index path.
+  */
+case class SubQ(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "sub_q"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashKernels.subQ(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashKernels.subQ($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SubQ =
+    copy(left = l, right = r)
+}
+
 /** `quant_norm20(vec)`: unit-sphere integer quantization of a float
   * vector (see [[HashKernels.quantNorm20]]'s portability contract) —
   * the shared front door of the portable PQ / IVF+PQ kernels.
@@ -1313,6 +1378,10 @@ object exprs {
     ColumnBridge.column(ContainmentCounts(expr(c), n, evalSets))
   def quant_norm20(c: Column): Column =
     ColumnBridge.column(QuantNorm20(expr(c)))
+  def quantize20_q(c: Column): Column =
+    ColumnBridge.column(Quantize20(expr(c)))
+  def sub_q(a: Column, b: Column): Column =
+    ColumnBridge.column(SubQ(expr(a), expr(b)))
   def pq_encode_q(c: Column, codebook: Array[Long], m: Int, k: Int): Column =
     ColumnBridge.column(PqEncodeQ(expr(c), codebook, m, k))
   def pq_table_q(c: Column, codebook: Array[Long], m: Int, k: Int): Column =

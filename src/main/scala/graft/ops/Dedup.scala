@@ -866,8 +866,7 @@ object Dedup {
     // codebook fit here); τ-pair cosines and cent_sim use the SAME
     // quantized vectors via the exact-integer cosine_q kernel.
     val keyed = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("qv", expr(
-        "transform(v, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0D + 0.5D) AS BIGINT))"))
+      .withColumn("qv", graft.functions.exprs.quantize20_q(col("v")))
       .select(col("id"), col("qv"))
     // QUERY-LIFETIME staging (the q_corpus_pipeline convention — the
     // session's per-query clearCache releases it): consumed by the init

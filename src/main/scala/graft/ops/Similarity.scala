@@ -183,8 +183,7 @@ object Similarity {
     * every portable integer-geometry kernel here shares with
     * [[graft.ops.Dedup.semDeDup]] and its DuckDB replays.
     */
-  private def quantize20(c: Column): Column =
-    transform(c, x => floor(x.cast("double") * lit(1048576.0) + lit(0.5)).cast("long"))
+  private def quantize20(c: Column): Column = exprs.quantize20_q(c)
 
   private def ivfCellsAndRankedProbes(
       corpus: DataFrame, corpusId: String, corpusVec: String,
@@ -278,11 +277,15 @@ object Similarity {
       .toDF("cell", "cent")
     val withD = cells.join(broadcast(centDf), "cell")
       .select(col("cell"), exprs.dist2_q(col("qv_q"), col("cent")).as("d2"))
-    val cnts = withD.groupBy("cell").agg(count(lit(1)).as("n"))
+    // n per cell comes from an unbounded-frame count over the SAME
+    // window partition the rank-select sorts — one corpus pass instead
+    // of a separate groupBy pass (each pass re-runs the unstaged
+    // quantize+argmin scan; identical statistic either way)
     val wr = Window.partitionBy(col("cell")).orderBy(col("d2").asc)
+    val wn = Window.partitionBy(col("cell"))
     val radii: Map[Int, Long] = withD
       .withColumn("rn", row_number().over(wr))
-      .join(broadcast(cnts), "cell")
+      .withColumn("n", count(lit(1)).over(wn))
       .filter(col("rn") === expr("(n * 9 + 9) div 10")) // = ceil(0.9·n)
       .select(col("cell"), col("d2"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
@@ -687,9 +690,10 @@ object Similarity {
       Array.tabulate(dim)(d => nq(d) - coarseCb(cell * dim + d))
     }
     val pqCb = fitPqCodebookQ(residuals, m, codebookSize, fitIters)
-    // residual = nq − centroid as an exact integer zip_with against the
-    // broadcast numCells-row centroid frame (no custom expression needed
-    // — the subtraction is a codegen'd builtin HOF)
+    // residual = nq − centroid as an exact integer subtraction against
+    // the broadcast numCells-row centroid frame. sub_q, not
+    // zip_with(_-_): every HigherOrderFunction is CodegenFallback, so
+    // the zip_with form was interpreted per corpus row (r11 probe)
     val centDf = corpus.sparkSession
       .createDataFrame((0 until numCells).map { j =>
         (j, (0 until dim).map(d => coarseCb(j * dim + d)))
@@ -700,7 +704,7 @@ object Similarity {
       .join(broadcast(centDf), "cell")
       .select(col("neighbor_id"), col("cell"),
         exprs.pq_encode_q(
-          zip_with(col("nq"), col("cent"), (a, b) => a - b),
+          exprs.sub_q(col("nq"), col("cent")),
           pqCb, m, codebookSize).as("codes"))
     (index, coarseCb, pqCb)
   }

@@ -9,16 +9,27 @@ set -u
 cd "$(dirname "$0")/.."
 OUT=${1:-bench_baselines/r11_docs_k1000.json}
 QUERIES="q_dedup_exact,q_dedup_minhash,q_dedup_minhash_pairs,q_simjoin_prefix,q_embed_neardup,q_semdedup,q_component_labels,q_substring_dup,q_containment,q_ann_topk,q_ann_ivf,q_ann_ivf_recall,q_ann_ivfpq,q_ann_ivfpq_recall,q_dedup_simhash_pairs,q_token_budget"
-D=$(mktemp -d /tmp/docsprobe.XXXX)
+# PROBE_DIR: pass a prior run's tmpdir to resume — a leg whose json
+# already exists is not re-run (each leg is 13-60 min).
+D=${PROBE_DIR:-$(mktemp -d /tmp/docsprobe.XXXX)}
+echo "probe dir: $D"
+
+# ScaleGenDocs writes only documents/embeddings; Bench's warmup reads
+# lineitem unconditionally, so link the sf0.1 star tables in (none of
+# the probed queries touch them).
+for t in region nation customer supplier part orders lineitem events; do
+  [ -e "sfgen/sf100docs/$t.parquet" ] || \
+    ln -s "/root/testdata/sf0.1/$t.parquet" "sfgen/sf100docs/$t.parquet"
+done
 
 run() { # sfdir outjson heap
   SPARK_GRAFT_SF_DIR=$1 SPARK_GRAFT_QUERIES="$QUERIES" SPARK_DRIVER_MEM=$3 \
-    bash tools/runmain.sh graft.Bench > "$D/$2.stdout" 2> "$D/$2.stderr"
+    bash tools/runmain.sh graft.Bench > "$D/$2.stdout" 2> "$D/$2.stderr" || return 1
   mv bench_full.json "$D/$2.json"
 }
 
-run sfgen/sf10      sf10  64g || exit 1
-run sfgen/sf100docs k1000 96g || exit 1
+[ -f "$D/sf10.json" ]  || run sfgen/sf10      sf10  64g || exit 1
+[ -f "$D/k1000.json" ] || run sfgen/sf100docs k1000 96g || exit 1
 
 python3 - "$D" "$OUT" <<'EOF'
 import json, sys
