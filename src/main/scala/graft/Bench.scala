@@ -97,7 +97,7 @@ object Bench {
     // committed per-query baseline (also feeds the vs_prev gate below):
     // loaded up front so the blip-retry policy can consult it per query
     val baselineFile = new java.io.File(
-      s"bench_baselines/${sys.env.getOrElse("SPARK_GRAFT_BASELINE", "r09")}_${
+      s"bench_baselines/${sys.env.getOrElse("SPARK_GRAFT_BASELINE", "r11")}_${
         new java.io.File(sfDir).getName}.txt")
     val base: Map[String, Double] =
       if (!baselineFile.isFile) Map.empty
