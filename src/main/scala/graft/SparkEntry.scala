@@ -2582,7 +2582,12 @@ object SparkEntry {
     // here), with a copy index for downstream shuffling. explode of a
     // sequence — rows scale by the weight, no shuffle at all.
     "q_mix_upsample" -> ((s, dir) => {
-      val weight = (substring(col("source"), 4, 10).cast("int") % 3 + 1).cast("int")
+      // non-numeric source suffixes (adversarial corpus) weight 1:
+      // under ANSI mode a plain cast THROWS on 'ersarial' (and DuckDB's
+      // CAST errors) — both sides agree on coalesce(try_cast, 1)
+      val weight = coalesce(
+        expr("try_cast(substring(source, 4, 10) AS INT)") % 3 + 1,
+        lit(1)).cast("int")
       Tables.documents(s, dir)
         .select(col("doc_id"), col("source"), weight.as("w"))
         .withColumn("copy_idx", explode(sequence(lit(1), col("w"))))
@@ -4066,18 +4071,40 @@ object SparkEntry {
 
   /** Shared CTE prefix computing `simhashes(doc_id, simhash)` — a
     * bit-exact DuckDB port of [[graft.functions.HashKernels.simHash]]
-    * (n=3): gram hash c1*B^2 + c2*B + c3 with B=1000003 over ASCII
-    * codes, splitmix64 finalizer (add 0x9e3779b97f4a7c15, two xor-shift
-    * + wrap-multiply rounds), per-bit +-1 majority vote, then re-sign
-    * the unsigned result to Spark's LongType bit pattern.
+    * (n=3): gram hash b1*B^2 + b2*B + b3 with B=1000003 over UTF-8
+    * BYTES (extracted via hex(encode(text)) two-hex-digit slices — the
+    * engine kernel hashes bytes, and the earlier ascii(substring(...))
+    * form hashed CODEPOINTS, which coincides with bytes only on ASCII
+    * text and overflowed INT32 on CJK codepoints — both caught by the
+    * r11 adversarial corpus), splitmix64 finalizer (add
+    * 0x9e3779b97f4a7c15, two xor-shift + wrap-multiply rounds), per-bit
+    * +-1 majority vote, then re-sign the unsigned result to Spark's
+    * LongType bit pattern.
     */
   private val SimhashOracleCte: String =
-    s"""WITH grams AS (
+    s"""WITH hx AS (
+       |  SELECT doc_id, hex(encode(text)) AS hs,
+       |         octet_length(encode(text)) AS nb
+       |  FROM documents),
+       |grams AS (
        |  SELECT doc_id,
-       |         (ascii(substring(text, i, 1)) * 1000006000009
-       |          + ascii(substring(text, i + 1, 1)) * 1000003
-       |          + ascii(substring(text, i + 2, 1)))::UBIGINT AS h
-       |  FROM documents, LATERAL (SELECT unnest(range(1, length(text) - 1)) AS i)
+       |         (CAST('0x' || substring(hs, 2*i - 1, 2) AS BIGINT) * 1000006000009
+       |          + CAST('0x' || substring(hs, 2*i + 1, 2) AS BIGINT) * 1000003
+       |          + CAST('0x' || substring(hs, 2*i + 3, 2) AS BIGINT))::UBIGINT AS h
+       |  FROM hx, LATERAL (SELECT unnest(range(1, nb - 1)) AS i)
+       |  UNION ALL
+       |  -- texts shorter than the 3-byte window: the kernel returns
+       |  -- mix64(rollingHash(text)) directly; a SINGLETON gram through
+       |  -- the vote reproduces exactly that (vote of one element = its
+       |  -- own bits), so short docs feed their whole-text polynomial in
+       |  SELECT doc_id,
+       |         (sum(CAST('0x' || substring(hs, 2*i - 1, 2) AS BIGINT)
+       |              * (CASE nb - i WHEN 0 THEN 1 ELSE 1000003 END)))::UBIGINT AS h
+       |  FROM (SELECT doc_id, hs, nb, unnest(range(1, nb + 1)) AS i
+       |        FROM hx WHERE nb >= 1 AND nb < 3)
+       |  GROUP BY doc_id
+       |  UNION ALL
+       |  SELECT doc_id, 0::UBIGINT AS h FROM hx WHERE nb = 0
        |),
        |m1 AS (SELECT doc_id,
        |         ((h::HUGEINT + 11400714819323198485::HUGEINT)
@@ -4823,16 +4850,36 @@ object SparkEntry {
       val c3 = (bigB * bigB * bigB) % m64
       val c4 = (bigB * bigB * bigB * bigB) % m64
       s"""WITH co(p, a, b) AS (VALUES $co),
+         |hx AS (
+         |  SELECT doc_id, source, hex(encode(text)) AS hs,
+         |         octet_length(encode(text)) AS nb
+         |  FROM documents),
          |g AS (
+         |  -- 5-byte windows over UTF-8 BYTES (hex-slice extraction): the
+         |  -- engine kernel rolls over raw bytes, and the earlier
+         |  -- ascii(substring(...)) form hashed CODEPOINTS — identical only
+         |  -- on ASCII text (r11 adversarial fix)
          |  SELECT source,
-         |         ((ascii(substring(text, i, 1))::HUGEINT * $c4::HUGEINT
-         |           + ascii(substring(text, i + 1, 1))::HUGEINT * $c3::HUGEINT
-         |           + ascii(substring(text, i + 2, 1))::HUGEINT * $c2::HUGEINT
-         |           + ascii(substring(text, i + 3, 1))::HUGEINT * 1000003
-         |           + ascii(substring(text, i + 4, 1)))
+         |         ((CAST('0x' || substring(hs, 2*i - 1, 2) AS BIGINT)::HUGEINT * $c4::HUGEINT
+         |           + CAST('0x' || substring(hs, 2*i + 1, 2) AS BIGINT)::HUGEINT * $c3::HUGEINT
+         |           + CAST('0x' || substring(hs, 2*i + 3, 2) AS BIGINT)::HUGEINT * $c2::HUGEINT
+         |           + CAST('0x' || substring(hs, 2*i + 5, 2) AS BIGINT)::HUGEINT * 1000003
+         |           + CAST('0x' || substring(hs, 2*i + 7, 2) AS BIGINT)::HUGEINT)
          |          % 18446744073709551616::HUGEINT)::UBIGINT AS h
-         |  FROM documents,
-         |       LATERAL (SELECT unnest(range(1, length(text) - 3)) AS i)),
+         |  FROM hx, LATERAL (SELECT unnest(range(1, nb - 3)) AS i)
+         |  UNION ALL
+         |  -- texts shorter than the 5-byte window emit ONE whole-text
+         |  -- shingle (the kernel's i == len-1 case); empty texts emit none
+         |  SELECT source,
+         |         (sum(CAST('0x' || substring(hs, 2*i - 1, 2) AS BIGINT)::HUGEINT
+         |              * (CASE nb - i WHEN 0 THEN 1::HUGEINT
+         |                             WHEN 1 THEN 1000003::HUGEINT
+         |                             WHEN 2 THEN 1000006000009::HUGEINT
+         |                             ELSE 1000009000027000027::HUGEINT END))
+         |          % 18446744073709551616::HUGEINT)::UBIGINT AS h
+         |  FROM (SELECT doc_id, source, hs, nb, unnest(range(1, nb + 1)) AS i
+         |        FROM hx WHERE nb >= 1 AND nb < 5)
+         |  GROUP BY doc_id, source),
          |m1 AS (SELECT source, ((h::HUGEINT + 11400714819323198485::HUGEINT)
          |         % 18446744073709551616::HUGEINT)::UBIGINT AS x FROM g),
          |m2 AS (SELECT source, xor(x, x >> 30) AS x FROM m1),
@@ -6844,29 +6891,36 @@ object SparkEntry {
     // the whole multimodal plumbing is oracle-checkable: the ordered
     // entropy sum (ORDER BY code) replicates the decoder's ascending
     // histogram walk bit-for-bit
+    // byte-exact (r11 adversarial fix): the engine decoder reads UTF-8
+    // PAYLOAD bytes, so the oracle extracts bytes via hex(encode(text))
+    // slices — the earlier ord(substr(text,...)) form used CODEPOINTS
+    // weighted by char counts (identical only on ASCII) and its inner
+    // stats join dropped empty-payload docs the decoder still emits
     "q_multimodal_meta" ->
       """WITH b AS (
-        |  SELECT doc_id AS media_id, text,
+        |  SELECT doc_id AS media_id,
+        |         hex(encode(text)) AS hs,
+        |         octet_length(encode(text)) AS nb,
         |         CASE WHEN doc_id % 3 = 0 THEN 'image/png'
         |              WHEN doc_id % 3 = 1 THEN 'audio/wav'
         |              ELSE 'video/mp4' END AS mime,
         |         CAST(length(text) AS BIGINT) AS n_bytes
         |  FROM documents),
         |codes AS (
-        |  SELECT media_id, ord(substr(text, i, 1)) AS code
-        |  FROM (SELECT media_id, text, unnest(range(1, length(text) + 1)) AS i FROM b)),
+        |  SELECT media_id, CAST('0x' || substring(hs, 2*i - 1, 2) AS INT) AS code
+        |  FROM (SELECT media_id, hs, unnest(range(1, nb + 1)) AS i FROM b)),
         |hist AS (SELECT media_id, code, count(*) AS c FROM codes GROUP BY 1, 2),
         |stats AS (
         |  SELECT h.media_id,
-        |         CAST(sum(c * code) AS DOUBLE) / any_value(n_bytes) AS mean_raw,
-        |         -sum((CAST(c AS DOUBLE) / n_bytes) * ln(CAST(c AS DOUBLE) / n_bytes) / ln(2) ORDER BY code) AS ent_raw
+        |         CAST(sum(c * code) AS DOUBLE) / any_value(greatest(nb, 1)) AS mean_raw,
+        |         -sum((CAST(c AS DOUBLE) / nb) * ln(CAST(c AS DOUBLE) / nb) / ln(2) ORDER BY code) AS ent_raw
         |  FROM hist h JOIN b USING (media_id) GROUP BY h.media_id)
         |SELECT b.media_id, mime, n_bytes,
-        |       CAST(greatest(1, floor(sqrt(CAST(n_bytes AS DOUBLE)))) AS INTEGER) AS width,
-        |       CAST(greatest(1, floor(sqrt(CAST(n_bytes AS DOUBLE)))) AS INTEGER) AS height,
-        |       mean_raw AS mean_intensity,
-        |       round(ent_raw, 4) AS byte_entropy
-        |FROM b JOIN stats USING (media_id)""".stripMargin,
+        |       CAST(greatest(1, floor(sqrt(CAST(greatest(nb, 1) AS DOUBLE)))) AS INTEGER) AS width,
+        |       CAST(greatest(1, floor(sqrt(CAST(greatest(nb, 1) AS DOUBLE)))) AS INTEGER) AS height,
+        |       coalesce(mean_raw, 0.0) AS mean_intensity,
+        |       round(coalesce(ent_raw, 0.0), 4) + 0.0 AS byte_entropy
+        |FROM b LEFT JOIN stats USING (media_id)""".stripMargin,
 
     // the oracle derives every field from the GENERATOR's arithmetic
     // (never looking at the bytes), while the Spark side PARSES the
@@ -7217,7 +7271,8 @@ object SparkEntry {
     "q_mix_upsample" ->
       """WITH w AS (
         |  SELECT doc_id, source,
-        |         CAST(CAST(substr(source, 4) AS INT) % 3 + 1 AS INT) AS w
+        |         CAST(coalesce(TRY_CAST(substr(source, 4, 10) AS INT) % 3 + 1, 1)
+        |              AS INT) AS w
         |  FROM documents),
         |rep AS (
         |  SELECT doc_id, source, w, unnest(range(1, w + 1)) AS copy_idx FROM w)
