@@ -66,12 +66,18 @@ object ConcurrentBench {
     }
     val h = df.select(canon: _*)
       .select(xxhash64(struct(col("*"))).as("h"))
+    // sum the two 32-bit halves separately: a plain sum(h) over BIGINT
+    // hashes overflows Long within a few million rows and ANSI mode
+    // throws; each half-sum stays under 2^63 to ~2^31 rows, and the
+    // wrap-combining below happens in JVM arithmetic (wraps silently)
     val r = h.agg(
-        coalesce(sum(col("h")), lit(0L)).as("s"),
+        coalesce(sum(col("h").bitwiseAND(lit(0xffffffffL))), lit(0L)).as("slo"),
+        coalesce(sum(shiftrightunsigned(col("h"), 32)), lit(0L)).as("shi"),
         coalesce(expr("bit_xor(h)"), lit(0L)).as("x"),
         count(lit(1)).as("n"))
       .head()
-    (r.getLong(0), r.getLong(1), r.getLong(2))
+    val s = r.getLong(0) * 0x9e3779b97f4a7c15L ^ r.getLong(1)
+    (s, r.getLong(2), r.getLong(3))
   }
 
   def main(args: Array[String]): Unit = {
