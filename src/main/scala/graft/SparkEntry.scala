@@ -1560,9 +1560,16 @@ object SparkEntry {
     // near-dup removal (oracle: exact string 5-gram Jaccard + recursive
     // closure in DuckDB; agreement holds because the verified pairs sit
     // far from the 0.8 threshold on either side)
-    "q_dedup_minhash" -> ((s, dir) =>
-      Dedup.dropNearDups(Tables.documents(s, dir), "text", "doc_id")
-        .select(col("doc_id"), col("source"))),
+    "q_dedup_minhash" -> ((s, dir) => {
+      // consumes the session-standing shared funnel (PairFunnel, r12):
+      // same losers set dropNearDups computes, built once per dataset
+      val docs = Tables.documents(s, dir)
+      val losers = graft.ops.PairFunnel.componentLabels(docs, "text", "doc_id", dir)
+        .filter(col("root") =!= col("id"))
+        .select(col("id").as("doc_id"))
+      docs.join(losers, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("source"))
+    }),
 
     // E159: corpus-level source-similarity matrix — which FEEDS overlap
     // in content (mirrors, shared boilerplate corpora), the curation
@@ -1582,8 +1589,7 @@ object SparkEntry {
       // spread: the quality kernel and the LSH signatures both run at
       // the scan otherwise — one task on a single-row-group file
       val docs = Tables.spreadForKernel(Tables.documents(s, dir))
-      val labels = Dedup.componentMinLabels(
-        Dedup.minhashNearDupPairs(docs, "text", "doc_id"))
+      val labels = graft.ops.PairFunnel.componentLabels(docs, "text", "doc_id", dir)
       val scored = docs.select(col("doc_id"),
         round(TextAnalysis.qualityScore(col("text")) * 10000).cast("long").as("q_milli"))
       scored.join(labels, scored("doc_id") === labels("id"), "left")
@@ -1608,8 +1614,8 @@ object SparkEntry {
     // corpora sits ≥0.92, far from every grid point).
     "q_dedup_sweep" -> ((s, dir) => {
       val grid = Seq(60, 70, 80, 90)
-      val pairs = Dedup.minhashNearDupPairs(
-        Tables.spreadForKernel(Tables.documents(s, dir)), "text", "doc_id",
+      val pairs = graft.ops.PairFunnel.nearDupPairs(
+        Tables.spreadForKernel(Tables.documents(s, dir)), "text", "doc_id", dir,
         Dedup.MinhashParams(jaccardThreshold = 0.6))
       val gridDf = s.range(1)
         .select(explode(array(grid.map(lit): _*)).as("threshold_centi"))
@@ -1637,8 +1643,8 @@ object SparkEntry {
     // near-matching hundreds). Derived from the verified pair set, so
     // the cost is the funnel, not the corpus.
     "q_dup_degree" -> ((s, dir) => {
-      val pairs = Dedup.minhashNearDupPairs(
-        Tables.spreadForKernel(Tables.documents(s, dir)), "text", "doc_id")
+      val pairs = graft.ops.PairFunnel.nearDupPairs(
+        Tables.spreadForKernel(Tables.documents(s, dir)), "text", "doc_id", dir)
       pairs.select(col("id_a").as("id"))
         .union(pairs.select(col("id_b").as("id")))
         .groupBy(col("id")).agg(count(lit(1)).as("degree"))
@@ -1649,7 +1655,7 @@ object SparkEntry {
     // jaccard value is over hashed shingles, the oracle's over string
     // shingles; identical pair SET, bit-identical value not guaranteed)
     "q_dedup_minhash_pairs" -> ((s, dir) =>
-      Dedup.minhashNearDupPairs(Tables.documents(s, dir), "text", "doc_id")
+      graft.ops.PairFunnel.nearDupPairs(Tables.documents(s, dir), "text", "doc_id", dir)
         .select(col("id_a"), col("id_b"))),
 
     // E128: SUBSTRING-level exact dedup — longest verified shared
@@ -1755,8 +1761,7 @@ object SparkEntry {
     // (how big are the duplicate families?), closure-labels grouped
     // twice; oracle recomputes components with the recursive CTE
     "q_dup_component_sizes" -> ((s, dir) => {
-      val pairs = Dedup.minhashNearDupPairs(Tables.documents(s, dir), "text", "doc_id")
-      Dedup.componentMinLabels(pairs)
+      graft.ops.PairFunnel.componentLabels(Tables.documents(s, dir), "text", "doc_id", dir)
         .groupBy(col("root")).agg(count(lit(1)).as("size"))
         .groupBy(col("size")).agg(count(lit(1)).as("n_components"))
     }),
@@ -1771,8 +1776,7 @@ object SparkEntry {
     // group key keeps the assignment reproducible and growth-stable.
     "q_leakage_safe_split" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val pairs = Dedup.minhashNearDupPairs(docs, "text", "doc_id")
-      val labels = Dedup.componentMinLabels(pairs)
+      val labels = graft.ops.PairFunnel.componentLabels(docs, "text", "doc_id", dir)
       docs
         .join(labels.select(col("id").as("doc_id"), col("root")),
           Seq("doc_id"), "left")
@@ -2195,8 +2199,7 @@ object SparkEntry {
     // one root-keyed tally shuffle.
     "q_component_labels" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val pairs = Dedup.minhashNearDupPairs(docs, "text", "doc_id")
-      val comps = Dedup.componentMinLabels(pairs)
+      val comps = graft.ops.PairFunnel.componentLabels(docs, "text", "doc_id", dir)
       val rooted = graft.ops.WeakLabels.weakLabels(docs)
         .select(col("doc_id"), col("label"))
         .join(comps.select(col("id").as("doc_id"), col("root")),
@@ -3505,8 +3508,37 @@ object SparkEntry {
       // minhash family; the DuckDB oracle is the exact all-pairs ground
       // truth, so the est-filter is recall-audited every round).
       val estCut = tau - 4.0 / (2.0 * math.sqrt(64.0))
-      val cand = prefixes.as("a").hint("shuffle_hash").join(prefixes.as("b"),
-          col("a.pg") === col("b.pg") && col("a.doc_id") < col("b.doc_id") &&
+      // HEAVY-GRAM SUB-REFINEMENT (r12, graft.ops.BucketRefine): prefix
+      // buckets bigger than the cap — on replicated/boilerplate corpora
+      // these are the alphabet-symmetric grams shared by EVERY replica,
+      // whose buckets grow with the corpus and whose C(n,2) emission was
+      // 27× CPU at 10× data in the r11 k=1000 probe — are re-keyed per
+      // 2-byte digest block before emission. Lossless: the est cut
+      // (0.55) > 1/2 forces every surviving pair to fully agree on ≥ 1
+      // of the 32 blocks, so joining heavy buckets on (pg, block) keeps
+      // the candidate set bit-identical while cross-replica members
+      // (~random digests) collide on a block w.p. ~2⁻¹⁶. The cap sits
+      // above any genuine duplicate family's per-gram bucket yet below
+      // the replica-scaling buckets at every probed corpus size —
+      // measured BOTH ways at k300: cap 64 cut the join-consume CPU
+      // 6.3× (11.6k→1.8k CPU-s), while cap 16 pulled genuinely-similar
+      // template families into refinement, whose pairs re-emit once per
+      // agreeing block (~32×) and blew the pre-distinct exchange past
+      // the probe host's disk. The
+      // heavy-key aggregate and both join sides reuse the ONE pg-keyed
+      // exchange (agg keys = partition keys; (pg, sk) join clustering is
+      // satisfied by the pg partitioning — the sub-key lives in the
+      // build-side hash map's key, which is what stops heavy-bucket
+      // probes from walking the whole bucket).
+      val heavyPg = prefixes.groupBy(col("pg")).agg(count(lit(1)).as("hn"))
+        .filter(col("hn") > 64).select(col("pg"), lit(true).as("hv"))
+      val refined = prefixes.join(broadcast(heavyPg), Seq("pg"), "left")
+        .select(col("doc_id"), col("m"), col("dg"), col("rn"), col("pg"),
+          explode(graft.ops.BucketRefine.subkeys(col("dg"), 64,
+            col("hv").isNotNull)).as("sk"))
+      val cand = refined.as("a").hint("shuffle_hash").join(refined.as("b"),
+          col("a.pg") === col("b.pg") && col("a.sk") === col("b.sk") &&
+            col("a.doc_id") < col("b.doc_id") &&
             greatest(col("a.m"), col("b.m")) * tau <= least(col("a.m"), col("b.m")) &&
             (lit(1) + least(col("a.m") - col("a.rn"), col("b.m") - col("b.rn")) >=
               ceil(lit(tau / (1 + tau)) * (col("a.m") + col("b.m")))))

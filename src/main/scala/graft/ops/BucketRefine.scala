@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Heavy-bucket sub-refinement for est-filtered LSH / prefix candidate
+  * joins — the r12 fix for the three CPU-superlinear funnels of the r11
+  * k=1000 probe (`bench_baselines/r11_docs_k1000.json`).
+  *
+  * Problem: a bucketed candidate self-join (MinHash banding, PPJoin
+  * prefix grams) emits C(n,2) key-matches per bucket. On replicated /
+  * boilerplate-dense corpora a tail of buckets grows WITH the corpus
+  * (e.g. alphabet-symmetric grams shared by every replica), so emission
+  * grows ~quadratically while the data grows linearly — measured 20-27×
+  * CPU at 10× data, concentrated in the join-consume + est-filter path.
+  *
+  * Fix (lossless by pigeonhole): every candidate funnel here filters
+  * emitted pairs on a MinHash digest-agreement estimate with a cut
+  * `estCut` > 1/2. A digest of `n` bytes split into ⌈n/2⌉ two-byte
+  * blocks has the property that a pair agreeing on ≥ ⌈estCut·n⌉ > n/2
+  * bytes MUST agree exactly on at least one full block (if no block
+  * agrees fully, at most one byte per block agrees — ≤ n − ⌈n/2⌉ ≤ n/2
+  * bytes total, below the cut). So inside a bucket too big for pairwise
+  * emission, re-keying each row by its ⌈n/2⌉ (blockIndex, blockValue)
+  * hashes and joining on the sub-key loses NO pair that the est-filter
+  * would keep: the candidate set — and everything downstream — is
+  * bit-identical. Dissimilar bucket members (the pathological mass:
+  * cross-replica collisions with ~random digests) collide on a given
+  * 2-byte block w.p. ~2⁻¹⁶, so heavy-bucket emission drops from C(n,2)
+  * to ~n·⌈n/2⌉ sub-key rows plus the (output-sized) truly-similar
+  * matches. A pair agreeing on several blocks is emitted once per
+  * agreeing block; the existing per-funnel `distinct` dedups, exactly
+  * as it already did for pairs colliding in several bands.
+  *
+  * Worst case (documented, not optimized): a heavy bucket of
+  * near-IDENTICAL digests emits each pair once per block (≤ ⌈n/2⌉×
+  * the flat join) — but such a bucket's pairs are all true candidates,
+  * so the output itself is quadratic there and the flat join is equally
+  * doomed. Measured corpora put identical-digest families far below
+  * every cap used; if that changes, group heavy-bucket rows by exact
+  * digest first and expand group pairs after the est decision.
+  *
+  * Only buckets LARGER than the caller's cap are refined: light buckets
+  * keep the single sentinel sub-key, so the plan is byte-for-byte the
+  * r11 plan wherever no pathological bucket exists. xxhash64 collisions
+  * on the sub-key can only ADD emitted pairs (killed by the est-filter
+  * / verify as before), never drop one — block equality implies sub-key
+  * equality.
+  */
+object BucketRefine {
+
+  /** Whether 2-byte-block refinement is lossless for an `nBytes` digest
+    * under agreement cut `estCut`: needs ⌈estCut·n⌉ > n − ⌈n/2⌉.
+    */
+  def lossless(nBytes: Int, estCut: Double): Boolean =
+    math.ceil(estCut * nBytes).toInt > nBytes - (nBytes + 1) / 2
+
+  /** Sub-key ARRAY for one bucket row, to `explode`: the −1 sentinel
+    * alone when `heavy` is false (light bucket — whole-bucket join,
+    * unchanged semantics), else one xxhash64(blockIndex, blockBytes)
+    * per 2-byte digest block. All codegen'd built-ins — no
+    * higher-order-function lambdas (those are CodegenFallback, the r11
+    * quantize lesson).
+    */
+  def subkeys(dg: Column, nBytes: Int, heavy: Column): Column = {
+    val blocks = (0 until (nBytes + 1) / 2).map { i =>
+      xxhash64(lit(i), substring(dg, 2 * i + 1, 2))
+    }
+    when(heavy, array(blocks: _*)).otherwise(array(lit(-1L)))
+  }
+}

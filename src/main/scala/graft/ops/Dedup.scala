@@ -47,7 +47,14 @@ object Dedup {
       // fewer residual false negatives but weaker pruning; a very large
       // value (e.g. 1e9) effectively disables the est-filter and
       // verifies every banding candidate.
-      estFilterSigmas: Double = 4.0) {
+      estFilterSigmas: Double = 4.0,
+      // band buckets LARGER than this are sub-refined on 2-byte digest
+      // blocks before pair emission (see [[BucketRefine]] — lossless
+      // whenever the est cut exceeds 1/2, which the default parameters
+      // give; set ≤ 0 to disable). Sized above any genuinely-similar
+      // duplicate family yet below the corpus-growing collision buckets
+      // of boilerplate/replicated corpora.
+      heavyBucketCap: Int = 512) {
     require(numHashes % bands == 0, "bands must divide numHashes")
     require(estFilterSigmas >= 0.0, "estFilterSigmas must be non-negative")
     def rowsPerBand: Int = numHashes / bands
@@ -152,13 +159,41 @@ object Dedup {
     // the same call as the span family's anchor join.
     val estCut = math.max(0.0,
       p.jaccardThreshold - p.estFilterSigmas / (2.0 * math.sqrt(p.numHashes.toDouble)))
-    val a = buckets.as("a")
-    val b = buckets.as("b")
+    // HEAVY-BUCKET SUB-REFINEMENT (r12, [[BucketRefine]]): buckets whose
+    // size exceeds the cap are re-keyed per 2-byte digest block, so the
+    // corpus-growing collision buckets of replicated/boilerplate corpora
+    // (the r11 k=1000 probe's 20× CPU tail) emit ~n·32 sub-key rows
+    // instead of C(n,2) pairs — lossless w.r.t. the est-filter because
+    // its cut > 1/2 forces every surviving pair to agree on ≥ one full
+    // block. Plan shape: ONE exchange of the bucket rows (the explicit
+    // repartition) feeds the heavy-key aggregate (same key — no second
+    // shuffle), the broadcast flag join, and both self-join sides
+    // (partitioning on (band, bh) satisfies the (band, bh, sk) join's
+    // clustering, and the build-side hash map keys on the FULL join key,
+    // which is what keeps a heavy bucket's probes from walking the whole
+    // bucket) — the signature kernel still runs once per doc.
+    val refine = p.heavyBucketCap > 0 &&
+      BucketRefine.lossless(p.numHashes, estCut)
+    val joinSide =
+      if (!refine) buckets.withColumn("sk", lit(-1L))
+      else {
+        val bucketsP = buckets.repartition(col("band"), col("bh"))
+        val heavyKeys = bucketsP.groupBy(col("band"), col("bh"))
+          .agg(count(lit(1)).as("hn"))
+          .filter(col("hn") > p.heavyBucketCap)
+          .select(col("band"), col("bh"), lit(true).as("hv"))
+        bucketsP.join(broadcast(heavyKeys), Seq("band", "bh"), "left")
+          .select(col("id"), col("dg"), col("band"), col("bh"),
+            explode(BucketRefine.subkeys(col("dg"), p.numHashes,
+              col("hv").isNotNull)).as("sk"))
+      }
+    val a = joinSide.as("a")
+    val b = joinSide.as("b")
     // candidates (the PLAUSIBLE set) feeds the shingle join-back and
     // the final verify — staged so the banding self-join runs once.
     val candidates = Staging.stageToDiskChained(a.hint("shuffle_hash").join(b,
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.id") < col("b.id"))
+          col("a.sk") === col("b.sk") && col("a.id") < col("b.id"))
       .filter(exprs.digest_agree(col("a.dg"), col("b.dg")) >= estCut)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct())
@@ -706,10 +741,19 @@ object Dedup {
     // sort-merge join sorts BOTH 290M-row sides (the r11 profile put
     // 89% of the query's wall and 7.5 GB of spill in those two sorts) —
     // a shuffled-hash join builds one per-partition map and streams the
-    // other side, no sort anywhere. Per-partition build memory is
-    // shuffle-partition-sized; size spark.sql.shuffle.partitions to the
-    // corpus as usual at cluster scale.
-    val matches = anchors.as("a").hint("shuffle_hash").join(anchors.as("b"),
+    // other side, no sort anywhere.
+    // ADAPTIVE partition count (r12): at a fixed 32 partitions the 5M-doc
+    // probe handed each task a ~9M-row (~0.5 GB) anchor build map —
+    // random-access probing at that size is TLB/cache-miss-bound, the
+    // superlinear-CPU signature the r11 probe flagged on this query. One
+    // partition per ~50k docs (the simjoin rule) bounds the per-task
+    // build at ~3M anchors regardless of corpus size; the row count is
+    // parquet metadata, no scan.
+    val nParts = math.max(
+      docs.sparkSession.sessionState.conf.numShufflePartitions,
+      math.min(2048, (docs.count() / 50000L).toInt + 1))
+    val anchorsP = anchors.repartition(nParts, col("h"))
+    val matches = anchorsP.as("a").hint("shuffle_hash").join(anchorsP.as("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id"))
       .select(col("a.id").as("ia"), col("b.id").as("ib"),
         col("a.p").as("pa"), col("b.p").as("pb"))
@@ -728,8 +772,12 @@ object Dedup {
       + col("lo").cast("long") * lit(1L << 21) + col("hi").cast("long")).as("pk")
     val ta = docs.select(col(idCol).as("ia"), col(textCol).as("__ta"))
     val tb = docs.select(col(idCol).as("ib"), col(textCol).as("__tb"))
+    // hint the DIAGONAL side as the hash build (ids + one packed long —
+    // funnel-sized): the default sort-merge sorts the full text corpus
+    // twice just to attach two string columns
     diag.select(col("ia"), col("ib"), packed)
-      .join(ta, "ia").join(tb, "ib")
+      .hint("shuffle_hash").join(ta, "ia")
+      .hint("shuffle_hash").join(tb, "ib")
       .select(col("ia"), col("ib"),
         graft.functions.exprs.longest_common_run(
           col("__ta"), col("__tb"), col("pk"), w, m).as("len"))
