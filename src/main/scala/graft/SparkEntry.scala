@@ -3520,22 +3520,27 @@ object SparkEntry {
       // (~random digests) collide on a block w.p. ~2⁻¹⁶. The cap sits
       // above any genuine duplicate family's per-gram bucket yet below
       // the replica-scaling buckets at every probed corpus size —
-      // measured BOTH ways at k300: cap 64 cut the join-consume CPU
-      // 6.3× (11.6k→1.8k CPU-s), while cap 16 pulled genuinely-similar
-      // template families into refinement, whose pairs re-emit once per
-      // agreeing block (~32×) and blew the pre-distinct exchange past
-      // the probe host's disk. The
-      // heavy-key aggregate and both join sides reuse the ONE pg-keyed
-      // exchange (agg keys = partition keys; (pg, sk) join clustering is
-      // satisfied by the pg partitioning — the sub-key lives in the
-      // build-side hash map's key, which is what stops heavy-bucket
-      // probes from walking the whole bucket).
-      val heavyPg = prefixes.groupBy(col("pg")).agg(count(lit(1)).as("hn"))
-        .filter(col("hn") > 64).select(col("pg"), lit(true).as("hv"))
-      val refined = prefixes.join(broadcast(heavyPg), Seq("pg"), "left")
+      // measured BOTH ways at k300: the ~80-doc cap cut the
+      // join-consume CPU 6.3× (11.6k→1.8k CPU-s), while a ~16-doc cap
+      // pulled genuinely-similar template families into refinement,
+      // whose pairs re-emit once per agreeing block (~32×) and blew the
+      // pre-distinct exchange past the probe host's disk.
+      // The heavy flag is MAP-SIDE, from the rank sample the query
+      // already broadcasts (rank ≥ 2 ⇔ sampled doc-count ≥ 4 ⇔ full
+      // count ≳ 80; see HeavyRankAtLeast — a first cut that computed
+      // exact bucket counts with a groupBy + join-back re-paid the
+      // ~26 GB prefix exchange at 5M docs and ENOSPC'd the probe; the
+      // refinement is lossless under ANY flag, so the sample is
+      // strictly better). Both join sides still reuse the ONE pg-keyed
+      // exchange ((pg, sk) join clustering is satisfied by the pg
+      // partitioning — the sub-key lives in the build-side hash map's
+      // key, which is what stops heavy-bucket probes from walking the
+      // whole bucket).
+      val refined = prefixes
         .select(col("doc_id"), col("m"), col("dg"), col("rn"), col("pg"),
           explode(graft.ops.BucketRefine.subkeys(col("dg"), 64,
-            col("hv").isNotNull)).as("sk"))
+            graft.functions.BroadcastRank.heavyRankAtLeast(
+              col("pg"), bcKeys, bcRanks, 2))).as("sk"))
       val cand = refined.as("a").hint("shuffle_hash").join(refined.as("b"),
           col("a.pg") === col("b.pg") && col("a.sk") === col("b.sk") &&
             col("a.doc_id") < col("b.doc_id") &&

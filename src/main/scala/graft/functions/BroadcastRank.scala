@@ -85,6 +85,41 @@ case class HeavyRankOrder(
     copy(child = c)
 }
 
+/** `heavy_rank_at_least(g)`: true iff gram `g`'s sampled heavy rank is
+  * ≥ `minRank` — the map-side heavy-BUCKET flag of the r12 prefix-join
+  * sub-refinement (see graft.ops.BucketRefine).
+  *
+  * Why sampled, not exact: the r12 first cut computed exact per-gram
+  * prefix counts with a groupBy + join-back on the prefix stream; even
+  * with the aggregate reusing the join's exchange, the extra consumer
+  * re-paid the ~26 GB prefix shuffle at the 5M-doc probe and tipped the
+  * host over ENOSPC. The refinement is LOSSLESS FOR ANY FLAG VALUE —
+  * flagging a light bucket merely sub-keys it (exact, ~32 extra rows),
+  * missing a heavy bucket merely keeps it on the flat join (exact,
+  * slower) — so a sampled flag from the rank map the query already
+  * broadcasts is strictly better than an exact count nobody needs.
+  * One binary search per ROW (not per gram): sub-µs interpreted, which
+  * is why CodegenFallback is acceptable here.
+  */
+case class HeavyRankAtLeast(
+    child: Expression,
+    bcKeys: Broadcast[Array[Long]],
+    bcRanks: Broadcast[Array[Byte]],
+    minRank: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "heavy_rank_at_least"
+
+  override def nullSafeEval(v: Any): Any = {
+    val idx = java.util.Arrays.binarySearch(bcKeys.value, v.asInstanceOf[Long])
+    idx >= 0 && bcRanks.value(idx) >= minRank
+  }
+
+  override protected def withNewChildInternal(c: Expression): HeavyRankAtLeast =
+    copy(child = c)
+}
+
 object BroadcastRank {
   /** Column wrapper for [[HeavyRankOrder]]. */
   def heavyRankOrder(
@@ -92,4 +127,13 @@ object BroadcastRank {
       bcKeys: Broadcast[Array[Long]],
       bcRanks: Broadcast[Array[Byte]]): Column =
     ColumnBridge.column(HeavyRankOrder(ColumnBridge.expression(ga), bcKeys, bcRanks))
+
+  /** Column wrapper for [[HeavyRankAtLeast]]. */
+  def heavyRankAtLeast(
+      g: Column,
+      bcKeys: Broadcast[Array[Long]],
+      bcRanks: Broadcast[Array[Byte]],
+      minRank: Int): Column =
+    ColumnBridge.column(
+      HeavyRankAtLeast(ColumnBridge.expression(g), bcKeys, bcRanks, minRank))
 }

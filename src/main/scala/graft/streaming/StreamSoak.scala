@@ -142,7 +142,48 @@ object StreamSoak {
         sink(src.select(col("value").as("k"))
           .groupBy(col("k")).agg(count(lit(1)).as("n")), "update")
     }
-    Thread.sleep(secs * 1000L)
+    // INCREMENTAL minute log (r12, for the kill/restart long soak): the
+    // end-of-run JSON below is written only on graceful exit, so a
+    // hard-killed leg would lose its whole series. The watermark soak
+    // instead APPENDS each completed minute to `$out.minutes.jsonl` as
+    // it finishes — after a `kill -9` the record is intact up to the
+    // last full minute, and the gating script stitches the legs'
+    // series (batch ids carried per minute prove the restarted leg
+    // resumed from the checkpoint rather than from batch 0).
+    if (phase == "watermark") {
+      val mw = new java.io.PrintWriter(
+        new java.io.FileWriter(s"$out.minutes.jsonl", true))
+      var written = -1L
+      var t0Opt: Option[Long] = None
+      val deadline = System.nanoTime() + secs * 1000L * 1000000L
+      def instant0(s: String): Long = java.time.Instant.parse(s).toEpochMilli
+      while (System.nanoTime() < deadline) {
+        Thread.sleep(5000L)
+        val meas0 = plog.events.asScala.toVector.filter(_.numInputRows > 0)
+        if (meas0.nonEmpty) {
+          if (t0Opt.isEmpty) t0Opt = Some(instant0(meas0.head.timestamp))
+          val t0 = t0Opt.get
+          val byMin = meas0.groupBy(p => (instant0(p.timestamp) - t0) / 60000L)
+          val lastComplete = byMin.keys.max - 1 // current minute still filling
+          for (m <- (written + 1) to lastComplete; ps <- byMin.get(m)) {
+            val tr = ps.flatMap(trigMs).sorted
+            val lastP = ps.last
+            mw.println(
+              s"""{"minute":$m,"batches":${ps.size},""" +
+                s""""batch_id_min":${ps.map(_.batchId).min},""" +
+                s""""batch_id_max":${ps.map(_.batchId).max},""" +
+                s""""input_rows":${ps.map(_.numInputRows).sum},""" +
+                s""""trigger_p50_ms":${pct(tr, 0.50)},"trigger_p95_ms":${pct(tr, 0.95)},""" +
+                s""""state_rows":${stateRows(lastP)},""" +
+                s""""rows_removed":${ps.map(stateRemoved).sum},""" +
+                s""""state_mem_bytes":${stateMemBytes(lastP)}}""")
+            mw.flush()
+            written = m
+          }
+        }
+      }
+      mw.close()
+    } else Thread.sleep(secs * 1000L)
     val progress = plog.events.asScala.toVector
     val meas = progress.filter(_.numInputRows > 0)
     require(meas.nonEmpty, s"no batches measured in $phase at rate=$rate")

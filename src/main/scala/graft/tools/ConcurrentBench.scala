@@ -43,13 +43,19 @@ object ConcurrentBench {
 
   /** Mixed list: TPC-H joins/aggs, window funnels, the staged/closure
     * family (corpus pipeline, provenance, minhash, component labels —
-    * the CacheManager-contention targets), text kernels.
+    * the CacheManager-contention targets), text kernels, and (r12) the
+    * FULL heavy funnel family — prefix sim-join, substring spans,
+    * semdedup, the shared-pair-funnel consumers — so the contention
+    * record covers the queries whose staged frames and PairFunnel
+    * builds are the biggest concurrent-session surface.
     */
   private val QueryList: Seq[String] = Seq(
     "q_tpch_q1", "q_tpch_q3", "q_tpch_q5", "q_tpch_q18",
     "q_corpus_pipeline", "q_provenance", "q_dedup_minhash",
     "q_component_labels", "q_active_users", "q_topk_per_group",
-    "q_bm25", "q_histogram")
+    "q_bm25", "q_histogram",
+    "q_simjoin_prefix", "q_substring_dup", "q_semdedup",
+    "q_dedup_minhash_pairs")
 
   private def fingerprint(df: DataFrame): (Long, Long, Long) = {
     // round doubles so partition-order-dependent float accumulation

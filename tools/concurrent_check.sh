@@ -4,10 +4,11 @@
 # every result hash-compared against a same-JVM single-stream reference
 # pass. Green = no deadlock, no cross-session result corruption, and a
 # published multiplexing throughput factor.
-# Output: bench_baselines/r11_concurrent_sf1.json
+# Output: bench_baselines/r12_concurrent_sf1.json (r12: query list
+# extended with the heavy funnel family + shared PairFunnel consumers)
 set -u
 cd "$(dirname "$0")/.."
-OUT=${1:-bench_baselines/r11_concurrent_sf1.json}
+OUT=${1:-bench_baselines/r12_concurrent_sf1.json}
 SF=${2:-sfgen/sf1}
 STREAMS=${3:-6}
 
@@ -21,7 +22,7 @@ fi
 python3 - "$OUT" <<EOF
 import json, sys
 rec = json.loads('''$LINE''')
-rec["record"] = ("r11 concurrent-session contention: %d FAIR-scheduled query "
+rec["record"] = ("r12 concurrent-session contention (16-query streams incl. the heavy funnel family): %d FAIR-scheduled query "
   "streams over one shared SparkContext at sf1 (each stream its own "
   "newSession()), every result order-independent-hash-compared to a "
   "single-stream reference; exercises CacheManager + Staging.stageToDisk "

@@ -4,10 +4,10 @@
 # the sf0.1 base) vs a SAME-SESSION-CONDITIONS fresh sf10 pass (500k /
 # 200k), so the published ratios compare two runs on the same host
 # minutes apart rather than against a record from a different round.
-# Output: bench_baselines/r11_docs_k1000.json with per-query ratios.
+# Output: bench_baselines/r12_docs_k1000.json with per-query ratios.
 set -u
 cd "$(dirname "$0")/.."
-OUT=${1:-bench_baselines/r11_docs_k1000.json}
+OUT=${1:-bench_baselines/r12_docs_k1000.json}
 QUERIES="q_dedup_exact,q_dedup_minhash,q_dedup_minhash_pairs,q_simjoin_prefix,q_embed_neardup,q_semdedup,q_component_labels,q_substring_dup,q_containment,q_ann_topk,q_ann_ivf,q_ann_ivf_recall,q_ann_ivfpq,q_ann_ivfpq_recall,q_dedup_simhash_pairs,q_token_budget"
 # PROBE_DIR: pass a prior run's tmpdir to resume — a leg whose json
 # already exists is not re-run (each leg is 13-60 min).
@@ -49,7 +49,7 @@ for q in sorted(s1000):
     # query that is large enough for the ratio to be signal (>2 s)
     if r and r > 13.0 and b["sec"] > 2.0: sup.append(q)
 rec = {
- "record": "r11 third-decade funnel probe: docs/embeddings at k=1000 "
+ "record": "r12 third-decade funnel probe (post bucket-refine/shared-funnel/adaptive-partition fixes): docs/embeddings at k=1000 "
            "(5M docs / 2M embeddings, ScaleGenDocs from sf0.1) vs fresh "
            "same-host sf10 pass (500k / 200k); data growth exactly 10x",
  "rows": {"documents": 5000000, "embeddings": 2000000},
