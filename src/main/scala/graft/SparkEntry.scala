@@ -3479,7 +3479,6 @@ object SparkEntry {
           posexplode(col("ptoks")).as(Seq("pos", "pg")))
         .select(col("doc_id"), col("m"), col("dg"),
           (col("pos") + 1).as("rn"), col("pg"))
-        .repartition(nParts, col("pg"))
       // shuffle_hash (r11): the pg keys are near-unique 8-byte gram
       // hashes; sort-merge sorted the ~Σplen-row prefix stream TWICE
       // (the 5M-doc probe put its disk-filling sort spill here), where
@@ -3531,16 +3530,22 @@ object SparkEntry {
       // exact bucket counts with a groupBy + join-back re-paid the
       // ~26 GB prefix exchange at 5M docs and ENOSPC'd the probe; the
       // refinement is lossless under ANY flag, so the sample is
-      // strictly better). Both join sides still reuse the ONE pg-keyed
-      // exchange ((pg, sk) join clustering is satisfied by the pg
-      // partitioning — the sub-key lives in the build-side hash map's
-      // key, which is what stops heavy-bucket probes from walking the
-      // whole bucket).
+      // strictly better). The explicit repartition is on EXACTLY the
+      // join keys (pg, sk), placed AFTER the explode: Spark 4 requires
+      // ALL cluster keys for co-partitioning (subset partitioning does
+      // not satisfy a (pg, sk) join — the first r12 cut's pg-keyed
+      // repartition got a SECOND corpus-scale exchange inserted above
+      // the explode on each side, ~4 corpus shuffles total, ENOSPC at
+      // 5M docs), so partitioning on the full key set leaves ONE
+      // exchange of the exploded stream that both self-join sides
+      // reuse. The sub-key in the build-side hash map's key is what
+      // stops heavy-bucket probes from walking the whole bucket.
       val refined = prefixes
         .select(col("doc_id"), col("m"), col("dg"), col("rn"), col("pg"),
           explode(graft.ops.BucketRefine.subkeys(col("dg"), 64,
             graft.functions.BroadcastRank.heavyRankAtLeast(
               col("pg"), bcKeys, bcRanks, 2))).as("sk"))
+        .repartition(nParts, col("pg"), col("sk"))
       val cand = refined.as("a").hint("shuffle_hash").join(refined.as("b"),
           col("a.pg") === col("b.pg") && col("a.sk") === col("b.sk") &&
             col("a.doc_id") < col("b.doc_id") &&

@@ -165,13 +165,17 @@ object Dedup {
     // (the r11 k=1000 probe's 20× CPU tail) emit ~n·32 sub-key rows
     // instead of C(n,2) pairs — lossless w.r.t. the est-filter because
     // its cut > 1/2 forces every surviving pair to agree on ≥ one full
-    // block. Plan shape: ONE exchange of the bucket rows (the explicit
-    // repartition) feeds the heavy-key aggregate (same key — no second
-    // shuffle), the broadcast flag join, and both self-join sides
-    // (partitioning on (band, bh) satisfies the (band, bh, sk) join's
-    // clustering, and the build-side hash map keys on the FULL join key,
-    // which is what keeps a heavy bucket's probes from walking the whole
-    // bucket) — the signature kernel still runs once per doc.
+    // block. Plan shape: the (band, bh)-keyed exchange feeds the
+    // heavy-key aggregate (same key — no second shuffle) and the
+    // broadcast flag join, and a second repartition on EXACTLY the join
+    // keys (band, bh, sk) AFTER the explode gives the self-join one
+    // exchange both sides reuse — Spark 4 requires ALL cluster keys for
+    // co-partitioned joins, so a subset-keyed child would get a fresh
+    // corpus-scale exchange inserted per side (the shape that ENOSPC'd
+    // the prefix join's first r12 cut at 5M docs). The signature kernel
+    // still runs once per doc, and the sub-key in the build-side hash
+    // map's key is what keeps a heavy bucket's probes from walking the
+    // whole bucket.
     val refine = p.heavyBucketCap > 0 &&
       BucketRefine.lossless(p.numHashes, estCut)
     val joinSide =
@@ -186,6 +190,7 @@ object Dedup {
           .select(col("id"), col("dg"), col("band"), col("bh"),
             explode(BucketRefine.subkeys(col("dg"), p.numHashes,
               col("hv").isNotNull)).as("sk"))
+          .repartition(col("band"), col("bh"), col("sk"))
       }
     val a = joinSide.as("a")
     val b = joinSide.as("b")

@@ -33,15 +33,28 @@ import org.apache.spark.sql.DataFrame
   */
 object PairFunnel {
   private val cache = new ConcurrentHashMap[String, DataFrame]()
+  private val locks = new ConcurrentHashMap[String, Object]()
 
   private def key(df: DataFrame, parts: Any*): String =
     (System.identityHashCode(df.sparkSession) +: parts).mkString("|")
 
+  // The build runs OUTSIDE the map's bin lock: a labels build invokes
+  // the pairs build (a second cache key), and ConcurrentHashMap.compute
+  // throws "Recursive update" whenever the two keys happen to share a
+  // bin — which they do or don't per SESSION, since the key embeds the
+  // session's identity hash (caught by exactly such a lottery in an r12
+  // verify run). A per-key monitor keeps the build-once guarantee for
+  // concurrent streams; nesting is strictly labels → pairs, so the lock
+  // order is acyclic.
   private def getOrBuild(k: String, build: => DataFrame): DataFrame = {
     val cached = cache.get(k)
-    if (cached != null && !cached.sparkSession.sparkContext.isStopped) cached
-    else cache.compute(k, (_, v) =>
-      if (v != null && !v.sparkSession.sparkContext.isStopped) v else build)
+    if (cached != null && !cached.sparkSession.sparkContext.isStopped) return cached
+    val lock = locks.computeIfAbsent(k, _ => new Object)
+    lock.synchronized {
+      val c2 = cache.get(k)
+      if (c2 != null && !c2.sparkSession.sparkContext.isStopped) c2
+      else { val v = build; cache.put(k, v); v }
+    }
   }
 
   /** The verified near-dup pair set for `docs` under `p`, built once

@@ -95,4 +95,21 @@ class BucketRefineSpec extends SparkSpecBase {
     assert(!(c eq a))
     PairFunnel.invalidateAll()
   }
+
+  test("PairFunnel labels-first call nests the pairs build without recursion") {
+    // the labels build invokes the pairs build for a DIFFERENT cache
+    // key; with ConcurrentHashMap.compute that threw "Recursive update"
+    // whenever the two keys shared a bin (a per-session lottery — the
+    // key embeds the session identity hash). Calling componentLabels on
+    // a FRESH tag exercises exactly the nested-build path.
+    PairFunnel.invalidateAll()
+    val docs = heavyCorpus
+    val l = PairFunnel.componentLabels(docs, "text", "doc_id", "labels-first-corpus")
+    assert(l.count() > 0)
+    // and the pairs entry it built inside is served on the next call
+    val p = PairFunnel.nearDupPairs(docs, "text", "doc_id", "labels-first-corpus")
+    val p2 = PairFunnel.nearDupPairs(docs, "text", "doc_id", "labels-first-corpus")
+    assert(p eq p2)
+    PairFunnel.invalidateAll()
+  }
 }

@@ -10,7 +10,10 @@
 #                resume, not a from-zero restart) AND leg B's early
 #                state_rows within [0.5x, 2x] of leg A's steady median
 #                (state reloaded, neither reset nor doubled)
-#   - rate:      each leg's steady minutes >= 95% of nominal input
+#   - rate:      each leg's steady-minute MEAN input >= 95% of nominal
+#                (per-minute minimums wobble with trigger/minute-boundary
+#                alignment — a delayed batch moves rows across a minute
+#                edge; the sustained mean is the honest gate)
 #   - eviction:  rows_removed > 0 in every steady minute of BOTH legs
 #   - bounded:   final-minute state_rows <= 1.5x combined steady median
 #   - flat p95:  leg B's last 5 minutes <= 1.5x leg A's minutes 5-10
@@ -54,8 +57,9 @@ steady = steady_a + steady_b
 med_state = statistics.median(m["state_rows"] for m in steady)
 recovery_ok = (b[0]["batch_id_min"] > a[-1]["batch_id_max"] and
                0.5 * med_state <= b[0]["state_rows"] <= 2.0 * med_state)
-rate_ok = all(m["input_rows"] >= 0.95 * 60 * rate for m in steady_a[:-1]) and \
-          all(m["input_rows"] >= 0.95 * 60 * rate for m in steady_b[:-1])
+def mean_rate(steady):
+    return sum(m["input_rows"] for m in steady) / (60.0 * len(steady))
+rate_ok = mean_rate(steady_a) >= 0.95 * rate and mean_rate(steady_b) >= 0.95 * rate
 evict_ok = all(m["rows_removed"] > 0 for m in steady)
 bounded_ok = b[-1]["state_rows"] <= 1.5 * med_state
 early = [m["trigger_p95_ms"] for m in a if 5 <= m["minute"] < 10]
