@@ -97,13 +97,19 @@ object Bench {
     // committed per-query baseline (also feeds the vs_prev gate below):
     // loaded up front so the blip-retry policy can consult it per query
     val baselineFile = new java.io.File(
-      s"bench_baselines/${sys.env.getOrElse("SPARK_GRAFT_BASELINE", "r11")}_${
+      s"bench_baselines/${sys.env.getOrElse("SPARK_GRAFT_BASELINE", "r13")}_${
         new java.io.File(sfDir).getName}.txt")
-    val base: Map[String, Double] =
+    // baseline format: `name wall_sec [cpu_sec]` — cpu present from r13
+    // on, and it feeds the host-load verdict below (r12: a loaded-host
+    // record with 38 wall-only inflations shipped as a round bench).
+    val base: Map[String, (Double, Option[Double])] =
       if (!baselineFile.isFile) Map.empty
       else scala.io.Source.fromFile(baselineFile).getLines()
         .filterNot(l => l.startsWith("#") || l.trim.isEmpty)
-        .map { l => val Array(n, s) = l.split(" "); n -> s.toDouble }.toMap
+        .map { l =>
+          val p = l.split(" ")
+          p(0) -> (p(1).toDouble, if (p.length > 2) Some(p(2).toDouble) else None)
+        }.toMap
     // ADAPTIVE best-of-2: when a query's first run exceeds 1.5× its
     // committed baseline, re-run once and keep the better time. This
     // machine's ambient load blips individual sub-seconds queries by
@@ -155,7 +161,7 @@ object Bench {
       var (sec, err, cpuS, runS, spillMb) = once()
       var firstSec: Option[Double] = None
       if (err.isEmpty && retriesLeft > 0 &&
-          base.get(name).exists(b => sec > 1.5 * b && sec - b > 0.5)) {
+          base.get(name).exists { case (b, _) => sec > 1.5 * b && sec - b > 0.5 }) {
         retriesLeft -= 1
         nRetried += 1
         firstSec = Some(sec)
@@ -215,22 +221,65 @@ object Bench {
         // queries added or removed since the baseline don't skew them
         val common = results.filter(r => r.err.isEmpty && base.contains(r.name))
         val newTotal = common.map(_.sec).sum
-        val baseTotal = common.map(r => base(r.name)).sum
+        val baseTotal = common.map(r => base(r.name)._1).sum
         val rated = common.map { r =>
-          val o = base(r.name)
+          val o = base(r.name)._1
           (r.name, o, r.sec, (r.sec / newTotal) / (o / baseTotal))
         }
-        val regressions = rated
+        // HOST-LOAD VERDICT (r12 verdict item 1): the r12 round record
+        // shipped with 38 queries at 3-12x wall and FLAT cpu_s — the
+        // loaded-host signature — and still published as the round
+        // bench. The gate is now cpu-aware: (a) globally, if the median
+        // RAW wall ratio is inflated while the median cpu ratio is
+        // flat, the record marks itself host_loaded and demands a
+        // rerun; (b) per query, a flagged share-ratio regression whose
+        // own cpu_s did NOT grow is reported as wall_only (rerun), not
+        // as a regression — only cpu-corroborated slowdowns (or queries
+        // with no baseline cpu) make the regressions list.
+        def median(xs: Seq[Double]): Double =
+          if (xs.isEmpty) 1.0
+          else { val s = xs.sorted; s(s.size / 2) }
+        val cpuRated = common.flatMap { r =>
+          base(r.name) match {
+            case (o, Some(oc)) if oc > 0.05 && o > 0 =>
+              Some((r.name, r.sec / o, r.cpuS / oc))
+            case _ => None
+          }
+        }
+        val medianWall = median(cpuRated.map(_._2))
+        val medianCpu = median(cpuRated.map(_._3))
+        val hostLoaded =
+          cpuRated.size >= 20 && medianWall > 1.4 && medianCpu < 1.15
+        def cpuGrew(name: String, sec: Double): Boolean =
+          base(name) match {
+            case (_, Some(oc)) if oc > 0.05 =>
+              results.find(_.name == name).exists(_.cpuS > 1.25 * oc)
+            case _ => true // no baseline cpu: can't exonerate, keep flagged
+          }
+        val flagged = rated
           .filter { case (_, o, n, ratio) => ratio > 1.5 && n - o > 1.0 }
           .sortBy(-_._4)
+        val (regressions, wallOnly) =
+          flagged.partition { case (q, _, n, _) => cpuGrew(q, n) }
         val worst = rated.maxByOption(_._4)
         Some(
           s""""vs_prev":{"baseline":${jstr(baselineFile.getName)},""" +
             s""""n_compared":${rated.size},""" +
+            s""""median_wall_ratio":${math.rint(medianWall * 100) / 100},""" +
+            s""""median_cpu_ratio":${math.rint(medianCpu * 100) / 100},""" +
+            (if (hostLoaded)
+              s""""host_loaded":true,"verdict":${jstr(
+                "wall inflated with flat cpu across the suite — host " +
+                "loaded; rerun required, do not commit as a baseline")},"""
+             else "") +
             s""""worst":${worst.map { case (q, _, _, r) =>
               s"""{"q":${jstr(q)},"ratio":${math.rint(r * 100) / 100}}""" }.getOrElse("null")},""" +
             s""""n_regressed":${regressions.size},""" +
+            s""""n_wall_only":${wallOnly.size},""" +
             s""""regressions":[${regressions.take(4).map { case (q, o, n, r) =>
+              s"""{"q":${jstr(q)},"old":${fmt(o)},"new":${fmt(n)},"ratio":${math.rint(r * 100) / 100}}""" }
+              .mkString(",")}],""" +
+            s""""wall_only":[${wallOnly.take(4).map { case (q, o, n, r) =>
               s"""{"q":${jstr(q)},"old":${fmt(o)},"new":${fmt(n)},"ratio":${math.rint(r * 100) / 100}}""" }
               .mkString(",")}]}""")
       }

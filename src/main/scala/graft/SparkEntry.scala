@@ -3507,6 +3507,16 @@ object SparkEntry {
       // minhash family; the DuckDB oracle is the exact all-pairs ground
       // truth, so the est-filter is recall-audited every round).
       val estCut = tau - 4.0 / (2.0 * math.sqrt(64.0))
+      // Guard the sub-refinement's pigeonhole precondition (r12
+      // advisory): the block re-keying below is lossless ONLY while
+      // estCut > 1/2 — Dedup checks BucketRefine.lossless() before
+      // enabling refinement, and this join must too, or a future tau ≤
+      // ~0.75 (or a widened sigma term) would silently drop candidates
+      // with no test tripping. Loud failure over silent lossiness: the
+      // fallback is to widen tau or disable refinement here, a deliberate
+      // edit, not a runtime branch this query's fixed tau never takes.
+      require(graft.ops.BucketRefine.lossless(64, estCut),
+        s"prefix-join block refinement is lossy at estCut=$estCut — raise tau or disable refinement")
       // HEAVY-GRAM SUB-REFINEMENT (r12, graft.ops.BucketRefine): prefix
       // buckets bigger than the cap — on replicated/boilerplate corpora
       // these are the alphabet-symmetric grams shared by EVERY replica,

@@ -1,8 +1,9 @@
 package graft.ops
 
 import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Session-standing near-dup pair funnel (r11 verdict item 4): the
   * verified MinHash pair set and its connected-component labels are
@@ -12,31 +13,119 @@ import org.apache.spark.sql.DataFrame
   * the most expensive scan family in the engine — at the r11 k=1000
   * probe, six consumers × ~260 s of identical banding+verify work.
   *
-  * This cache materializes the funnel ONCE per (session, dataset tag,
-  * parameters) and hands every consumer the same eagerly-checkpointed
-  * frame. The cached frames are funnel-sized (verified pairs / labels —
-  * orders of magnitude below the corpus), held as `localCheckpoint`
-  * MEMORY_AND_DISK blocks that survive the per-query
-  * `catalog.clearCache()` hygiene of Bench/Verify (RDD-level persist is
-  * not CacheManager state). On a real cluster the same role is played
-  * by a staging TABLE written once per ingest snapshot — the dataset
-  * tag is the snapshot identity here.
+  * Two layers, both keyed by (dataset tag, columns, params):
   *
-  * Correctness: consumers get the IDENTICAL frame the per-query build
+  * '''Persistent staging table''' (r12 verdict item 3 — the 100 TB
+  * ingest-snapshot story, now a real code path): when
+  * `spark.graft.funnelDir` (or env `SPARK_GRAFT_FUNNEL_DIR`) names a
+  * writable directory, the verified pairs and labels are written ONCE
+  * as parquet under it — the cluster analog is a staging table per
+  * ingest snapshot — and every later consumer, '''including consumers
+  * in a fresh session or a fresh JVM''', reads the table instead of
+  * re-running the banding+verify funnel. The write is build → temp dir
+  * → atomic rename, so a crashed build never leaves a half table; a
+  * lost cross-process rename race falls back to reading the winner's
+  * table (the build is deterministic, so the bytes are the same).
+  * Parquet round-trips the funnel columns (integral ids, float64
+  * jaccard) exactly, so staged-vs-rebuilt results are bit-identical
+  * (PairFunnelStagingSpec pins this).
+  *
+  * '''In-process cache''': one build per (session, snapshot) even with
+  * no staging dir. Cached frames are funnel-sized and — with staging
+  * off — eagerly `localCheckpoint`ed MEMORY_AND_DISK blocks for BOTH
+  * pairs and labels, so they survive the per-query
+  * `catalog.clearCache()` hygiene of Bench/Verify (RDD-level persist is
+  * not CacheManager state; the pairs frame previously relied on an
+  * internal Staging persist that clearCache DID drop — r12 advisory).
+  * With staging on, the cached frame is a plain parquet scan, which no
+  * cache hygiene can invalidate.
+  *
+  * Key discipline: the caller's `tag` MUST identify the dataset
+  * snapshot (the sf dir in this harness) — it is the persistent
+  * identity. The in-process key additionally folds the docs plan's
+  * `semanticHash`, so a caller passing a filtered or otherwise
+  * different frame under the same tag gets a cache MISS instead of
+  * silently receiving the wrong pair set (r12 advisory); the
+  * persistent layer cannot see plans across JVMs, so there the tag
+  * contract is load-bearing and documented here loudly.
+  *
+  * Correctness: consumers get the IDENTICAL result the per-query build
   * produced in r11 — `Dedup.minhashNearDupPairs` is deterministic for a
   * given dataset — so result bytes are unchanged by sharing (the r12
-  * k300 bit-identity replay pins this). Concurrency: `computeIfAbsent`
-  * serializes the one build; concurrent-session streams (ConcurrentBench)
-  * block on the first build then share it. A cache entry from a stopped
-  * session is never served (the key carries the session identity, and a
-  * stopped context's entry is re-validated before reuse).
+  * k300 bit-identity replay pins this). Concurrency: a per-key monitor
+  * serializes the one build; concurrent-session streams
+  * (ConcurrentBench) block on the first build then share it. Entries
+  * from stopped sessions are swept on every lookup, so long-lived
+  * multi-session processes don't accumulate pinned sessions and
+  * checkpoint blocks (r12 advisory).
   */
 object PairFunnel {
   private val cache = new ConcurrentHashMap[String, DataFrame]()
   private val locks = new ConcurrentHashMap[String, Object]()
+  private val builds = new AtomicLong(0L)
 
+  /** Number of funnel builds actually executed (not served from either
+    * cache layer) since JVM start — the spec's "no banding job ran"
+    * witness.
+    */
+  def buildsExecuted: Long = builds.get()
+
+  /** Staging root: session conf `spark.graft.funnelDir`, falling back
+    * to env `SPARK_GRAFT_FUNNEL_DIR`; empty/unset disables the
+    * persistent layer (in-process cache only).
+    */
+  private def stagingRoot(spark: SparkSession): Option[String] = {
+    val v = spark.conf.get("spark.graft.funnelDir",
+      sys.env.getOrElse("SPARK_GRAFT_FUNNEL_DIR", ""))
+    Option(v).map(_.trim).filter(_.nonEmpty)
+  }
+
+  // The in-process key: session identity (frames are session-bound) +
+  // a digest of the docs PLAN (semanticHash — exprId-normalized, so
+  // two reads of the same table match while a filtered variant does
+  // not) + the snapshot/param identity shared with the persistent key.
   private def key(df: DataFrame, parts: Any*): String =
-    (System.identityHashCode(df.sparkSession) +: parts).mkString("|")
+    (System.identityHashCode(df.sparkSession) +:
+      df.queryExecution.analyzed.semanticHash() +: parts).mkString("|")
+
+  // The persistent key: snapshot tag + columns + params, digested to a
+  // filesystem-safe name. Deliberately NO plan hash — it must be
+  // stable across JVMs — which is why the tag contract above is strict.
+  private def tableName(kind: String, parts: Any*): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val hex = md.digest(parts.mkString("|").getBytes("UTF-8"))
+      .take(12).map(b => f"$b%02x").mkString
+    s"${kind}_$hex"
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(); ()
+  }
+
+  /** Serve from the staging table if present; otherwise build, stage
+    * (when a root is configured) or eagerly checkpoint (when not), and
+    * serve. Runs under the per-key monitor of [[getOrBuild]].
+    */
+  private def materialize(spark: SparkSession, name: String,
+      build: => DataFrame): DataFrame =
+    stagingRoot(spark) match {
+      case Some(root) =>
+        val dir = new java.io.File(root, name)
+        if (!dir.isDirectory) {
+          builds.incrementAndGet()
+          val tmp = new java.io.File(root,
+            s"$name.inprogress-${java.util.UUID.randomUUID()}")
+          build.write.mode("overwrite").parquet(tmp.getPath)
+          // atomic publish; a lost cross-process race reads the
+          // winner's (byte-identical) table and discards ours
+          if (!tmp.renameTo(dir)) deleteRecursively(tmp)
+        }
+        spark.read.parquet(dir.getPath)
+      case None =>
+        builds.incrementAndGet()
+        build.localCheckpoint(true)
+    }
 
   // The build runs OUTSIDE the map's bin lock: a labels build invokes
   // the pairs build (a second cache key), and ConcurrentHashMap.compute
@@ -47,37 +136,52 @@ object PairFunnel {
   // concurrent streams; nesting is strictly labels → pairs, so the lock
   // order is acyclic.
   private def getOrBuild(k: String, build: => DataFrame): DataFrame = {
+    // sweep entries pinned by stopped sessions (their keys can never
+    // hit again — the key embeds the dead session's identity). Locks
+    // for in-flight builds are NOT swept: only keys with a (stopped)
+    // cache entry lose their lock object, so build-once holds.
+    val it = cache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getValue.sparkSession.sparkContext.isStopped) {
+        it.remove(); locks.remove(e.getKey); ()
+      }
+    }
     val cached = cache.get(k)
-    if (cached != null && !cached.sparkSession.sparkContext.isStopped) return cached
+    if (cached != null) return cached
     val lock = locks.computeIfAbsent(k, _ => new Object)
     lock.synchronized {
       val c2 = cache.get(k)
-      if (c2 != null && !c2.sparkSession.sparkContext.isStopped) c2
+      if (c2 != null) c2
       else { val v = build; cache.put(k, v); v }
     }
   }
 
   /** The verified near-dup pair set for `docs` under `p`, built once
-    * per (session, tag, params). `tag` identifies the dataset snapshot
-    * (the sf dir in this harness).
+    * per snapshot: served from the cross-session staging table when
+    * `spark.graft.funnelDir` is set, else once per (session, tag,
+    * params). `tag` MUST identify the dataset snapshot (the sf dir in
+    * this harness) — see the key-discipline scaladoc above.
     */
   def nearDupPairs(docs: DataFrame, textCol: String, idCol: String, tag: String,
       p: Dedup.MinhashParams = Dedup.MinhashParams()): DataFrame =
     getOrBuild(key(docs, "pairs", tag, textCol, idCol, p),
-      Dedup.minhashNearDupPairs(docs, textCol, idCol, p))
+      materialize(docs.sparkSession, tableName("pairs", tag, textCol, idCol, p),
+        Dedup.minhashNearDupPairs(docs, textCol, idCol, p)))
 
   /** Smallest-id component labels over [[nearDupPairs]], built once per
-    * (session, tag, params) — label propagation, keep-best, telemetry
-    * and split all consume the same closure.
+    * snapshot — label propagation, keep-best, telemetry and split all
+    * consume the same closure.
     */
   def componentLabels(docs: DataFrame, textCol: String, idCol: String, tag: String,
       p: Dedup.MinhashParams = Dedup.MinhashParams()): DataFrame =
     getOrBuild(key(docs, "labels", tag, textCol, idCol, p),
-      Dedup.componentMinLabels(nearDupPairs(docs, textCol, idCol, tag, p))
-        .localCheckpoint(true))
+      materialize(docs.sparkSession, tableName("labels", tag, textCol, idCol, p),
+        Dedup.componentMinLabels(nearDupPairs(docs, textCol, idCol, tag, p))))
 
   /** Test hook: drop every cached funnel (specs that mutate the
-    * underlying dataset between runs call this).
+    * underlying dataset between runs call this). Staging tables on
+    * disk are NOT touched — delete the directory to invalidate those.
     */
-  def invalidateAll(): Unit = cache.clear()
+  def invalidateAll(): Unit = { cache.clear(); locks.clear() }
 }

@@ -14,11 +14,21 @@ import duckdb
 
 a, b = sys.argv[1], sys.argv[2]
 only = set(sys.argv[3:]) or None
-qs = sorted(set(os.listdir(a)) & set(os.listdir(b)) - {"oracle_sql.json"})
+la = set(os.listdir(a)) - {"oracle_sql.json", "resume.log"}
+lb = set(os.listdir(b)) - {"oracle_sql.json", "resume.log"}
+qs = sorted(la & lb)
 if only:
     qs = [q for q in qs if q in only]
 con = duckdb.connect()
 bad = 0
+# A query present in only one dir means that run crashed or skipped it —
+# counting it identical-by-omission would let a rewrite that breaks a
+# query outright pass the bit-identity proof (r12 advisory). FAIL loud.
+for q in sorted(la ^ lb):
+    if only and q not in only:
+        continue
+    print(f"FAIL {q}: present only in {'A' if q in la else 'B'}")
+    bad += 1
 for q in qs:
     def h(d):
         rel = con.sql(f"SELECT * FROM read_parquet('{d}/{q}/*.parquet')")

@@ -6,10 +6,10 @@
 # r10 sampled-oracle mechanism, proven equal-selection by FitCapCheck —
 # so the brute-force-replay family stays DuckDB-tractable while every
 # OTHER table (60M-row lineitem included) runs FULL at sf10.
-# Output: bench_baselines/r12_sf10_oracle_sweep.json
+# Output: bench_baselines/r13_sf10_oracle_sweep.json
 set -u
 cd "$(dirname "$0")/.."
-OUT=${1:-bench_baselines/r12_sf10_oracle_sweep.json}
+OUT=${1:-bench_baselines/r13_sf10_oracle_sweep.json}
 SF=${2:-sfgen/sf10}
 SAMPLE=${SAMPLE:-documents:doc_id:20,embeddings:vec_id:20,supplier:s_suppkey:20}
 TIMEOUT=${TIMEOUT:-180}
@@ -32,7 +32,7 @@ for line in open(log):
     elif line.startswith("FAIL "): fails.append(line.rstrip()[:300])
     elif line.startswith("SKIP "): skips.append(line.split()[1])
 rec = {
- "record": "r12 full-surface sf10 oracle sweep: all registered queries "
+ "record": "r13 full-surface sf10 oracle sweep: all registered queries "
            "dumped at sfgen/sf10 (500k docs / 200k embeddings / 60M-row "
            "lineitem scale) and hash-compared in DuckDB; the pair-funnel "
            "tables subset by the shared md5 sample predicate so the "
