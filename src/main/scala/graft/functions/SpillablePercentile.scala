@@ -24,6 +24,17 @@ import org.apache.spark.sql.types._
   * from a k-way merge of the runs plus the sorted in-memory tail: one
   * streaming pass, never the whole group in memory.
   */
+object PercentileBuf {
+  /** Process-local spilled-bytes telemetry. The run files live outside
+    * Spark's spill accounting (TaskMetrics.diskBytesSpilled covers only
+    * shuffle/aggregate spill), so constrained-memory probes read this
+    * to report how much the percentile path actually put on disk. Local
+    * mode only sees the full picture (one JVM); on a cluster it is a
+    * per-executor number.
+    */
+  val spilledBytes = new java.util.concurrent.atomic.LongAdder
+}
+
 final class PercentileBuf(val spillThreshold: Int) {
   private var inMem = new Array[Double](math.min(spillThreshold, 1 << 12))
   private var n = 0
@@ -65,6 +76,7 @@ final class PercentileBuf(val spillThreshold: Int) {
     try { var i = 0; while (i < n) { out.writeDouble(inMem(i)); i += 1 } }
     finally out.close()
     runs += ((f, n.toLong))
+    PercentileBuf.spilledBytes.add(8L * n)
     n = 0
   }
 

@@ -111,7 +111,7 @@ object DocsStreamProbe {
     val aggMatch = streamAgg == batchAgg
 
     val doc =
-      s"""{"record":"r12 docs-corpus streaming probe: file-source replay of the k=1000 documents table (${corpusRows} docs) through the E125 score-on-arrival stack + per-(source,lang) running aggregate, maxFilesPerTrigger=$maxFiles, Trigger.AvailableNow","""+
+      s"""{"record":"docs-corpus streaming probe: file-source replay of the documents table (${corpusRows} docs) through the E125 score-on-arrival stack + per-(source,lang) running aggregate, maxFilesPerTrigger=$maxFiles, Trigger.AvailableNow","""+
         s""""corpus_rows":$corpusRows,"corpus_chars":$corpusChars,"""+
         s""""input_rows":$inputRows,"batches":${meas.size},"wall_s":${"%.1f".format(wallS)},"""+
         s""""docs_per_sec":${(inputRows / wallS).toLong},"""+
