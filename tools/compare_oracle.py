@@ -107,6 +107,49 @@ for name, sql in sorted(oracle.items()):
                 raise RuntimeError(f"oracle subprocess: {msg}")
             if p.exitcode != 0 or not os.path.exists(tmp):
                 raise RuntimeError(f"oracle subprocess died (exit {p.exitcode})")
+            # CORPUS-SIZED RESULTS (r13): the pandas canonicalization
+            # below builds one python string per CELL — q_unpivot's 240M
+            # rows at sf10 cost ~100 GB RSS and got the parent
+            # OOM-killed (silently, because the sweep's tee masked the
+            # exit). Above COMPARE_BIG_ROWS the compare runs in DuckDB
+            # instead: row counts + EXCEPT ALL in both directions, which
+            # is exact on values AND multiplicities and spills under the
+            # memory_limit instead of dying.
+            big = int(os.environ.get("COMPARE_BIG_ROWS", "5000000"))
+            got_path = f"{outdir}/{name}"
+            gp = f"{got_path}/*.parquet" if os.path.isdir(got_path) else got_path
+            nw, ng = [fresh_con().sql(
+                f"SELECT count(*) FROM read_parquet('{q}')").fetchone()[0]
+                for q in (tmp, gp)]
+            if max(nw, ng) > big:
+                if nw != ng:
+                    fails.append((name, f"rows {ng} != {nw}"))
+                    os.remove(tmp)
+                    continue
+                c = fresh_con()
+                # EXCEPT ALL is positional — project name-sorted columns
+                # on both sides (the pandas path sorts columns the same
+                # way before comparing)
+                def cols(src):
+                    return [r[0] for r in c.sql(
+                        f"DESCRIBE SELECT * FROM read_parquet('{src}')").fetchall()]
+                cw_names, cg_names = sorted(cols(tmp)), sorted(cols(gp))
+                if cw_names != cg_names:
+                    fails.append((name, f"columns {cg_names} != {cw_names}"))
+                    os.remove(tmp)
+                    continue
+                proj = ", ".join(f'"{x}"' for x in cg_names)
+                d1 = c.sql(f"SELECT count(*) FROM (SELECT {proj} FROM read_parquet('{gp}')"
+                           f" EXCEPT ALL SELECT {proj} FROM read_parquet('{tmp}'))").fetchone()[0]
+                d2 = c.sql(f"SELECT count(*) FROM (SELECT {proj} FROM read_parquet('{tmp}')"
+                           f" EXCEPT ALL SELECT {proj} FROM read_parquet('{gp}'))").fetchone()[0]
+                os.remove(tmp)
+                if d1 or d2:
+                    fails.append((name, f"value mismatch (duckdb EXCEPT ALL): "
+                                        f"{d1} rows only in engine, {d2} only in oracle"))
+                else:
+                    print(f"PASS {name} ({ng} rows, duckdb-side compare)", flush=True)
+                continue
             want = pd.read_parquet(tmp)
             os.remove(tmp)
         else:

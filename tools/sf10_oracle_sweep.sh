@@ -7,7 +7,11 @@
 # so the brute-force-replay family stays DuckDB-tractable while every
 # OTHER table (60M-row lineitem included) runs FULL at sf10.
 # Output: bench_baselines/r13_sf10_oracle_sweep.json
-set -u
+# pipefail: without it, `compare | tee` reports TEE's exit code — the
+# r13 first run had the compare parent OOM-killed mid-query and the
+# builder still saw rc=0 (and 7 queries silently missing; the builder
+# now also counts dumped-but-never-compared queries as holes).
+set -u -o pipefail
 cd "$(dirname "$0")/.."
 OUT=${1:-bench_baselines/r13_sf10_oracle_sweep.json}
 SF=${2:-sfgen/sf10}
@@ -23,14 +27,22 @@ COMPARE_MEM=${COMPARE_MEM:-24GB} COMPARE_THREADS=${COMPARE_THREADS:-16} \
   python3 tools/compare_oracle.py "$SF" "$VOUT" "$TIMEOUT" | tee "$VOUT/compare.log"
 CMP=$?
 
-python3 - "$VOUT/compare.log" "$OUT" "$CMP" "$SAMPLE" "$TIMEOUT" <<'EOF'
-import json, sys
-log, out, cmp_rc, sample, tmo = sys.argv[1], sys.argv[2], int(sys.argv[3]), sys.argv[4], sys.argv[5]
+python3 - "$VOUT/compare.log" "$OUT" "$CMP" "$SAMPLE" "$TIMEOUT" "$VOUT" <<'EOF'
+import json, sys, os
+log, out, cmp_rc, sample, tmo, vout = (sys.argv[1], sys.argv[2],
+    int(sys.argv[3]), sys.argv[4], sys.argv[5], sys.argv[6])
 passes, fails, skips = [], [], []
 for line in open(log):
     if line.startswith("PASS "): passes.append(line.split()[1])
     elif line.startswith("FAIL "): fails.append(line.rstrip()[:300])
     elif line.startswith("SKIP "): skips.append(line.split()[1])
+# a query that was dumped but produced NO compare line means the compare
+# process died mid-run (e.g. OOM) — a hole, not a pass
+dumped = {d for d in os.listdir(vout) if d.startswith("q_")}
+missing = sorted(dumped - set(passes) - set(skips)
+                 - {f.split()[1].rstrip(":") for f in fails})
+for m in missing:
+    fails.append(f"FAIL {m}: never compared (compare process died mid-run)")
 rec = {
  "record": "r13 full-surface sf10 oracle sweep: all registered queries "
            "dumped at sfgen/sf10 (500k docs / 200k embeddings / 60M-row "
