@@ -3428,24 +3428,23 @@ object SparkEntry {
         .sortBy(_._1)
       val bcKeys = s.sparkContext.broadcast(heavySorted.map(_._1))
       val bcRanks = s.sparkContext.broadcast(heavySorted.map(_._2))
-      // keyed = the ONLY staged frame, and it is PREFIX-sized: (doc_id,
-      // m, the plen-long prefix slice, a 64-BYTE signature digest) ≈
-      // 0.6 KB/doc vs ~4.5 KB/doc for full toks + a separate sig frame
-      // — the difference between ~3 GB and the ~40 GB that ENOSPC'd the
-      // 5M-doc probe. EAGERLY staged DISK_ONLY: it feeds the prefix
-      // self-join's two sides, and with a lazy checkpoint those
-      // branches' stages would each recompute the scan→order chain;
-      // DISK_ONLY so the arrays hold zero heap between reads
-      // (Bench/Verify's per-query clearCache releases it). The digest
-      // is computed over the FULL toks array before the prefix slice
-      // is taken — min() is order-invariant, so sig(toks) == sig(raw
-      // grams) and the estimate targets exactly the verify's full-set
-      // Jaccard. (The chained projections below keep the gram kernel +
-      // reorder evaluated ONCE per row: toks is referenced by several
+      // keyed is a PLAIN plan (r13): its one consumer is the staged
+      // refined frame below, whose cache build evaluates the gram
+      // kernel + reorder + signature exactly once. (Through r12 keyed
+      // itself was the staged frame and the self-join's two sides each
+      // exploded it into their OWN corpus-scale exchange: AQE never
+      // reused the twin exchanges — Spark 4 wraps cache scans in
+      // TableCacheQueryStage, and the exchanges above two distinct
+      // cache stages stop matching, measured as two 1.45 GB shuffle
+      // writes of identical bytes at sf10.) The digest is computed
+      // over the FULL toks array before the prefix slice is taken —
+      // min() is order-invariant, so sig(toks) == sig(raw grams) and
+      // the estimate targets exactly the verify's full-set Jaccard.
+      // (The chained projections keep the gram kernel + reorder
+      // evaluated ONCE per row: toks is referenced by several
       // non-cheap consumers, which blocks CollapseProject from
       // inlining it per consumer.)
-      val keyed = graft.ops.Staging.stageToDisk(
-        Tables.spreadForKernel(srcDocs)
+      val keyed = Tables.spreadForKernel(srcDocs)
           .select(col("doc_id"),
             graft.functions.BroadcastRank.heavyRankOrder(array_distinct(
                 graft.functions.exprs.gram_hashes64(col("text"), 12)),
@@ -3455,7 +3454,7 @@ object SparkEntry {
             expr(s"slice(toks, 1, m - cast(ceil($tau * m) as int) + 1)")
               .as("ptoks"),
             graft.functions.exprs.sig_digest(
-              graft.functions.exprs.minhash_sig_l(col("toks"), 64, 42L)).as("dg")))
+              graft.functions.exprs.minhash_sig_l(col("toks"), 64, 42L)).as("dg"))
       // positional prefix filter (the "PP" in PPJoin): a shared element
       // at 1-based sorted position rn caps the possible overlap at
       // 1 + min(ma − rn_a, mb − rn_b); pairs that can't reach the
@@ -3474,11 +3473,6 @@ object SparkEntry {
       // — no scan.
       val nParts = math.max(s.sessionState.conf.numShufflePartitions,
         math.min(2048, (srcDocs.count() / 50000L).toInt + 1))
-      val prefixes = keyed
-        .select(col("doc_id"), col("m"), col("dg"),
-          posexplode(col("ptoks")).as(Seq("pos", "pg")))
-        .select(col("doc_id"), col("m"), col("dg"),
-          (col("pos") + 1).as("rn"), col("pg"))
       // shuffle_hash (r11): the pg keys are near-unique 8-byte gram
       // hashes; sort-merge sorted the ~Σplen-row prefix stream TWICE
       // (the 5M-doc probe put its disk-filling sort spill here), where
@@ -3494,29 +3488,34 @@ object SparkEntry {
       // 512-B signatures onto the pair set — at the 5M-doc probe the
       // pre-distinct pair exchange (~500M duplicated pairs) plus the
       // two signature joins' sort-merge spill filled the host's disk
-      // (ENOSPC surfacing as SPILL_OUT_OF_MEMORY). Filtering on the
-      // 64-BYTE digest each prefix row carries (agreement cut τ − 4σ,
-      // σ = 1/(2√64) ⇒ 0.55) collapses the funnel ~65× before ANY
-      // pair-level exchange — the distinct sees est-survivors only, and
-      // no shuffle anywhere scales with the raw candidate count. Digest
-      // agreement ≥ full-signature agreement pointwise (byte equality ⊇
-      // long equality, bias ≤ (1−est)/256), so vs the r10 sig_agree cut
-      // this only ADMITS borderline pairs — and the exact verify still
-      // decides membership of every survivor. Residual: a true τ-pair
-      // falls under the cut w.p. ~3e-7 (same documented posture as the
-      // minhash family; the DuckDB oracle is the exact all-pairs ground
-      // truth, so the est-filter is recall-audited every round).
-      val estCut = tau - 4.0 / (2.0 * math.sqrt(64.0))
-      // Guard the sub-refinement's pigeonhole precondition (r12
-      // advisory): the block re-keying below is lossless ONLY while
-      // estCut > 1/2 — Dedup checks BucketRefine.lossless() before
-      // enabling refinement, and this join must too, or a future tau ≤
-      // ~0.75 (or a widened sigma term) would silently drop candidates
-      // with no test tripping. Loud failure over silent lossiness: the
-      // fallback is to widen tau or disable refinement here, a deliberate
-      // edit, not a runtime branch this query's fixed tau never takes.
-      require(graft.ops.BucketRefine.lossless(64, estCut),
-        s"prefix-join block refinement is lossy at estCut=$estCut — raise tau or disable refinement")
+      // (ENOSPC surfacing as SPILL_OUT_OF_MEMORY). Filtering in the
+      // join on a digest slice each prefix row carries collapses the
+      // funnel before ANY pair-level exchange — the distinct sees
+      // est-survivors only, and no shuffle anywhere scales with the
+      // raw candidate count. r13 narrows the carried slice from the
+      // full 64 bytes to 16 (the digest was ~70% of every prefix row
+      // and so ~70% of the staged stream's bytes): the cut scales to
+      // its σ (τ − 4σ₁₆, σ₁₆ = 1/(2√16) ⇒ 0.30), so a TRUE τ-pair
+      // fails it w.p. P[Binom(16, 0.8) ≤ 4] ≈ 4e-9 — below the 64-byte
+      // residual — while junk (this corpus separates by a 0.7 jaccard
+      // gap, so junk estimates ~0.1) passes w.p. P[Binom(16, 0.1) ≥ 5]
+      // ≈ 1e-2: the funnel into the distinct grows only ~2× and the
+      // exact verify still decides membership of every survivor. The
+      // DuckDB oracle is the exact all-pairs ground truth, so the
+      // est-filter is recall-audited every round.
+      val est16Cut = tau - 4.0 / (2.0 * math.sqrt(16.0))
+      // The refinement anchor stays on the FULL 64-byte digest: the
+      // block re-keying below drops only pairs agreeing on NO 2-byte
+      // block, and by pigeonhole any pair with 64-byte agreement
+      // > 1/2 fully agrees on ≥ 1 of the 32 blocks — a true τ-pair
+      // falls under 1/2 w.p. P[Binom(64, 0.8) ≤ 32] ≈ 3e-16. The
+      // guard keeps the τ − 4σ₆₄ form (r12 advisory): a future tau
+      // low enough to push that cut to 1/2 would make refinement
+      // lossy against the pairs the est-filter admits, and must fail
+      // loud (widen tau or disable refinement — a deliberate edit).
+      val refineCut = tau - 4.0 / (2.0 * math.sqrt(64.0))
+      require(graft.ops.BucketRefine.lossless(64, refineCut),
+        s"prefix-join block refinement is lossy at refineCut=$refineCut — raise tau or disable refinement")
       // HEAVY-GRAM SUB-REFINEMENT (r12, graft.ops.BucketRefine): prefix
       // buckets bigger than the cap — on replicated/boilerplate corpora
       // these are the alphabet-symmetric grams shared by EVERY replica,
@@ -3540,33 +3539,46 @@ object SparkEntry {
       // exact bucket counts with a groupBy + join-back re-paid the
       // ~26 GB prefix exchange at 5M docs and ENOSPC'd the probe; the
       // refinement is lossless under ANY flag, so the sample is
-      // strictly better). The explicit repartition is on EXACTLY the
-      // join keys (pg, sk), placed AFTER the explode: Spark 4 requires
-      // ALL cluster keys for co-partitioning (subset partitioning does
-      // not satisfy a (pg, sk) join — the first r12 cut's pg-keyed
-      // repartition got a SECOND corpus-scale exchange inserted above
-      // the explode on each side, ~4 corpus shuffles total, ENOSPC at
-      // 5M docs), so partitioning on the full key set leaves ONE
-      // exchange of the exploded stream that both self-join sides
-      // reuse. The sub-key in the build-side hash map's key is what
-      // stops heavy-bucket probes from walking the whole bucket.
-      val refined = prefixes
-        .select(col("doc_id"), col("m"), col("dg"), col("rn"), col("pg"),
+      // strictly better).
+      //
+      // refined is STAGED AFTER its (pg, sk) repartition — the join's
+      // two sides then read the cache's own HashPartitioning and
+      // EnsureRequirements inserts NO exchange at all (Spark 4's
+      // requireAllClusterKeys is satisfied: the partition keys are
+      // exactly the join keys, in order). Through r12 the two sides
+      // each re-ran the explode into twin corpus-scale exchanges —
+      // the "one exchange both sides reuse" the r12 comment promised
+      // never happened: AQE wraps each side's cache scan in its own
+      // TableCacheQueryStage, the exchanges above them stop
+      // canonical-matching, and the sf10 profile showed two identical
+      // 1.45 GB shuffle writes (~24% of the query's CPU). The staged
+      // frame is prefix-sized (≈44 B/row columnar: ids, m, rn, pg, sk
+      // and the 16-byte digest slice — ~7 GB at the 5M-doc probe,
+      // nowhere near the ~40 GB full-toks staging that ENOSPC'd r11)
+      // and is released the moment the candidate pairs are staged.
+      // The sub-key in the build-side hash map's key is what stops
+      // heavy-bucket probes from walking the whole bucket.
+      val refined = graft.ops.Staging.stageToDisk(keyed
+        .select(col("doc_id"), col("m"), col("dg"),
+          posexplode(col("ptoks")).as(Seq("pos", "pg")))
+        .select(col("doc_id"), col("m"), substring(col("dg"), 1, 16).as("dg16"),
+          (col("pos") + 1).as("rn"), col("pg"),
           explode(graft.ops.BucketRefine.subkeys(col("dg"), 64,
             graft.functions.BroadcastRank.heavyRankAtLeast(
               col("pg"), bcKeys, bcRanks, 2))).as("sk"))
-        .repartition(nParts, col("pg"), col("sk"))
+        .repartition(nParts, col("pg"), col("sk")))
       val cand = refined.as("a").hint("shuffle_hash").join(refined.as("b"),
           col("a.pg") === col("b.pg") && col("a.sk") === col("b.sk") &&
             col("a.doc_id") < col("b.doc_id") &&
             greatest(col("a.m"), col("b.m")) * tau <= least(col("a.m"), col("b.m")) &&
             (lit(1) + least(col("a.m") - col("a.rn"), col("b.m") - col("b.rn")) >=
               ceil(lit(tau / (1 + tau)) * (col("a.m") + col("b.m")))))
-        .filter(graft.functions.exprs.digest_agree(col("a.dg"), col("b.dg"))
-          >= estCut)
+        .filter(graft.functions.exprs.digest_agree(col("a.dg16"), col("b.dg16"))
+          >= est16Cut)
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
         .distinct()
       val candF = graft.ops.Staging.stageToDisk(cand)
+      graft.ops.Staging.release(refined)
       // verify via the sorted-merge Jaccard kernel (zero allocation per
       // pair) instead of array_intersect (hash set per pair). Full gram
       // sets are re-derived from the SOURCE for docs that actually
