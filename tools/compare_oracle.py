@@ -6,17 +6,31 @@ loads the Spark parquet result, sorts columns by name and rows by all
 columns, and compares values exactly (doubles bitwise via repr).
 Usage: compare_oracle.py <sfdir> <verify_outdir>
 """
-import json, sys, glob, os
+import json, sys, glob, os, subprocess
 import duckdb
 import pandas as pd
 
-sfdir, outdir = sys.argv[1], sys.argv[2]
+# --oracle-child <sfdir> <sqlfile> <out> <err>: run ONE oracle in this
+# fresh process and exit. Subprocess (exec) instead of
+# multiprocessing/fork: a forked child shares the parent's duckdb
+# instance pages, so a kill() mid-query can leave inherited state in
+# arbitrary shape, while an exec'd child owns everything it touches.
+# (The first sf10 sweep's every-compare-FAILs was a different bug —
+# duckdb 1.0 relations don't keep their connection alive, see the GC
+# note below — but it was found chasing this path, and the exec child
+# is the shape that made it reproducible.)
+_CHILD_MODE = len(sys.argv) > 1 and sys.argv[1] == "--oracle-child"
+if _CHILD_MODE:
+    sfdir, outdir = sys.argv[2], None
+else:
+    sfdir, outdir = sys.argv[1], sys.argv[2]
 # optional per-oracle timeout (seconds) for scale runs: some oracles are
 # deliberately brute-force (q_fuzzy_join's is the O(n^2) crossJoin the
 # engine's blocking avoids) and bottleneck on the DuckDB side at 10x+
 # scale-ups; a timeout records "oracle too slow at this sf" instead of
 # hanging the whole compare. Driver behavior (no 3rd arg) is unchanged.
-timeout_s = float(sys.argv[3]) if len(sys.argv) > 3 else None
+timeout_s = (float(sys.argv[3])
+             if not _CHILD_MODE and len(sys.argv) > 3 else None)
 
 def fresh_con():
     c = duckdb.connect()
@@ -50,22 +64,49 @@ def fresh_con():
         c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'{where}")
     return c
 
-con = fresh_con()
-
-
-def _oracle_child(sql, out_path, err_path):
-    """Run one oracle in a CHILD PROCESS (timeout mode): hard isolation —
-    a kill() reclaims a wedged query's CPU/memory outright, and no
-    interrupt state can leak into later queries (the r9 sf1 sweep saw a
-    best-effort thread interrupt surface as a spurious 'Interrupted!'
-    failure on the NEXT, trivially fast oracle)."""
+if _CHILD_MODE:
+    # child: compute one oracle, write parquet (or the error), exit.
+    # The connection must be HELD in a local: duckdb 1.0 relations do
+    # not keep their connection alive, so `fresh_con().sql(...).df()`
+    # GCs the temporary connection after .sql() returns and .df() dies
+    # with "Connection has already been closed" — the bug that turned
+    # the first sf10 sweep's every compare into a silent FAIL.
+    sqlfile, out_path, err_path = sys.argv[3], sys.argv[4], sys.argv[5]
     try:
-        c = fresh_con()
-        c.sql(sql).df().to_parquet(out_path)
-    except Exception as e:  # surface the child's message to the parent
+        _c = fresh_con()
+        _c.sql(open(sqlfile).read()).df().to_parquet(out_path)
+    except Exception as e:
         with open(err_path, "w") as f:
             f.write(f"{type(e).__name__}: {e}")
         sys.exit(3)
+    sys.exit(0)
+
+con = fresh_con()
+
+
+def _run_oracle_child(sql, out_path, err_path, timeout_s):
+    """Run one oracle in a fresh SUBPROCESS (timeout mode): hard
+    isolation — kill() reclaims a wedged query's CPU/memory outright, no
+    interrupt state can leak into later queries (the r9 sf1 sweep saw a
+    best-effort thread interrupt surface as a spurious 'Interrupted!'
+    failure on the NEXT, trivially fast oracle), and no fork ever
+    happens in the duckdb-loaded parent (see the --oracle-child note).
+    Returns True iff the child was killed on timeout."""
+    sqlfile = out_path + ".sql"
+    with open(sqlfile, "w") as f:
+        f.write(sql)
+    p = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--oracle-child",
+         sfdir, sqlfile, out_path, err_path],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    try:
+        return (False, p.wait(timeout_s))
+    except subprocess.TimeoutExpired:
+        p.kill()
+        p.wait(10)
+        return (True, None)
+    finally:
+        os.remove(sqlfile)
 
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
@@ -80,24 +121,31 @@ if rlog and os.path.isfile(rlog):
             resume_ok.add(line.split()[1])
 
 oracle_timeouts = []
+
+
+def _fail(name, why):
+    """Record a failure AND print it live (flush): the first sf10 sweep
+    ran 20 minutes of silent failures because fails only printed at the
+    end — the FAILING prefix is deliberately distinct from the final
+    FAIL lines record-builders parse, so nothing double-counts."""
+    fails.append((name, why))
+    print(f"FAILING {name}: {why[:200]}", flush=True)
+
 for name, sql in sorted(oracle.items()):
     if name in resume_ok:
         print(f"PASS {name} (resumed from prior log)")
         continue
     try:
         if timeout_s is not None:
-            # each timed oracle runs in its own PROCESS (see
-            # _oracle_child): kill() on expiry reclaims the work, and
-            # nothing — connection state, interrupts, allocator damage —
-            # survives into the next query
-            import multiprocessing as mp
+            # each timed oracle runs in its own fresh SUBPROCESS (see
+            # _run_oracle_child): kill() on expiry reclaims the work,
+            # and nothing — connection state, interrupts, allocator
+            # damage — survives into the next query
             import tempfile
             tmp = tempfile.mktemp(prefix=f"oracle_{name}_", suffix=".parquet")
             errf = tmp + ".err"
-            p = mp.Process(target=_oracle_child, args=(sql, tmp, errf), daemon=True)
-            p.start(); p.join(timeout_s)
-            if p.is_alive():
-                p.kill(); p.join(10)
+            timed_out, exitcode = _run_oracle_child(sql, tmp, errf, timeout_s)
+            if timed_out:
                 oracle_timeouts.append(name)
                 print(f"SKIP {name} (oracle exceeded {timeout_s:.0f}s in DuckDB)", flush=True)
                 continue
@@ -105,8 +153,8 @@ for name, sql in sorted(oracle.items()):
                 msg = open(errf).read()
                 os.remove(errf)
                 raise RuntimeError(f"oracle subprocess: {msg}")
-            if p.exitcode != 0 or not os.path.exists(tmp):
-                raise RuntimeError(f"oracle subprocess died (exit {p.exitcode})")
+            if exitcode != 0 or not os.path.exists(tmp):
+                raise RuntimeError(f"oracle subprocess died (exit {exitcode})")
             # CORPUS-SIZED RESULTS (r13): the pandas canonicalization
             # below builds one python string per CELL — q_unpivot's 240M
             # rows at sf10 cost ~100 GB RSS and got the parent
@@ -118,12 +166,14 @@ for name, sql in sorted(oracle.items()):
             big = int(os.environ.get("COMPARE_BIG_ROWS", "5000000"))
             got_path = f"{outdir}/{name}"
             gp = f"{got_path}/*.parquet" if os.path.isdir(got_path) else got_path
-            nw, ng = [fresh_con().sql(
+            # hold the connection (see the --oracle-child GC note)
+            cc = fresh_con()
+            nw, ng = [cc.sql(
                 f"SELECT count(*) FROM read_parquet('{q}')").fetchone()[0]
                 for q in (tmp, gp)]
             if max(nw, ng) > big:
                 if nw != ng:
-                    fails.append((name, f"rows {ng} != {nw}"))
+                    _fail(name, f"rows {ng} != {nw}")
                     os.remove(tmp)
                     continue
                 c = fresh_con()
@@ -135,7 +185,7 @@ for name, sql in sorted(oracle.items()):
                         f"DESCRIBE SELECT * FROM read_parquet('{src}')").fetchall()]
                 cw_names, cg_names = sorted(cols(tmp)), sorted(cols(gp))
                 if cw_names != cg_names:
-                    fails.append((name, f"columns {cg_names} != {cw_names}"))
+                    _fail(name, f"columns {cg_names} != {cw_names}")
                     os.remove(tmp)
                     continue
                 proj = ", ".join(f'"{x}"' for x in cg_names)
@@ -145,8 +195,8 @@ for name, sql in sorted(oracle.items()):
                            f" EXCEPT ALL SELECT {proj} FROM read_parquet('{gp}'))").fetchone()[0]
                 os.remove(tmp)
                 if d1 or d2:
-                    fails.append((name, f"value mismatch (duckdb EXCEPT ALL): "
-                                        f"{d1} rows only in engine, {d2} only in oracle"))
+                    _fail(name, f"value mismatch (duckdb EXCEPT ALL): "
+                                        f"{d1} rows only in engine, {d2} only in oracle")
                 else:
                     print(f"PASS {name} ({ng} rows, duckdb-side compare)", flush=True)
                 continue
@@ -158,10 +208,10 @@ for name, sql in sorted(oracle.items()):
         want = want[sorted(want.columns)]
         got = got[sorted(got.columns)]
         if list(want.columns) != list(got.columns):
-            fails.append((name, f"columns {list(got.columns)} != {list(want.columns)}"))
+            _fail(name, f"columns {list(got.columns)} != {list(want.columns)}")
             continue
         if len(want) != len(got):
-            fails.append((name, f"rows {len(got)} != {len(want)}"))
+            _fail(name, f"rows {len(got)} != {len(want)}")
             continue
         def canon(df):
             out = df.copy()
@@ -174,11 +224,11 @@ for name, sql in sorted(oracle.items()):
             idx = diff[diff].index[:3]
             detail = "; ".join(
                 f"row{i}: got {cg.loc[i].to_dict()} want {cw.loc[i].to_dict()}" for i in idx)
-            fails.append((name, f"value mismatch: {detail}"))
+            _fail(name, f"value mismatch: {detail}")
         else:
             print(f"PASS {name} ({len(got)} rows)", flush=True)
     except Exception as e:
-        fails.append((name, f"error: {e}"))
+        _fail(name, f"error: {e}")
 
 rows_only = sorted(set(
     os.path.basename(p) for p in glob.glob(f"{outdir}/q_*")) - set(oracle))
@@ -186,7 +236,7 @@ for name in rows_only:
     n = len(pd.read_parquet(f"{outdir}/{name}"))
     print(f"{'PASS' if n > 0 else 'FAIL'} {name} (rows-only: {n} rows)")
     if n == 0:
-        fails.append((name, "rows-only check: 0 rows"))
+        _fail(name, "rows-only check: 0 rows")
 
 print()
 if oracle_timeouts:

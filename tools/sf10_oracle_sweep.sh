@@ -17,10 +17,13 @@ OUT=${1:-bench_baselines/r13_sf10_oracle_sweep.json}
 SF=${2:-sfgen/sf10}
 SAMPLE=${SAMPLE:-documents:doc_id:20,embeddings:vec_id:20,supplier:s_suppkey:20}
 TIMEOUT=${TIMEOUT:-180}
-VOUT=$(mktemp -d /tmp/sf10sweep.XXXX)
+# SWEEP_VOUT: reuse a prior run's dump dir (the Verify dump is ~50 min
+# at sf10; a compare-side failure should not force a re-dump)
+VOUT=${SWEEP_VOUT:-$(mktemp -d /tmp/sf10sweep.XXXX)}
 
-SPARK_GRAFT_TBL_SAMPLE="$SAMPLE" SPARK_DRIVER_MEM=${SPARK_DRIVER_MEM:-64g} \
-  bash tools/runmain.sh graft.Verify "$SF" "$VOUT" || exit 1
+[ -f "$VOUT/oracle_sql.json" ] || \
+  SPARK_GRAFT_TBL_SAMPLE="$SAMPLE" SPARK_DRIVER_MEM=${SPARK_DRIVER_MEM:-64g} \
+    bash tools/runmain.sh graft.Verify "$SF" "$VOUT" || exit 1
 
 COMPARE_TBL_SAMPLE="$SAMPLE" COMPARE_RESUME_LOG="$VOUT/resume.log" \
 COMPARE_MEM=${COMPARE_MEM:-24GB} COMPARE_THREADS=${COMPARE_THREADS:-16} \
