@@ -49,8 +49,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // ALWAYS the full oracle map, even under SPARK_GRAFT_QUERIES: a
+    // restricted re-dump into an existing full dump dir (the sweep's
+    // "refresh one query" move) must not shrink the map, or the compare
+    // quietly demotes every other query to a rows-only check.
     val json = SparkEntry.oracleSql
-      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -131,9 +131,19 @@ def _fail(name, why):
     fails.append((name, why))
     print(f"FAILING {name}: {why[:200]}", flush=True)
 
+nodump = []
 for name, sql in sorted(oracle.items()):
     if name in resume_ok:
         print(f"PASS {name} (resumed from prior log)")
+        continue
+    # Verify now always writes the FULL oracle map (so a restricted
+    # re-dump can't demote sibling queries to rows-only checks); an
+    # oracle entry with no dump is either a deliberately restricted
+    # local run (ignore the NODUMP lines) or a Verify-side crash in a
+    # full sweep (the sweep builder counts NODUMP as failure).
+    if not os.path.exists(f"{outdir}/{name}"):
+        print(f"NODUMP {name} (no engine dump)", flush=True)
+        nodump.append(name)
         continue
     try:
         if timeout_s is not None:
@@ -234,9 +244,10 @@ rows_only = sorted(set(
     os.path.basename(p) for p in glob.glob(f"{outdir}/q_*")) - set(oracle))
 for name in rows_only:
     n = len(pd.read_parquet(f"{outdir}/{name}"))
-    print(f"{'PASS' if n > 0 else 'FAIL'} {name} (rows-only: {n} rows)")
-    if n == 0:
-        _fail(name, "rows-only check: 0 rows")
+    if n > 0:
+        print(f"PASS {name} (rows-only: {n} rows)")
+    else:  # _fail prints the live FAILING line; the canonical FAIL
+        _fail(name, "rows-only check: 0 rows")  # line prints at the end
 
 print()
 if oracle_timeouts:
@@ -246,10 +257,11 @@ for name, why in fails:
     print(f"FAIL {name}: {why[:400]}")
 # machine-readable summary so scale-run callers can't mistake a
 # mostly-skipped compare for full coverage
-summary = {"n_pass_or_checked": len(oracle) - len(oracle_timeouts),
+summary = {"n_pass_or_checked": len(oracle) - len(oracle_timeouts) - len(nodump),
            "n_fail": len(fails),
            "n_oracle_timeouts": len(oracle_timeouts),
-           "oracle_timeouts": oracle_timeouts}
+           "oracle_timeouts": oracle_timeouts,
+           "n_not_dumped": len(nodump)}
 if os.environ.get("COMPARE_TBL_SAMPLE"):
     summary["tbl_sample"] = os.environ["COMPARE_TBL_SAMPLE"]
 print(json.dumps(summary))

@@ -39,6 +39,10 @@ for line in open(log):
     if line.startswith("PASS "): passes.append(line.split()[1])
     elif line.startswith("FAIL "): fails.append(line.rstrip()[:300])
     elif line.startswith("SKIP "): skips.append(line.split()[1])
+    # a full sweep dumps every registered query — an oracle entry with
+    # no dump means Verify crashed on it, a failure
+    elif line.startswith("NODUMP "):
+        fails.append(f"FAIL {line.split()[1]}: never dumped (Verify crashed?)")
 # a query that was dumped but produced NO compare line means the compare
 # process died mid-run (e.g. OOM) — a hole, not a pass
 dumped = {d for d in os.listdir(vout) if d.startswith("q_")}
