@@ -69,7 +69,8 @@ qs, sup, errs = {}, [], []
 for q in sorted(s1000):
     a, b = s10.get(q, {}), s1000[q]
     if "err" in b: errs.append(q)
-    r = round(b["sec"] / a["sec"], 2) if a.get("sec") else None
+    r = (round(b["sec"] / a["sec"], 2)
+         if a.get("sec") and b.get("sec") else None)
     qs[q] = {"sf10_sec": a.get("sec"), "k1000_sec": b.get("sec"),
              "ratio_10x": r, "cpu_s": b.get("cpu_s"), "run_s": b.get("run_s"),
              "spill_mb": b.get("spill_mb", 0.0)}
@@ -78,7 +79,7 @@ for q in sorted(s1000):
     if "err" in b: qs[q]["err"] = b["err"]
     # superlinear flag: >1.3x headroom over the 10x data growth on a
     # query that is large enough for the ratio to be signal (>2 s)
-    if r and r > 13.0 and b["sec"] > 2.0: sup.append(q)
+    if r and r > 13.0 and b.get("sec", 0) > 2.0: sup.append(q)
 # ANN recall floors at 2M vectors (SURVEY E7/E18/E108 promises)
 floors = {"q_ann_lsh_recall": 0.8, "q_ann_ivf_recall": 0.9,
           "q_ann_ivfpq_recall": 0.8}
