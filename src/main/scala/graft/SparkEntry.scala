@@ -3974,10 +3974,19 @@ object SparkEntry {
     // construction to the row-level cumsum the oracle runs.
     "q_token_budget" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val d = Tables.spreadForKernel(Tables.documents(s, dir)).select(
-        col("doc_id"), col("source"),
-        round(TextAnalysis.qualityScore(col("text")) * 10000).cast("long").as("qm"),
-        TextAnalysis.tokenCountWs(col("text")).cast("long").as("tok"))
+      // d is STAGED (r13): its two consumers — the level aggregate and
+      // the broadcast-join probe — sit on different plan shapes (the
+      // probe side has no exchange for reuse to dedup, broadcast joins
+      // shuffle nothing), so unstaged they each re-ran the
+      // quality+token kernel over the corpus: the k1000 probe measured
+      // 170 s with the tokenize scan dominating, twice-paid. The
+      // staged frame is 4 thin columns (~40 B/row, no text), DISK_ONLY,
+      // released by the harness's per-query cache hygiene.
+      val d = graft.ops.Staging.stageToDisk(
+        Tables.spreadForKernel(Tables.documents(s, dir)).select(
+          col("doc_id"), col("source"),
+          round(TextAnalysis.qualityScore(col("text")) * 10000).cast("long").as("qm"),
+          TextAnalysis.tokenCountWs(col("text")).cast("long").as("tok")))
       val levels = d.groupBy(col("qm")).agg(sum(col("tok")).as("lt"))
       // budget derived from the LEVEL frame (Σ lt ≡ Σ tok) — a third
       // full pass of the text kernel over the corpus bought nothing
