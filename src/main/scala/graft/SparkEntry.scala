@@ -1929,7 +1929,8 @@ object SparkEntry {
       // not a better index
       Similarity.ivfTopK(e, "vec_id", "embedding", queries, "qid", "qv",
           k = 5, numCells = 16, nProbe = 12,
-          fitFraction = 0.25, rerankShortlist = 240, sketchDim = 32)
+          fitFraction = 0.25, rerankShortlist = fractionRerank(e, 240),
+          sketchDim = 32)
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("neighbor_id"), col("cosine"))
     }),
@@ -1950,7 +1951,8 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"))
       val approx = Similarity.ivfTopK(e, "vec_id", "embedding", queries, "qid", "qv",
           k = 5, numCells = 16, nProbe = 12,
-          fitFraction = 0.25, rerankShortlist = 240, sketchDim = 32)
+          fitFraction = 0.25, rerankShortlist = fractionRerank(e, 240),
+          sketchDim = 32)
         .select(col("query_id"), col("neighbor_id"))
       val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "leftsemi")
         .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
@@ -2017,7 +2019,7 @@ object SparkEntry {
       val queries = e.filter(col("vec_id") < 20)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       Similarity.pqTopK(e, "vec_id", "embedding", queries, "qid", "qv",
-          k = 5, m = 8, codebookSize = 16, rerank = 96, fitFraction = 0.5)
+          k = 5, m = 8, codebookSize = 16, rerank = fractionRerank(e, 96), fitFraction = 0.5)
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("neighbor_id"), col("cosine"))
     }),
@@ -2033,7 +2035,7 @@ object SparkEntry {
           e, "vec_id", "embedding", queries, "qid", "qv", k = 5)
         .select(col("query_id"), col("neighbor_id"))
       val approx = Similarity.pqTopK(e, "vec_id", "embedding", queries, "qid", "qv",
-          k = 5, m = 8, codebookSize = 16, rerank = 96, fitFraction = 0.5)
+          k = 5, m = 8, codebookSize = 16, rerank = fractionRerank(e, 96), fitFraction = 0.5)
         .select(col("query_id"), col("neighbor_id"))
       val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "leftsemi")
         .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
@@ -2060,7 +2062,7 @@ object SparkEntry {
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       Similarity.ivfPqTopK(e, "vec_id", "embedding", queries, "qid", "qv",
           k = 5, numCells = 16, nProbe = 12, m = 8, codebookSize = 16,
-          rerank = 128, fitFraction = 0.5)
+          rerank = fractionRerank(e, 128), fitFraction = 0.5)
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("neighbor_id"), col("cosine"))
     }),
@@ -2076,7 +2078,7 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"))
       val approx = Similarity.ivfPqTopK(e, "vec_id", "embedding", queries, "qid", "qv",
           k = 5, numCells = 16, nProbe = 12, m = 8, codebookSize = 16,
-          rerank = 128, fitFraction = 0.5)
+          rerank = fractionRerank(e, 128), fitFraction = 0.5)
         .select(col("query_id"), col("neighbor_id"))
       val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "leftsemi")
         .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
@@ -4335,6 +4337,32 @@ object SparkEntry {
        |  FROM af JOIN probes p USING (cell)
        |  WHERE af.vec_id <> p.query_id)""".stripMargin
 
+  /** Corpus-fraction re-rank shortlist for the ANN operating points.
+    * The r9 scaling record (bench_baselines/r09_ann_shortlist_scaling
+    * .json) measured recall ~invariant in the shortlist's corpus
+    * FRACTION while any fixed absolute width collapses (0.89 → 0.24 at
+    * 10×) — and the r13 k=1000 recall gate caught exactly that at 2M
+    * vectors: IVF/PQ recall 0.15-0.17 at the published small-corpus
+    * widths. S = max(base, N/20): the published operating point at the
+    * driver's oracle scales (N/20 ≤ base there and the adaptive DuckDB
+    * replays compute the same max), 5% of the corpus beyond — the
+    * fraction the r9 curve holds recall 0.87-0.93 across 100× growth.
+    * N is the RELATION's count (post table-sample), so the oracle's
+    * `greatest(base, count(*) // 20)` over its identically-sampled
+    * view yields the identical value. Cost: one count job per ANN
+    * query plus queries×S exact re-ranks — linear in the corpus, the
+    * price of recall on isotropic data (see Similarity's scaladoc).
+    * The fixed-width CURVE queries (q_ann_ivfpq_sweep/_grid, E135)
+    * deliberately keep their published literals — they chart the
+    * operating surface; these are the operating points.
+    */
+  private def fractionRerank(e: org.apache.spark.sql.DataFrame, base: Int): Int =
+    math.max(base, (e.count() / 20L).toInt)
+
+  /** The DuckDB mirror of [[fractionRerank]] as a SQL scalar. */
+  private def fractionRerankSql(base: Int): String =
+    s"greatest($base, (SELECT count(*) FROM embeddings) // 20)"
+
   /** Appends the integer-Rademacher-sketch shortlist replay to
     * [[AnnIvfCandidateCte]]: sketch components quantized
     * floor(v·2^16 + 0.5), 32 md5-derived ±1 planes (seed 7043 =
@@ -4345,7 +4373,7 @@ object SparkEntry {
     */
   private def AnnIvfShortlistCte(
       numCells: Int, nProbe: Int, fitThrHex: String,
-      sketchDim: Int, sketchSeed: Long, rerank: Int): String =
+      sketchDim: Int, sketchSeed: Long, rerank: String): String =
     AnnIvfCandidateCte(numCells, nProbe, fitThrHex) +
     s""",
        |ssigns AS (
@@ -4377,7 +4405,7 @@ object SparkEntry {
        |                   9) DESC, sd.neighbor_id) AS rn
        |    FROM skdot sd JOIN skn na ON na.vec_id = sd.neighbor_id
        |                  JOIN skn nb ON nb.vec_id = sd.query_id)
-       |  WHERE rn <= $rerank)""".stripMargin
+       |  WHERE rn <= ($rerank))""".stripMargin
 
   /** Shared CTE prefix computing the PORTABLE unit-sphere quantization
     * `nq(vec_id, i, x)` — a bit-exact DuckDB port of
@@ -4439,7 +4467,7 @@ object SparkEntry {
     * queries = vec_id < 20, no trailing comma.
     */
   private def AnnPqCandidateCte(
-      m: Int, k: Int, iters: Int, rerank: Int, fitThrHex: String): String = {
+      m: Int, k: Int, iters: Int, rerank: String, fitThrHex: String): String = {
     val dsub = 64 / m
     AnnNqCte +
     s"""pfit0 AS MATERIALIZED (SELECT vec_id FROM embeddings
@@ -4478,7 +4506,7 @@ object SparkEntry {
        |    SELECT *, row_number() OVER (PARTITION BY query_id
        |                ORDER BY adc DESC, neighbor_id) AS rn
        |    FROM padc)
-       |  WHERE rn <= $rerank)""".stripMargin
+       |  WHERE rn <= ($rerank))""".stripMargin
   }
 
   /** Shared CTE prefix replaying the PORTABLE IVF+PQ funnel of
@@ -6254,7 +6282,8 @@ object SparkEntry {
     // q_ann_ivf: 16 cells, nProbe 12, fitFraction 0.25 ('40'),
     // sketchDim 32 seed 7043, shortlist 240.
     "q_ann_ivf" -> (AnnIvfShortlistCte(numCells = 16, nProbe = 12,
-      fitThrHex = "40", sketchDim = 32, sketchSeed = 7043L, rerank = 240) +
+      fitThrHex = "40", sketchDim = 32, sketchSeed = 7043L,
+      rerank = fractionRerankSql(240)) +
       """,
         |scored AS (
         |  SELECT query_id, neighbor_id,
@@ -6268,7 +6297,8 @@ object SparkEntry {
 
     // recall of the replayed IVF top-5 against the replayed exact top-5
     "q_ann_ivf_recall" -> (AnnIvfShortlistCte(numCells = 16, nProbe = 12,
-      fitThrHex = "40", sketchDim = 32, sketchSeed = 7043L, rerank = 240) +
+      fitThrHex = "40", sketchDim = 32, sketchSeed = 7043L,
+      rerank = fractionRerankSql(240)) +
       """,
         |scored AS (
         |  SELECT query_id, neighbor_id,
@@ -6341,7 +6371,7 @@ object SparkEntry {
     // the q_ann_topk-proven float cosine. Parameters mirror q_ann_pq:
     // m=8, k=16, 10 Lloyd rounds, fitFraction 0.5 ('80'), rerank 96.
     "q_ann_pq" -> (AnnPqCandidateCte(m = 8, k = 16, iters = 10,
-      rerank = 96, fitThrHex = "80") +
+      rerank = fractionRerankSql(96), fitThrHex = "80") +
       """,
         |scored AS (
         |  SELECT query_id, neighbor_id,
@@ -6355,7 +6385,7 @@ object SparkEntry {
 
     // recall of the replayed PQ top-5 against the replayed exact top-5
     "q_ann_pq_recall" -> (AnnPqCandidateCte(m = 8, k = 16, iters = 10,
-      rerank = 96, fitThrHex = "80") +
+      rerank = fractionRerankSql(96), fitThrHex = "80") +
       """,
         |scored AS (
         |  SELECT query_id, neighbor_id,
@@ -6396,7 +6426,7 @@ object SparkEntry {
         |    SELECT query_id, neighbor_id,
         |           row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS sr
         |    FROM cand WHERE rn <= 12)
-        |  WHERE sr <= 128),
+        |  WHERE sr <= (greatest(128, (SELECT count(*) FROM embeddings) // 20))),
         |scored AS (
         |  SELECT query_id, neighbor_id,
         |         round(list_cosine_similarity(ce.embedding::DOUBLE[], qe.embedding::DOUBLE[]), 9) AS cosine
@@ -6416,7 +6446,7 @@ object SparkEntry {
         |    SELECT query_id, neighbor_id,
         |           row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS sr
         |    FROM cand WHERE rn <= 12)
-        |  WHERE sr <= 128),
+        |  WHERE sr <= (greatest(128, (SELECT count(*) FROM embeddings) // 20))),
         |scored AS (
         |  SELECT query_id, neighbor_id,
         |         round(list_cosine_similarity(ce.embedding::DOUBLE[], qe.embedding::DOUBLE[]), 9) AS cosine

@@ -16,26 +16,88 @@ import org.apache.spark.sql.types._
   * in a worst-first binary heap — O(log k) per insert, O(k) memory, and
   * a deterministic result set (the ordering is total, so the surviving k
   * are unique regardless of insertion / partition order).
+  *
+  * PRIMITIVE-ARRAY heap (r13): the original java.util.PriorityQueue of
+  * boxed Entry objects allocated one Entry PER INSERT — harmless at the
+  * published k ≤ 240, but the corpus-fraction ANN shortlists put k at
+  * N/20 (100k at the 2M-vector probe), and the resulting tens of
+  * millions of short-lived objects per query didn't just slow the ANN
+  * family: the old-gen pressure taxed EVERY later query in the shared
+  * bench JVM ~1.6× (q_component_labels 351 s in-suite vs 218 s alone).
+  * Two parallel primitive arrays + manual sift = zero allocation per
+  * insert; ordering semantics, serialization bytes, and results are
+  * unchanged.
   */
 final class TopKBuffer(val k: Int) {
-  import TopKBuffer._
-  val heap = new java.util.PriorityQueue[Entry](math.max(k, 1), WorstFirst)
+  // worst-first heap over parallel primitive arrays: root (index 0) is
+  // the entry to evict — lowest score, then largest id
+  private var scores = new Array[Double](math.min(math.max(k, 1), 1024))
+  private var ids = new Array[Long](scores.length)
+  private var n = 0
+
+  def size: Int = n
+
+  // heap order: a before b when (a.score, -a.id) < (b.score, -b.id)
+  @inline private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+    val c = java.lang.Double.compare(s1, s2)
+    c < 0 || (c == 0 && i1 > i2)
+  }
+
+  private def grow(): Unit = {
+    val cap = math.min(k, math.max(2 * scores.length, 4))
+    scores = java.util.Arrays.copyOf(scores, cap)
+    ids = java.util.Arrays.copyOf(ids, cap)
+  }
+
+  private def siftUp(start: Int): Unit = {
+    var i = start
+    val s = scores(i); val id = ids(i)
+    while (i > 0 && worse(s, id, scores((i - 1) >> 1), ids((i - 1) >> 1))) {
+      val p = (i - 1) >> 1
+      scores(i) = scores(p); ids(i) = ids(p)
+      i = p
+    }
+    scores(i) = s; ids(i) = id
+  }
+
+  private def siftDown(): Unit = {
+    var i = 0
+    val s = scores(0); val id = ids(0)
+    while (true) {
+      var c = 2 * i + 1
+      if (c >= n) { scores(i) = s; ids(i) = id; return }
+      if (c + 1 < n && worse(scores(c + 1), ids(c + 1), scores(c), ids(c))) c += 1
+      if (worse(scores(c), ids(c), s, id)) {
+        scores(i) = scores(c); ids(i) = ids(c)
+        i = c
+      } else { scores(i) = s; ids(i) = id; return }
+    }
+  }
 
   def insert(score: Double, id: Long): Unit =
-    if (heap.size < k) heap.offer(new Entry(score, id))
-    else {
-      val w = heap.peek()
-      if (score > w.score || (score == w.score && id < w.id)) {
-        heap.poll()
-        heap.offer(new Entry(score, id))
-      }
+    if (n < k) {
+      if (n == scores.length) grow()
+      scores(n) = score; ids(n) = id
+      n += 1
+      siftUp(n - 1)
+    } else if (score > scores(0) || (score == scores(0) && id < ids(0))) {
+      scores(0) = score; ids(0) = id
+      siftDown()
     }
 
   /** Entries best-first: score desc, id asc. */
-  def sorted: Array[Entry] = {
-    val arr = heap.toArray(new Array[Entry](heap.size))
-    java.util.Arrays.sort(arr, BestFirst)
+  def sorted: Array[TopKBuffer.Entry] = {
+    val arr = new Array[TopKBuffer.Entry](n)
+    var i = 0
+    while (i < n) { arr(i) = new TopKBuffer.Entry(scores(i), ids(i)); i += 1 }
+    java.util.Arrays.sort(arr, TopKBuffer.BestFirst)
     arr
+  }
+
+  /** Zero-allocation iteration for merge. */
+  def foreachEntry(f: (Double, Long) => Unit): Unit = {
+    var i = 0
+    while (i < n) { f(scores(i), ids(i)); i += 1 }
   }
 }
 
@@ -87,7 +149,7 @@ case class TopKByScore(
   }
 
   override def merge(b: TopKBuffer, other: TopKBuffer): TopKBuffer = {
-    other.heap.forEach(e => b.insert(e.score, e.id))
+    other.foreachEntry((s, i) => b.insert(s, i))
     b
   }
 

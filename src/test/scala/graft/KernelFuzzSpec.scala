@@ -104,7 +104,7 @@ class KernelFuzzSpec extends AnyFunSuite {
         aggK.deserialize(aggK.serialize(b)) // round-trip every buffer
       }
       val target = new TopKBuffer(k)
-      rnd.shuffle(revived).foreach(b => b.heap.forEach(e => target.insert(e.score, e.id)))
+      rnd.shuffle(revived).foreach(b => b.foreachEntry((s, i) => target.insert(s, i)))
       val got = target.sorted.map(e => (e.score, e.id)).toSeq
       assert(got === want, s"trial=$trial k=$k entries=$entries")
     }
