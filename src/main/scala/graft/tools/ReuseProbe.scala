@@ -71,6 +71,16 @@ object ReuseProbe {
       println(s"hash_equal=${c0.hashCode == c1.hashCode}")
       println(s"semantic_equal=${exs(0).sameResult(exs(1))}")
     }
+    // uncached variant: same shape over a parquet scan (no
+    // TableCacheQueryStage under the exchanges) — does reuse fire?
+    val pq = "/tmp/reuseprobe_base.parquet"
+    base.write.mode("overwrite").parquet(pq)
+    val basePq = spark.read.parquet(pq)
+    val prefPq = basePq
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "pg")))
+      .repartition(8, col("pg"), col("pos"))
+    measure("uncached-repart+hint")(join(prefPq, prefPq, hint = true))
+
     // fix A: persist AFTER the repartition — InMemoryTableScan reports
     // the cached plan's HashPartitioning, so the self-join should need
     // NO join-side exchange (1 shuffle total: the cache build's).
