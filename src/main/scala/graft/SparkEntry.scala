@@ -3510,14 +3510,23 @@ object SparkEntry {
       // block re-keying below drops only pairs agreeing on NO 2-byte
       // block, and by pigeonhole any pair with 64-byte agreement
       // > 1/2 fully agrees on ≥ 1 of the 32 blocks — a true τ-pair
-      // falls under 1/2 w.p. P[Binom(64, 0.8) ≤ 32] ≈ 3e-16. The
-      // guard keeps the τ − 4σ₆₄ form (r12 advisory): a future tau
-      // low enough to push that cut to 1/2 would make refinement
-      // lossy against the pairs the est-filter admits, and must fail
-      // loud (widen tau or disable refinement — a deliberate edit).
+      // falls under 1/2 w.p. P[Binom(64, 0.8) ≤ 32] ≈ 3e-16. With the
+      // est filter narrowed to the 16-byte slice (cut 0.30 < 1/2), the
+      // refinement is NOT bit-identical versus the flat est-filtered
+      // join (r13 advisory): a junk pair passing the slice can agree on
+      // no full-digest block — acceptable, since the exact verify
+      // decides membership and the only possible loss is a TRUE pair
+      // falling under the anchor, residual ~1e-14/pair end-to-end,
+      // oracle-audited every round. The guard below is therefore an
+      // ANCHOR-SANITY check, not a flat-join-equivalence proof: it
+      // keeps the τ − 4σ₆₄ form so a future tau low enough to push
+      // even the full-digest anchor to 1/2 — where true pairs start
+      // dropping at non-negligible rates — fails loud (widen tau or
+      // disable refinement — a deliberate edit).
       val refineCut = tau - 4.0 / (2.0 * math.sqrt(64.0))
       require(graft.ops.BucketRefine.lossless(64, refineCut),
-        s"prefix-join block refinement is lossy at refineCut=$refineCut — raise tau or disable refinement")
+        s"prefix-join block refinement's full-digest anchor is unsound at refineCut=$refineCut " +
+          "(true pairs no longer pinned above 1/2 agreement) — raise tau or disable refinement")
       // HEAVY-GRAM SUB-REFINEMENT (r12, graft.ops.BucketRefine): prefix
       // buckets bigger than the cap — on replicated/boilerplate corpora
       // these are the alphabet-symmetric grams shared by EVERY replica,

@@ -14,17 +14,28 @@ import org.apache.spark.sql.functions._
   * grows ~quadratically while the data grows linearly — measured 20-27×
   * CPU at 10× data, concentrated in the join-consume + est-filter path.
   *
-  * Fix (lossless by pigeonhole): every candidate funnel here filters
-  * emitted pairs on a MinHash digest-agreement estimate with a cut
-  * `estCut` > 1/2. A digest of `n` bytes split into ⌈n/2⌉ two-byte
-  * blocks has the property that a pair agreeing on ≥ ⌈estCut·n⌉ > n/2
-  * bytes MUST agree exactly on at least one full block (if no block
-  * agrees fully, at most one byte per block agrees — ≤ n − ⌈n/2⌉ ≤ n/2
-  * bytes total, below the cut). So inside a bucket too big for pairwise
+  * Fix (pigeonhole over the full-digest anchor): the refinement keys
+  * blocks of the FULL `n`-byte digest. A digest of `n` bytes split into
+  * ⌈n/2⌉ two-byte blocks has the property that a pair agreeing on
+  * > n/2 bytes MUST agree exactly on at least one full block (if no
+  * block agrees fully, at most one byte per block agrees — ≤ n − ⌈n/2⌉
+  * ≤ n/2 bytes total). So inside a bucket too big for pairwise
   * emission, re-keying each row by its ⌈n/2⌉ (blockIndex, blockValue)
-  * hashes and joining on the sub-key loses NO pair that the est-filter
-  * would keep: the candidate set — and everything downstream — is
-  * bit-identical. Dissimilar bucket members (the pathological mass:
+  * hashes and joining on the sub-key keeps every pair whose full-digest
+  * agreement exceeds 1/2. When the funnel's runtime est-filter cut is
+  * itself > 1/2 on the SAME digest (the MinHash funnels: `estCut` =
+  * τ − 4σ over all n bytes), the candidate set after refinement is
+  * bit-identical to the flat join's. When the runtime filter is
+  * narrower — q_simjoin_prefix carries only a 16-byte digest SLICE with
+  * cut 0.30 < 1/2 to keep the staged prefix stream small — the
+  * refinement is no longer bit-identical versus that flat filter: a
+  * junk pair can pass the 16-byte slice yet agree on no full-digest
+  * block. For TRUE τ-pairs the full-digest anchor still holds
+  * probabilistically: a τ = 0.8 pair's 64-byte agreement falls to ≤ 1/2
+  * w.p. P[Binom(64, 0.8) ≤ 32] ≈ 3e-16 (~1e-14/pair end-to-end,
+  * documented at the call site and oracle-audited every round), so the
+  * pairs that can drop are overwhelmingly ones the exact verify would
+  * kill anyway. Dissimilar bucket members (the pathological mass:
   * cross-replica collisions with ~random digests) collide on a given
   * 2-byte block w.p. ~2⁻¹⁶, so heavy-bucket emission drops from C(n,2)
   * to ~n·⌈n/2⌉ sub-key rows plus the (output-sized) truly-similar
@@ -51,6 +62,15 @@ object BucketRefine {
 
   /** Whether 2-byte-block refinement is lossless for an `nBytes` digest
     * under agreement cut `estCut`: needs ⌈estCut·n⌉ > n − ⌈n/2⌉.
+    * NOTE on framing (r13 advisory): this checks the cut against the
+    * FULL digest the blocks are keyed from. A funnel whose runtime
+    * filter uses that same full digest (Dedup.minhashNearDupPairs) gets
+    * bit-identical candidates; a funnel whose runtime filter is a
+    * narrower slice (q_simjoin_prefix's 16-byte carry) gets the
+    * probabilistic true-pair guarantee described in the class doc — the
+    * guard there documents the anchor cut no runtime filter enforces,
+    * and exists to fail loud if a future tau pushes even the anchor
+    * below 1/2.
     */
   def lossless(nBytes: Int, estCut: Double): Boolean =
     math.ceil(estCut * nBytes).toInt > nBytes - (nBytes + 1) / 2

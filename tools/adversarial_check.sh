@@ -6,7 +6,9 @@
 # Verify over it, and hash-compare every oracle in DuckDB on the same
 # corpus. Green = the empty-text guard family is regression-tested, not
 # just fixed. Output: bench_baselines/r11_adversarial_oracle.json.
-set -u
+# pipefail: without it CMP=$? below captures TEE's exit status, not the
+# compare's — a compare that exits 1/2 would read as green (r13 ADVICE)
+set -u -o pipefail
 cd "$(dirname "$0")/.."
 OUT=${1:-bench_baselines/r11_adversarial_oracle.json}
 DIR=sfgen/adversarial
@@ -30,6 +32,12 @@ passes, fails = [], []
 for line in open(log):
     if line.startswith("PASS "): passes.append(line.split()[1])
     elif line.startswith("FAIL "): fails.append(line.rstrip()[:300])
+    # this is a FULL-surface regression: every oracle entry must have an
+    # engine dump. A NODUMP line means Verify crashed on that query and
+    # kept going (it catches per-query exceptions) — count it as a
+    # failure, same as sf10_oracle_sweep.sh (r13 ADVICE)
+    elif line.startswith("NODUMP "):
+        fails.append(f"FAIL {line.split()[1]}: never dumped (Verify crashed?)")
 rec = {
  "record": "r11 adversarial-corpus oracle regression: full-surface "
            "Verify + DuckDB compare over sf0.001 documents/embeddings "

@@ -157,6 +157,13 @@ for name, sql in sorted(oracle.items()):
             timed_out, exitcode = _run_oracle_child(sql, tmp, errf, timeout_s)
             if timed_out:
                 oracle_timeouts.append(name)
+                # the killed child may have left a partially written
+                # parquet (and in principle an err file) at the mktemp
+                # path — remove both or corpus-scale oracle outputs
+                # accumulate in /tmp across sweep runs
+                for p in (tmp, errf):
+                    if os.path.exists(p):
+                        os.remove(p)
                 print(f"SKIP {name} (oracle exceeded {timeout_s:.0f}s in DuckDB)", flush=True)
                 continue
             if os.path.exists(errf):
@@ -266,6 +273,9 @@ if os.environ.get("COMPARE_TBL_SAMPLE"):
     summary["tbl_sample"] = os.environ["COMPARE_TBL_SAMPLE"]
 print(json.dumps(summary))
 # exit codes: 0 = full pass, 1 = failures, 2 = no failures but partial
-# coverage (timeouts) — callers checking only the exit status must
-# acknowledge the skips
-sys.exit(1 if fails else (2 if oracle_timeouts else 0))
+# coverage (oracle timeouts OR never-dumped queries) — callers checking
+# only the exit status must acknowledge the skips. NODUMP counts as
+# partial coverage here because a Verify-side crash leaves the oracle
+# entry dump-less and Verify itself keeps going; an exit-0 would let a
+# crashed full sweep read as green (r13 ADVICE).
+sys.exit(1 if fails else (2 if (oracle_timeouts or nodump) else 0))

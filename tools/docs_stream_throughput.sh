@@ -11,6 +11,7 @@
 # Output: bench_baselines/r13_docs_stream_probe.json
 set -u
 cd "$(dirname "$0")/.."
+source tools/load_preflight.sh
 OUT=${1:-bench_baselines/r13_docs_stream_probe.json}
 DIR=${2:-sfgen/sf100docs}
 POINTS=${POINTS:-32 64 128 256}

@@ -13,6 +13,7 @@
 # now also counts dumped-but-never-compared queries as holes).
 set -u -o pipefail
 cd "$(dirname "$0")/.."
+source tools/load_preflight.sh
 OUT=${1:-bench_baselines/r13_sf10_oracle_sweep.json}
 SF=${2:-sfgen/sf10}
 SAMPLE=${SAMPLE:-documents:doc_id:20,embeddings:vec_id:20,supplier:s_suppkey:20}
@@ -21,9 +22,25 @@ TIMEOUT=${TIMEOUT:-180}
 # at sf10; a compare-side failure should not force a re-dump)
 VOUT=${SWEEP_VOUT:-$(mktemp -d /tmp/sf10sweep.XXXX)}
 
-[ -f "$VOUT/oracle_sql.json" ] || \
+# staleness guard (r13 ADVICE): a reused dump dir produced by an OLDER
+# build would be hash-compared against the CURRENT build's regenerated
+# oracle_sql.json — passes/fails reflecting neither build. Stamp the
+# dump dir with the git commit at Verify time; refuse a mismatched
+# reuse unless SWEEP_ALLOW_STALE=1 (for deliberate cross-build A/Bs).
+HEAD=$(git rev-parse HEAD)
+if [ -f "$VOUT/oracle_sql.json" ]; then
+  STAMP=$(cat "$VOUT/commit.txt" 2>/dev/null || echo "unstamped")
+  if [ "$STAMP" != "$HEAD" ] && [ "${SWEEP_ALLOW_STALE:-0}" != "1" ]; then
+    echo "sf10_oracle_sweep: reused dump dir $VOUT was produced at commit" >&2
+    echo "  $STAMP but HEAD is $HEAD — a compare would reflect neither" >&2
+    echo "  build. Re-dump (unset SWEEP_VOUT) or set SWEEP_ALLOW_STALE=1." >&2
+    exit 8
+  fi
+else
   SPARK_GRAFT_TBL_SAMPLE="$SAMPLE" SPARK_DRIVER_MEM=${SPARK_DRIVER_MEM:-64g} \
     bash tools/runmain.sh graft.Verify "$SF" "$VOUT" || exit 1
+  echo "$HEAD" > "$VOUT/commit.txt"
+fi
 
 COMPARE_TBL_SAMPLE="$SAMPLE" COMPARE_RESUME_LOG="$VOUT/resume.log" \
 COMPARE_MEM=${COMPARE_MEM:-24GB} COMPARE_THREADS=${COMPARE_THREADS:-16} \
