@@ -82,9 +82,33 @@ object BucketRefine {
     * higher-order-function lambdas (those are CodegenFallback, the r11
     * quantize lesson).
     */
-  def subkeys(dg: Column, nBytes: Int, heavy: Column): Column = {
-    val blocks = (0 until (nBytes + 1) / 2).map { i =>
-      xxhash64(lit(i), substring(dg, 2 * i + 1, 2))
+  def subkeys(dg: Column, nBytes: Int, heavy: Column): Column =
+    subkeysWide(dg, nBytes, 2, heavy)
+
+  /** Expected fraction of TRUE τ-pairs dropped by width-`w` block
+    * re-keying under the probabilistic full-digest anchor: each byte is
+    * one MinHash value (agrees w.p. ≥ τ), blocks are byte-disjoint so
+    * independent — P[no block fully agrees] = (1 − τ^w)^⌊n/w⌋. Width 2
+    * on a filter cut > 1/2 is the special case where the pigeonhole
+    * argument makes this structurally 0 relative to the filter.
+    */
+  def anchorLoss(nBytes: Int, width: Int, tau: Double): Double =
+    math.pow(1.0 - math.pow(tau, width.toDouble), (nBytes / width).toDouble)
+
+  /** Width-`w` generalization of [[subkeys]] (r14, the third-decade
+    * superlinearity fix): ⌊n/w⌋ disjoint `w`-byte blocks (a trailing
+    * n mod w remainder is unused). Wider blocks trade anchor strength
+    * for junk-collision rate: a junk pair with per-byte digest
+    * agreement j collides on a w-byte block w.p. ~j^w + 2^(−8w), so
+    * w = 3 cuts the dominant cross-replica term (j ≈ 0.01–0.05 on
+    * replicated corpora) by ~10²–10³ versus w = 2 while a true τ = 0.8
+    * pair still anchors with loss ≤ 3e-7 (see [[anchorLoss]] — callers
+    * must gate on it). Emission duplication also drops: ⌊n/w⌋ keys per
+    * heavy row instead of ⌈n/2⌉.
+    */
+  def subkeysWide(dg: Column, nBytes: Int, width: Int, heavy: Column): Column = {
+    val blocks = (0 until nBytes / width).map { i =>
+      xxhash64(lit(i), substring(dg, width * i + 1, width))
     }
     when(heavy, array(blocks: _*)).otherwise(array(lit(-1L)))
   }

@@ -40,14 +40,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * With staging on, the cached frame is a plain parquet scan, which no
   * cache hygiene can invalidate.
   *
-  * Key discipline: the caller's `tag` MUST identify the dataset
-  * snapshot (the sf dir in this harness) — it is the persistent
-  * identity. The in-process key additionally folds the docs plan's
-  * `semanticHash`, so a caller passing a filtered or otherwise
-  * different frame under the same tag gets a cache MISS instead of
-  * silently receiving the wrong pair set (r12 advisory); the
-  * persistent layer cannot see plans across JVMs, so there the tag
-  * contract is load-bearing and documented here loudly.
+  * Key discipline: the caller's `tag` names the dataset snapshot (the
+  * sf dir in this harness). The in-process key additionally folds the
+  * docs plan's `semanticHash`, so a caller passing a filtered or
+  * otherwise different frame under the same tag gets a cache MISS
+  * instead of silently receiving the wrong pair set (r12 advisory).
+  * The persistent layer cannot see plans across JVMs, so it is guarded
+  * by a '''corpus fingerprint''' instead (r13 verdict item 4): row
+  * count + the commutative md5-head id checksum (the q_table_checksum
+  * kernel — order/partitioning invariant, one column-pruned agg over
+  * the funnel input), folded into the staged table's NAME. A caller
+  * staging a CHANGED corpus under a reused tag therefore misses and
+  * builds its own table rather than being served stale pairs; the
+  * superseded snapshot's table stays on disk until the staging root is
+  * cleaned (deliberate — deleting a directory a concurrent session may
+  * be mid-scan is the worse failure). The fingerprint is ids-only: a
+  * corpus whose TEXT changed under identical ids still collides, which
+  * is the documented residual — ingest snapshots that rewrite text
+  * assign new ids in every pipeline this engine models.
   *
   * Correctness: consumers get the IDENTICAL result the per-query build
   * produced in r11 — `Dedup.minhashNearDupPairs` is deterministic for a
@@ -90,12 +100,30 @@ object PairFunnel {
 
   // The persistent key: snapshot tag + columns + params, digested to a
   // filesystem-safe name. Deliberately NO plan hash — it must be
-  // stable across JVMs — which is why the tag contract above is strict.
+  // stable across JVMs — the corpus fingerprint below is what pins the
+  // name to the actual data.
   private def tableName(kind: String, parts: Any*): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
     val hex = md.digest(parts.mkString("|").getBytes("UTF-8"))
       .take(12).map(b => f"$b%02x").mkString
     s"${kind}_$hex"
+  }
+
+  /** Order/partitioning-invariant fingerprint of the funnel INPUT: row
+    * count + summed md5-head of the id column (32-bit terms into a
+    * long — far from overflow at any row count this engine meets; the
+    * q_table_checksum kernel). One column-pruned agg per cross-JVM
+    * materialization; the in-process cache means a session pays it at
+    * most once per funnel.
+    */
+  private def corpusFingerprint(docs: DataFrame, idCol: String): String = {
+    import org.apache.spark.sql.functions._
+    val r = docs
+      .select(conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+        .cast("long").as("h"))
+      .agg(count(lit(1)).as("n"), sum(col("h")).as("s")).head()
+    val s = if (r.isNullAt(1)) 0L else r.getLong(1)
+    s"n${r.getLong(0)}-x${java.lang.Long.toHexString(s)}"
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {
@@ -105,20 +133,26 @@ object PairFunnel {
 
   /** Serve from the staging table if present; otherwise build, stage
     * (when a root is configured) or eagerly checkpoint (when not), and
-    * serve. Runs under the per-key monitor of [[getOrBuild]].
+    * serve. Runs under the per-key monitor of [[getOrBuild]]. The
+    * `fingerprint` thunk (see [[corpusFingerprint]]) is evaluated only
+    * when a staging root is configured, and is part of the table name —
+    * the cross-JVM verify-on-read the r13 verdict asked for: a reused
+    * tag over changed data cannot resolve to the stale table.
     */
   private def materialize(spark: SparkSession, name: String,
-      build: => DataFrame): DataFrame =
+      fingerprint: => String, build: => DataFrame): DataFrame =
     stagingRoot(spark) match {
       case Some(root) =>
-        val dir = new java.io.File(root, name)
+        val dir = new java.io.File(root, s"$name-$fingerprint")
         if (!dir.isDirectory) {
           builds.incrementAndGet()
           val tmp = new java.io.File(root,
-            s"$name.inprogress-${java.util.UUID.randomUUID()}")
+            s"${dir.getName}.inprogress-${java.util.UUID.randomUUID()}")
           build.write.mode("overwrite").parquet(tmp.getPath)
           // atomic publish; a lost cross-process race reads the
-          // winner's (byte-identical) table and discards ours
+          // winner's (byte-identical) table and discards ours — with
+          // the fingerprint in the name, two processes racing on one
+          // name are by construction building the same corpus' funnel
           if (!tmp.renameTo(dir)) deleteRecursively(tmp)
         }
         spark.read.parquet(dir.getPath)
@@ -167,6 +201,7 @@ object PairFunnel {
       p: Dedup.MinhashParams = Dedup.MinhashParams()): DataFrame =
     getOrBuild(key(docs, "pairs", tag, textCol, idCol, p),
       materialize(docs.sparkSession, tableName("pairs", tag, textCol, idCol, p),
+        corpusFingerprint(docs, idCol),
         Dedup.minhashNearDupPairs(docs, textCol, idCol, p)))
 
   /** Smallest-id component labels over [[nearDupPairs]], built once per
@@ -177,6 +212,7 @@ object PairFunnel {
       p: Dedup.MinhashParams = Dedup.MinhashParams()): DataFrame =
     getOrBuild(key(docs, "labels", tag, textCol, idCol, p),
       materialize(docs.sparkSession, tableName("labels", tag, textCol, idCol, p),
+        corpusFingerprint(docs, idCol),
         Dedup.componentMinLabels(nearDupPairs(docs, textCol, idCol, tag, p))))
 
   /** Test hook: drop every cached funnel (specs that mutate the

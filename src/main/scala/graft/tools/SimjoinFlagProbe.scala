@@ -3,12 +3,13 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Throwaway: (pg, sk) bucket histogram of q_simjoin_prefix's refined
-  * prefix stream — Σ C(r,2) over buckets is the join's emission count,
-  * the denominator for the per-emission CPU cost of the heavy stage.
-  * `runMain graft.tools.SimjoinProbe [sfDir]`.
+/** Throwaway: why does the prefix stream's heavy flag never fire?
+  * Prints (a) prefix rows split by heavyRankAtLeast(pg, 2), (b) the
+  * top-15 pg buckets by PREFIX occupancy with their sampled-count rank
+  * and flag, (c) the bucket-size histogram of the emission mass.
+  * `runMain graft.tools.SimjoinFlagProbe [sfDir]`.
   */
-object SimjoinProbe {
+object SimjoinFlagProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("sfgen/sf10")
     val spark = SparkSession.builder()
@@ -28,12 +29,15 @@ object SimjoinProbe {
       .filter(col("c") >= 2)
       .orderBy(col("c").desc, col("g")).limit(2000000)
       .collect()
+    println(s"rank-map entries: ${heavyRows.length}; top counts: " +
+      heavyRows.take(5).map(r => r.getLong(1)).mkString(","))
     val heavySorted = heavyRows
       .map(r => (r.getLong(0), (63 - java.lang.Long.numberOfLeadingZeros(
         r.getLong(1))).toByte))
       .sortBy(_._1)
     val bcKeys = s.sparkContext.broadcast(heavySorted.map(_._1))
     val bcRanks = s.sparkContext.broadcast(heavySorted.map(_._2))
+    val rankByKey = heavySorted.toMap
     val tau = 0.8
     val keyed = graft.sources.Tables.spreadForKernel(srcDocs)
       .select(col("doc_id"),
@@ -41,33 +45,34 @@ object SimjoinProbe {
             graft.functions.exprs.gram_hashes64(col("text"), 12)),
           bcKeys, bcRanks).as("toks"))
       .select(col("doc_id"), size(col("toks")).as("m"), col("toks"))
-      .select(col("doc_id"), col("m"),
+      .select(col("doc_id"),
         expr(s"slice(toks, 1, m - cast(ceil($tau * m) as int) + 1)")
-          .as("ptoks"),
-        graft.functions.exprs.sig_digest(
-          graft.functions.exprs.minhash_sig_l(col("toks"), 64, 42L)).as("dg"))
-    val prefixStream = keyed
-      .select(col("doc_id"), col("dg"), posexplode(col("ptoks")).as(Seq("pos", "pg")))
+          .as("ptoks"))
+    val prefix = keyed
+      .select(explode(col("ptoks")).as("pg"))
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    for (w <- Seq(2, 3)) {
-      val refined = prefixStream
-        .select(col("pg"),
-          explode(graft.ops.BucketRefine.subkeysWide(col("dg"), 64, w,
-            graft.functions.BroadcastRank.heavyRankAtLeast(
-              col("pg"), bcKeys, bcRanks, 2))).as("sk"))
-      val hist = refined.groupBy(col("pg"), col("sk"))
-        .agg(count(lit(1)).as("r"), max(col("sk") === -1L).as("light"))
-        .selectExpr("count(*) as buckets", "sum(r) as rows",
-          "sum(r*(r-1) div 2) as emissions", "max(r) as max_bucket",
-          "sum(case when light then r*(r-1) div 2 else 0 end) as em_light",
-          "sum(case when not light then r*(r-1) div 2 else 0 end) as em_heavy")
-        .head()
-      println(s"DIR=$dir width=$w buckets=${hist.getLong(0)} rows=${hist.getLong(1)} " +
-        s"emissions=${hist.getAs[Number](2).longValue} " +
-        s"max_bucket=${hist.getAs[Number](3).longValue} " +
-        s"em_light=${hist.getAs[Number](4).longValue} " +
-        s"em_heavy=${hist.getAs[Number](5).longValue}")
+    val flagged = prefix.select(
+        graft.functions.BroadcastRank.heavyRankAtLeast(
+          col("pg"), bcKeys, bcRanks, 2).as("h"))
+      .groupBy(col("h")).count().collect()
+    flagged.foreach(r => println(s"heavy=${r.getBoolean(0)} prefixRows=${r.getLong(1)}"))
+    val top = prefix.groupBy(col("pg")).count()
+      .orderBy(col("count").desc).limit(15).collect()
+    top.foreach { r =>
+      val g = r.getLong(0)
+      println(s"pg=$g prefixBucket=${r.getLong(1)} sampledRank=${rankByKey.get(g)}")
     }
+    val hist = prefix.groupBy(col("pg")).count()
+      .select(when(col("count") >= 128, 128)
+        .otherwise(pow(lit(2), floor(log2(col("count")))).cast("long")).as("bin"),
+        col("count"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("buckets"),
+        sum(expr("count*(count-1) div 2")).as("emissions"))
+      .orderBy(col("bin"))
+      .collect()
+    hist.foreach(r => println(
+      s"binSize>=${r.getLong(0)} buckets=${r.getLong(1)} emissions=${r.getAs[Number](2).longValue}"))
     spark.stop()
   }
 }

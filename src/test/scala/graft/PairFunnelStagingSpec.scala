@@ -106,6 +106,51 @@ class PairFunnelStagingSpec extends SparkSpecBase {
     PairFunnel.invalidateAll()
   }
 
+  test("persistent layer: a changed corpus under a reused tag REBUILDS instead of serving stale pairs") {
+    // r13 verdict item 4: the cross-JVM staging identity was tag-only —
+    // a caller staging a CHANGED corpus under a reused tag was served
+    // the old snapshot's pairs, silently, in every later session. The
+    // corpus fingerprint (row count + commutative id checksum) in the
+    // table name closes the trap.
+    PairFunnel.invalidateAll()
+    val root = java.nio.file.Files.createTempDirectory("funnel-fp-guard").toString
+    val tag = "fp-guard-spec" // deliberately REUSED across corpora below
+
+    val s1 = spark.newSession()
+    s1.conf.set("spark.graft.funnelDir", root)
+    val b0 = PairFunnel.buildsExecuted
+    val pairs1 = pairSet(PairFunnel.nearDupPairs(corpus(s1), "text", "doc_id", tag))
+    assert(PairFunnel.buildsExecuted === b0 + 1)
+
+    // fresh-JVM shape (empty in-process cache), SAME tag, CHANGED
+    // corpus: one planted-dup doc removed
+    PairFunnel.invalidateAll()
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.funnelDir", root)
+    val changed = corpus(s2).filter(col("doc_id") =!= 502L)
+    val p2 = PairFunnel.nearDupPairs(changed, "text", "doc_id", tag)
+    assert(PairFunnel.buildsExecuted === b0 + 2,
+      "changed corpus under a reused tag must rebuild, not serve the stale table")
+    assert(pairSet(p2) ===
+      pairSet(Dedup.minhashNearDupPairs(changed, "text", "doc_id")),
+      "the rebuilt table is the CHANGED corpus' funnel")
+    assert(!pairSet(p2).exists(p => p._2 == 502L),
+      "stale pairs referencing the removed doc must not appear")
+
+    // and the ORIGINAL corpus in a third fresh session still resolves
+    // to ITS table — no rebuild, bit-identical (both snapshots coexist)
+    PairFunnel.invalidateAll()
+    val s3 = spark.newSession()
+    s3.conf.set("spark.graft.funnelDir", root)
+    val p3 = PairFunnel.nearDupPairs(corpus(s3), "text", "doc_id", tag)
+    assert(PairFunnel.buildsExecuted === b0 + 2,
+      "the unchanged corpus is still served from its own staging table")
+    assert(pairSet(p3) === pairs1)
+    assert(new File(root).listFiles().count(_.getName.startsWith("pairs_")) === 2,
+      "two snapshots under one tag = two fingerprint-distinct tables")
+    PairFunnel.invalidateAll()
+  }
+
   test("a different frame under the same tag misses the in-process cache") {
     PairFunnel.invalidateAll()
     val s = spark.newSession()

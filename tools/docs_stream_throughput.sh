@@ -15,6 +15,11 @@ source tools/load_preflight.sh
 OUT=${1:-bench_baselines/r13_docs_stream_probe.json}
 DIR=${2:-sfgen/sf100docs}
 POINTS=${POINTS:-32 64 128 256}
+# operating-point p95 bound (ms): the r13 verdict asked for a chosen
+# operating point with its latency bound stated, not just the
+# max-throughput corner (14.3 MB/s at p50 31.8 s is a throughput
+# record, not a latency a curator would accept for steady ingest)
+P95_BOUND_MS=${P95_BOUND_MS:-15000}
 D=$(mktemp -d /tmp/docsstream.XXXX)
 echo "stream sweep dir: $D"
 
@@ -24,10 +29,12 @@ for mf in $POINTS; do
     > "$D/mf$mf.stdout" 2> "$D/mf$mf.stderr" || { echo "mf=$mf failed"; exit 1; }
 done
 
-python3 - "$D" "$OUT" "$POINTS" <<'EOF'
+python3 - "$D" "$OUT" "$POINTS" "$P95_BOUND_MS" <<'EOF'
 import json, sys
-d, out, points = sys.argv[1], sys.argv[2], [int(p) for p in sys.argv[3].split()]
-sweep, best = {}, None
+d, out = sys.argv[1], sys.argv[2]
+points = [int(p) for p in sys.argv[3].split()]
+p95_bound = int(sys.argv[4])
+sweep, best, op = {}, None, None
 for mf in points:
     r = json.load(open(f"{d}/mf{mf}.json"))
     ok = all(r["gates"].values())
@@ -36,21 +43,30 @@ for mf in points:
                  "state_rows_max"]} | {"gates_green": ok}
     if ok and (best is None or r["text_mb_per_sec"] > sweep[best]["text_mb_per_sec"]):
         best = mf
+    # operating point: max throughput SUBJECT TO the p95 latency bound
+    if ok and r["trigger_p95_ms"] <= p95_bound and (
+            op is None or r["text_mb_per_sec"] > sweep[op]["text_mb_per_sec"]):
+        op = mf
 rec = {
- "record": "r13 docs-stream throughput pass: maxFilesPerTrigger sweep of "
-           "the 5M-doc file-source replay through the E125 score-on-arrival "
-           "stack (same corpus, kernels, and gates as the r12 probe, which "
-           "sustained 3.2 MB/s at maxFiles=8 — ~8 input splits/batch on 32 "
-           "cores plus 100 triggers of admission overhead).",
- "r12_baseline": {"maxfiles": 8, "text_mb_per_sec": 3.2, "wall_s": 470.2},
+ "record": "r14 docs-stream rate-vs-latency frontier: maxFilesPerTrigger "
+           "sweep of the 5M-doc file-source replay through the E125 "
+           "score-on-arrival stack (gates complete/agg_equals_batch/"
+           "state_bounded hold at every point). The r13 record was the "
+           "max-throughput corner; this publishes the full frontier plus "
+           "a chosen OPERATING point (max rate subject to the stated "
+           "trigger-p95 bound) so a curator picks latency, not luck.",
+ "r13_record": {"maxfiles": 256, "text_mb_per_sec": 14.3,
+                "trigger_p50_ms": 31800},
+ "p95_bound_ms": p95_bound,
  "sweep": {str(k): v for k, v in sweep.items()},
- "best": {"maxfiles": best, **(sweep[best] if best else {})},
- "speedup_vs_r12": round(sweep[best]["text_mb_per_sec"] / 3.2, 1) if best else None,
+ "max_throughput": {"maxfiles": best, **(sweep[best] if best else {})},
+ "operating_point": ({"maxfiles": op, **sweep[op]} if op is not None else
+                     {"note": f"no point met p95 <= {p95_bound} ms"}),
  "green": best is not None and all(v["gates_green"] for v in sweep.values()),
 }
 json.dump(rec, open(out, "w"), indent=1)
 print(json.dumps({"green": rec["green"], "best_maxfiles": best,
                   "best_mb_s": sweep[best]["text_mb_per_sec"] if best else None,
-                  "speedup_vs_r12": rec["speedup_vs_r12"]}))
+                  "operating_maxfiles": op}))
 sys.exit(0 if rec["green"] else 1)
 EOF
