@@ -3415,9 +3415,24 @@ object SparkEntry {
       // COUNT only, never results (see HeavyRankOrder's scaladoc; df
       // probe: vocab 131M, df≥64 tail 1.4M, max df 778 at 5M docs).
       // The sample filter pushes below spreadForKernel's round-robin,
-      // so only the 5% sample's text ever shuffles here.
+      // so only the ~5% sample's text ever shuffles here.
+      // md5 sample, NOT pmod(xxhash64(doc_id), 20) (r14): the xxhash64
+      // form ALIASED with this corpus — synthetic text whose word
+      // choices derive from hash-mod arithmetic over the doc id makes
+      // gram membership correlate with any same-family hash-mod doc
+      // sample, and the measured effect was total: grams with df
+      // 100–300 had sampled_df = 1 (expected ~13), so the rank map
+      // never saw exactly the medium-df grams it exists to push out of
+      // prefixes, their small-hash members flooded every prefix, and
+      // candidate emissions grew 12.3x at 10x data (the r13 probe's
+      // superlinear residual). Every other sampler in the engine
+      // already uses the md5 idiom for exactly this decorrelation
+      // property (capFitSample, table samples, split assignment); this
+      // was the one stray. 0x0d/0x100 = 5.08% keeps the rank
+      // calibration (rank >= 2 ~ df >= ~80).
       val heavyRows = Tables.spreadForKernel(srcDocs)
-        .filter(pmod(xxhash64(col("doc_id")), lit(20)) === 0)
+        .filter(substring(md5(concat(lit("rankmap:"),
+          col("doc_id").cast("string"))), 1, 2) < lit("0d"))
         .select(explode(array_distinct(
           graft.functions.exprs.gram_hashes64(col("text"), 12))).as("g"))
         .groupBy(col("g")).agg(count(lit(1)).as("c"))
@@ -3468,13 +3483,25 @@ object SparkEntry {
       // size, not linear in input bytes, and under load the coalesced
       // stage serialized on 10 tasks (r7 profile). A user repartition
       // pins the join's parallelism; AQE honors user partition counts.
-      // The count is ADAPTIVE (r11): a pinned 32 was right at sf0.1 but
-      // at 5M docs it handed each shuffled-hash task a ~15M-row build;
-      // one partition per ~50k docs bounds the per-task build (~1M
-      // prefix rows) at any corpus size. Row count is parquet metadata
-      // — no scan.
+      // The count is ADAPTIVE (r11; re-sized r14): a pinned 32 was
+      // right at sf0.1 but at 5M docs it handed each shuffled-hash
+      // task a ~15M-row build. The r11 sizing (one partition per ~50k
+      // docs) assumed ~20 prefix rows/doc; measured prefix length is
+      // ~57 rows/doc, so 50k-doc partitions carried ~2.8M-row hash
+      // builds (~200 MB): the r14 idle profile showed the join probing
+      // at 2.6 µs/emission at 5M docs vs 1.04 µs at sf10 — build-side
+      // locality, not emission count, was the bigger half of the 13.7x
+      // wall ratio. One partition per ~15k docs bounds the build at
+      // ~900k rows (~60 MB). The 192 CAP is the bypass-merge boundary,
+      // measured the hard way: 334 partitions crossed
+      // spark.shuffle.sort.bypassMergeThreshold (200) and the staging
+      // exchange's writer switched from per-partition bypass files to
+      // the sort-based path — the kernel+write stage went 2793 → 7634
+      // cpu-s (2.7x) for identical bytes, costing far more than the
+      // halved join paid back. On a real cluster raise the threshold
+      // and this cap TOGETHER. Row count is parquet metadata — no scan.
       val nParts = math.max(s.sessionState.conf.numShufflePartitions,
-        math.min(2048, (srcDocs.count() / 50000L).toInt + 1))
+        math.min(192, (srcDocs.count() / 15000L).toInt + 1))
       // shuffle_hash (r11): the pg keys are near-unique 8-byte gram
       // hashes; sort-merge sorted the ~Σplen-row prefix stream TWICE
       // (the 5M-doc probe put its disk-filling sort spill here), where
@@ -3506,43 +3533,41 @@ object SparkEntry {
       // DuckDB oracle is the exact all-pairs ground truth, so the
       // est-filter is recall-audited every round.
       val est16Cut = tau - 4.0 / (2.0 * math.sqrt(16.0))
-      // The refinement anchor stays on the FULL 64-byte digest: the
-      // block re-keying below drops only pairs agreeing on NO 2-byte
-      // block, and by pigeonhole any pair with 64-byte agreement
-      // > 1/2 fully agrees on ≥ 1 of the 32 blocks — a true τ-pair
-      // falls under 1/2 w.p. P[Binom(64, 0.8) ≤ 32] ≈ 3e-16. With the
-      // est filter narrowed to the 16-byte slice (cut 0.30 < 1/2), the
-      // refinement is NOT bit-identical versus the flat est-filtered
-      // join (r13 advisory): a junk pair passing the slice can agree on
-      // no full-digest block — acceptable, since the exact verify
-      // decides membership and the only possible loss is a TRUE pair
-      // falling under the anchor, residual ~1e-14/pair end-to-end,
-      // oracle-audited every round. The guard below is therefore an
-      // ANCHOR-SANITY check, not a flat-join-equivalence proof: it
-      // keeps the τ − 4σ₆₄ form so a future tau low enough to push
-      // even the full-digest anchor to 1/2 — where true pairs start
-      // dropping at non-negligible rates — fails loud (widen tau or
-      // disable refinement — a deliberate edit).
-      val refineCut = tau - 4.0 / (2.0 * math.sqrt(64.0))
-      require(graft.ops.BucketRefine.lossless(64, refineCut),
-        s"prefix-join block refinement's full-digest anchor is unsound at refineCut=$refineCut " +
-          "(true pairs no longer pinned above 1/2 agreement) — raise tau or disable refinement")
-      // HEAVY-GRAM SUB-REFINEMENT (r12, graft.ops.BucketRefine): prefix
-      // buckets bigger than the cap — on replicated/boilerplate corpora
-      // these are the alphabet-symmetric grams shared by EVERY replica,
-      // whose buckets grow with the corpus and whose C(n,2) emission was
-      // 27× CPU at 10× data in the r11 k=1000 probe — are re-keyed per
-      // 2-byte digest block before emission. Lossless: the est cut
-      // (0.55) > 1/2 forces every surviving pair to fully agree on ≥ 1
-      // of the 32 blocks, so joining heavy buckets on (pg, block) keeps
-      // the candidate set bit-identical while cross-replica members
-      // (~random digests) collide on a block w.p. ~2⁻¹⁶. The cap sits
-      // above any genuine duplicate family's per-gram bucket yet below
-      // the replica-scaling buckets at every probed corpus size —
-      // measured BOTH ways at k300: the ~80-doc cap cut the
+      // The refinement anchor stays on the FULL 64-byte digest, now
+      // with WIDTH-3 blocks (r14): junk pairs inside a shared-gram
+      // bucket have per-byte digest agreement j ≈ their true jaccard
+      // (~0.1 on this corpus), so a 2-byte block only cut their
+      // emission 32·j² ≈ 3x, while 3-byte blocks cut it 21·j³ ≈ 47x —
+      // and random cross-bucket collisions drop 2⁻¹⁶ → 2⁻²⁴. The cost
+      // is the anchor becoming probabilistic at width 3: a TRUE τ-pair
+      // agrees on a given 3-byte block w.p. τ³ (bytes are independent
+      // MinHash agreements), so P[no block of 21 agrees] =
+      // (1 − τ³)²¹ ≈ 2.9e-7 at the τ = 0.8 edge (tighter above it) —
+      // dominating the est16 residual but still oracle-audited every
+      // round (with the est filter already on a 16-byte slice at cut
+      // 0.30 < 1/2, the width-2 pigeonhole bit-identity was ALREADY
+      // forfeit — r13 advisory — so width 3 trades an unused guarantee
+      // for the 15x junk cut). The guard fails loud if a future tau
+      // pushes the anchor loss above 1e-5 (widen tau, narrow blocks,
+      // or disable refinement — a deliberate edit).
+      val anchorLoss = graft.ops.BucketRefine.anchorLoss(64, 3, tau)
+      require(anchorLoss <= 1e-5,
+        f"prefix-join width-3 block refinement would drop true pairs at $anchorLoss%.2e " +
+          "per pair — raise tau, use width 2, or disable refinement")
+      // HEAVY-GRAM SUB-REFINEMENT (r12, graft.ops.BucketRefine; r14:
+      // width-3 blocks + a rank sample that actually sees the heavy
+      // grams — see the md5 note above): prefix buckets bigger than
+      // the cap are re-keyed per 3-byte digest block before emission,
+      // so a bucket's junk mass (pairs sharing this one gram and
+      // little else, per-byte digest agreement j ≈ 0.1) emits at
+      // 21·j³ ≈ 2% of C(n,2) while true pairs anchor on a fully-
+      // agreeing block w.p. ≥ 1 − 2.9e-7 (the guard above). The cap
+      // sits above any genuine duplicate family's per-gram bucket yet
+      // below the corpus-scaling buckets at every probed size —
+      // measured BOTH ways at k300: an ~80-doc cap cut the
       // join-consume CPU 6.3× (11.6k→1.8k CPU-s), while a ~16-doc cap
       // pulled genuinely-similar template families into refinement,
-      // whose pairs re-emit once per agreeing block (~32×) and blew the
+      // whose pairs re-emit once per agreeing block and blew the
       // pre-distinct exchange past the probe host's disk.
       // The heavy flag is MAP-SIDE, from the rank sample the query
       // already broadcasts (rank ≥ 2 ⇔ sampled doc-count ≥ 4 ⇔ full
@@ -3574,7 +3599,7 @@ object SparkEntry {
           posexplode(col("ptoks")).as(Seq("pos", "pg")))
         .select(col("doc_id"), col("m"), substring(col("dg"), 1, 16).as("dg16"),
           (col("pos") + 1).as("rn"), col("pg"),
-          explode(graft.ops.BucketRefine.subkeys(col("dg"), 64,
+          explode(graft.ops.BucketRefine.subkeysWide(col("dg"), 64, 3,
             graft.functions.BroadcastRank.heavyRankAtLeast(
               col("pg"), bcKeys, bcRanks, 2))).as("sk"))
         .repartition(nParts, col("pg"), col("sk")))

@@ -41,6 +41,17 @@ object InflationProbe {
         p.getName.toLowerCase.contains("tenured"))
       .mapToLong(p => p.getUsage.getUsed / (1024 * 1024)).sum()
 
+  // hypervisor steal (r14): co-tenant bursts inflate guest task-CPU
+  // accounting while invisible to load average — the per-rep steal
+  // column is what separates "the JVM degraded" from "the host was
+  // being robbed during this rep"
+  private def stealJiffies(): Long =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try src.getLines().next().trim.split("\\s+")(8).toLong
+      finally src.close()
+    } catch { case _: Throwable => 0L }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("sfgen/sf100docs")
     val target = args.lift(1).getOrElse("q_token_budget")
@@ -61,18 +72,20 @@ object InflationProbe {
     def run(phase: String, q: String): Unit = {
       val (gt0, gc0) = gcStats()
       val cpu0 = os.getProcessCpuTime
+      val st0 = stealJiffies()
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(q)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       val wall = (System.nanoTime() - t0) / 1e9
       val cpu = (os.getProcessCpuTime - cpu0) / 1e9
+      val steal = (stealJiffies() - st0) / 100.0
       val (gt1, gc1) = gcStats()
       val heapMb = ManagementFactory.getMemoryMXBean.getHeapMemoryUsage
         .getCommitted / (1024 * 1024)
       val rec = f"""{"phase":"$phase","query":"$q","wall_s":$wall%.2f,""" +
         f""""cpu_s":$cpu%.2f,"gc_s":${(gt1 - gt0) / 1e3}%.2f,""" +
         f""""gc_count":${gc1 - gc0},"heap_committed_mb":$heapMb,""" +
-        f""""oldgen_used_mb":${oldGenUsedMb()}}"""
+        f""""oldgen_used_mb":${oldGenUsedMb()},"steal_s":$steal%.2f}"""
       recs += rec
       println(s"REC $rec")
       // per-rep cache hygiene, the Bench discipline

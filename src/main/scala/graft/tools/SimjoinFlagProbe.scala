@@ -22,7 +22,8 @@ object SimjoinFlagProbe {
     val s = spark
     val srcDocs = graft.sources.Tables.documents(s, dir)
     val heavyRows = graft.sources.Tables.spreadForKernel(srcDocs)
-      .filter(pmod(xxhash64(col("doc_id")), lit(20)) === 0)
+      .filter(substring(md5(concat(lit("rankmap:"),
+        col("doc_id").cast("string"))), 1, 2) < lit("0d"))
       .select(explode(array_distinct(
         graft.functions.exprs.gram_hashes64(col("text"), 12))).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("c"))

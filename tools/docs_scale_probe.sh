@@ -22,7 +22,10 @@ set -u
 cd "$(dirname "$0")/.."
 source tools/load_preflight.sh
 OUT=${1:-bench_baselines/r13_docs_k1000.json}
-QUERIES="q_dedup_exact,q_dedup_minhash,q_dedup_minhash_pairs,q_simjoin_prefix,q_embed_neardup,q_semdedup,q_component_labels,q_substring_dup,q_containment,q_ann_topk,q_ann_ivf,q_ann_ivf_recall,q_ann_ivfpq,q_ann_ivfpq_recall,q_ann_lsh,q_ann_lsh_recall,q_dedup_simhash_pairs,q_token_budget"
+# QUERIES is overridable for focused re-measurement runs (e.g. r14's
+# superlinearity-fix evidence re-ran the funnel family only; the full
+# r13 record stands for the rest — the record text must say which)
+QUERIES=${QUERIES:-q_dedup_exact,q_dedup_minhash,q_dedup_minhash_pairs,q_simjoin_prefix,q_embed_neardup,q_semdedup,q_component_labels,q_substring_dup,q_containment,q_ann_topk,q_ann_ivf,q_ann_ivf_recall,q_ann_ivfpq,q_ann_ivfpq_recall,q_ann_lsh,q_ann_lsh_recall,q_dedup_simhash_pairs,q_token_budget}
 FUNNEL_CONSUMERS="q_component_labels,q_dedup_minhash,q_dedup_minhash_pairs,q_dedup_exact"
 RECALL_QUERIES="q_ann_lsh_recall,q_ann_ivf_recall,q_ann_ivfpq_recall"
 # PROBE_DIR: pass a prior run's tmpdir to resume — a leg whose json

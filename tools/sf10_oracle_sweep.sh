@@ -68,11 +68,12 @@ missing = sorted(dumped - set(passes) - set(skips)
 for m in missing:
     fails.append(f"FAIL {m}: never compared (compare process died mid-run)")
 rec = {
- "record": "r13 full-surface sf10 oracle sweep: all registered queries "
+ "record": "full-surface sf10 oracle sweep: all registered queries "
            "dumped at sfgen/sf10 (500k docs / 200k embeddings / 60M-row "
            "lineitem scale) and hash-compared in DuckDB; the pair-funnel "
            "tables subset by the shared md5 sample predicate so the "
            "replay family stays oracle-tractable, all other tables FULL",
+ "commit": os.popen("git rev-parse HEAD").read().strip(),
  "sample": sample, "oracle_timeout_s": int(tmo),
  "n_pass": len(passes), "n_fail": len(fails),
  "n_oracle_timeout_skip": len(skips), "skipped": skips, "fails": fails,
