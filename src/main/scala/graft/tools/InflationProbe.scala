@@ -52,6 +52,21 @@ object InflationProbe {
       finally src.close()
     } catch { case _: Throwable => 0L }
 
+  // host-speed calibration (r14): a fixed single-thread integer loop
+  // timed immediately before each rep. The r14 adjudication measured
+  // the host's per-core speed flipping ~2.2-3.6x between runs with ~0
+  // steal (hypervisor frequency/turbo sharing — /sys cpufreq is not
+  // exposed in this VM). cpu_s divided by the rep's calibration factor
+  // is comparable across reps; raw cpu_s is not.
+  private def calibrateMs(): Double = {
+    var x = 0L
+    var i = 0L
+    val t0 = System.nanoTime()
+    while (i < 400000000L) { x += i * i; i += 1 }
+    if (x == 42L) println("") // defeat dead-code elimination
+    (System.nanoTime() - t0) / 1e6
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("sfgen/sf100docs")
     val target = args.lift(1).getOrElse("q_token_budget")
@@ -70,6 +85,7 @@ object InflationProbe {
 
     val recs = new scala.collection.mutable.ArrayBuffer[String]()
     def run(phase: String, q: String): Unit = {
+      val calib = calibrateMs()
       val (gt0, gc0) = gcStats()
       val cpu0 = os.getProcessCpuTime
       val st0 = stealJiffies()
@@ -85,7 +101,8 @@ object InflationProbe {
       val rec = f"""{"phase":"$phase","query":"$q","wall_s":$wall%.2f,""" +
         f""""cpu_s":$cpu%.2f,"gc_s":${(gt1 - gt0) / 1e3}%.2f,""" +
         f""""gc_count":${gc1 - gc0},"heap_committed_mb":$heapMb,""" +
-        f""""oldgen_used_mb":${oldGenUsedMb()},"steal_s":$steal%.2f}"""
+        f""""oldgen_used_mb":${oldGenUsedMb()},"steal_s":$steal%.2f,""" +
+        f""""calib_ms":$calib%.1f}"""
       recs += rec
       println(s"REC $rec")
       // per-rep cache hygiene, the Bench discipline

@@ -84,10 +84,11 @@ PYEOF
   bash tools/runmain.sh graft.Verify sfgen/sf100docs "$D/recall" \
     > "$D/recall.stdout" 2> "$D/recall.stderr" || exit 1
 
-python3 - "$D" "$OUT" <<'EOF'
+python3 - "$D" "$OUT" "$QUERIES" <<'EOF'
 import json, sys, glob
 import duckdb
 d, out = sys.argv[1], sys.argv[2]
+queries_env = sys.argv[3]
 def load(p):
     return json.load(open(f"{d}/{p}.json"))["queries"]
 s10, s1000, staged = load("sf10"), load("k1000"), load("k1000_staged")
@@ -99,7 +100,13 @@ for q in sorted(s1000):
          if a.get("sec") and b.get("sec") else None)
     qs[q] = {"sf10_sec": a.get("sec"), "k1000_sec": b.get("sec"),
              "ratio_10x": r, "cpu_s": b.get("cpu_s"), "run_s": b.get("run_s"),
-             "spill_mb": b.get("spill_mb", 0.0)}
+             "spill_mb": b.get("spill_mb", 0.0),
+             # hypervisor steal during each leg (r14 telemetry): a
+             # nonzero column taints that side's wall time — the sf10
+             # leg of this record was re-run after a 5-core steal burst
+             # was caught red-handed by exactly this column
+             "steal_s": b.get("steal_s", 0.0),
+             "sf10_steal_s": a.get("steal_s", 0.0)}
     if q in staged and "sec" in staged[q]:
         qs[q]["staged_sec"] = staged[q]["sec"]
     if "err" in b: qs[q]["err"] = b["err"]
@@ -123,12 +130,15 @@ for q, floor in floors.items():
                  "floor": floor, "ok": ok}
     recall_ok = recall_ok and ok
 rec = {
- "record": "r13 third-decade funnel probe: docs/embeddings at k=1000 "
+ "record": "third-decade funnel probe: docs/embeddings at k=1000 "
            "(5M docs / 2M embeddings, ScaleGenDocs from sf0.1) vs fresh "
            "same-host sf10 pass (500k / 200k); data growth exactly 10x. "
-           "Adds ANN recall gates at 2M vectors, per-query spill, and "
+           "ANN recall gates at 2M vectors, per-query spill/steal, and "
            "the staged-funnel leg (fresh JVM re-running the funnel "
-           "consumers from the cross-session staging table).",
+           "consumers from the cross-session staging table). The QUERIES "
+           "env names the measured set — a focused run re-measures the "
+           "changed family and the prior full record stands for the rest.",
+ "queries_env": queries_env,
  "rows": {"documents": 5000000, "embeddings": 2000000},
  "config": {"master": "local[32]", "heap_sf10": "64g", "heap_k1000": "96g",
             "shuffle_partitions": 32, "sink": "noop"},

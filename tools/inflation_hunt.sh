@@ -50,12 +50,23 @@ for f in glob.glob(f"{d}/*.json"):
     before = [x for x in r["reps"] if x["phase"] == "before"][-1:]
     after = [x for x in r["reps"] if x["phase"] == "after"]
     b = before[0] if before else None
+    def calib_norm(x):
+        # cpu_s normalized by the rep's host-speed calibration loop:
+        # raw cpu_s comparisons are invalid across host speed-mode flips
+        # (r14 measured 2.2-3.6x per-core swings at ~0 steal)
+        return x["cpu_s"] / x["calib_ms"] if x.get("calib_ms") else None
     configs[name] = {
         "jvm_flags": r.get("jvm_flags"),
         "before_last": b,
         "after": after,
-        "cpu_inflation": (round(sum(a["cpu_s"] for a in after) / len(after)
+        "cpu_inflation_raw": (round(sum(a["cpu_s"] for a in after) / len(after)
                           / b["cpu_s"], 2) if b and after else None),
+        "cpu_inflation_calibrated": (
+            round(sum(calib_norm(a) for a in after) / len(after)
+                  / calib_norm(b), 2)
+            if b and after and calib_norm(b)
+            and all(calib_norm(a) for a in after) else None),
+        "steal_s_after": ([a.get("steal_s") for a in after] if after else None),
         "gc_s_before": b["gc_s"] if b else None,
         "gc_s_after_mean": (round(sum(a["gc_s"] for a in after) / len(after), 2)
                             if after else None),
@@ -70,5 +81,7 @@ summary = {
  "gclog_lines": (sum(1 for _ in open(gclog)) if os.path.exists(gclog) else 0),
 }
 json.dump(summary, open(out, "w"), indent=1)
-print(json.dumps({k: v["cpu_inflation"] for k, v in configs.items()}))
+print(json.dumps({k: {"raw": v["cpu_inflation_raw"],
+                      "calibrated": v["cpu_inflation_calibrated"]}
+                  for k, v in configs.items()}))
 EOF
