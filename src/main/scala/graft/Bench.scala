@@ -134,6 +134,11 @@ object Bench {
     // can't double the run.
     var retriesLeft = 20
     var nRetried = 0
+    // r14 verdict item 7: q_token_budget crossed the 1.5x retry trigger
+    // late in a 20-retry (high-steal) run and was silently NOT retried —
+    // the record stopped adjudicating its own tail without saying so.
+    // Count every trigger the exhausted budget denies and publish it.
+    var nRetryDenied = 0
     val gcMode = sys.env.getOrElse("SPARK_GRAFT_GC", "auto")
     var gcBudget = 16
     val results = selected.map { case (name, fn) =>
@@ -176,8 +181,10 @@ object Bench {
       }
       var (sec, err, cpuS, runS, spillMb, stealS) = once()
       var firstSec: Option[Double] = None
-      if (err.isEmpty && retriesLeft > 0 &&
-          base.get(name).exists { case (b, _) => sec > 1.5 * b && sec - b > 0.5 }) {
+      val wantsRetry = err.isEmpty &&
+        base.get(name).exists { case (b, _) => sec > 1.5 * b && sec - b > 0.5 }
+      if (wantsRetry && retriesLeft <= 0) nRetryDenied += 1
+      if (wantsRetry && retriesLeft > 0) {
         retriesLeft -= 1
         nRetried += 1
         firstSec = Some(sec)
@@ -304,6 +311,9 @@ object Bench {
     def line(qs: String, note: String): String =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
         s""""n_queries":${results.size},"n_err":$nErr,"n_retried":$nRetried,""" +
+        (if (nRetryDenied > 0)
+          s""""retries_exhausted":true,"n_retry_denied":$nRetryDenied,"""
+         else "") +
         s""""spill_mb_total":${fmt(spillTotal)},""" +
         vsPrev.map(_ + ",").getOrElse("") +
         (if (note.nonEmpty) s""""queries_note":${jstr(note)},""" else "") +

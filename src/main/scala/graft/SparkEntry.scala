@@ -3498,10 +3498,21 @@ object SparkEntry {
       // exchange's writer switched from per-partition bypass files to
       // the sort-based path — the kernel+write stage went 2793 → 7634
       // cpu-s (2.7x) for identical bytes, costing far more than the
-      // halved join paid back. On a real cluster raise the threshold
-      // and this cap TOGETHER. Row count is parquet metadata — no scan.
+      // halved join paid back. The cap is therefore DERIVED from the
+      // session's bypassMergeThreshold (minus headroom for AQE's
+      // occasional +partition re-splits), not hard-coded to this
+      // probe host's 192 (r14 advisory): a cluster deployment that
+      // raises spark.shuffle.sort.bypassMergeThreshold for its scale
+      // (e.g. 4096 at 50M docs, where 15k-doc builds need ~3.3k
+      // partitions) gets the matching cap automatically instead of
+      // silently inheriting the probe host's boundary and growing
+      // ~15M-row hash builds per task — the r11 failure mode the
+      // adaptive count exists to prevent.
+      // Row count is parquet metadata — no scan.
+      val bypassCap = math.max(32,
+        s.conf.get("spark.shuffle.sort.bypassMergeThreshold", "200").toInt - 8)
       val nParts = math.max(s.sessionState.conf.numShufflePartitions,
-        math.min(192, (srcDocs.count() / 15000L).toInt + 1))
+        math.min(bypassCap, (srcDocs.count() / 15000L).toInt + 1))
       // shuffle_hash (r11): the pg keys are near-unique 8-byte gram
       // hashes; sort-merge sorted the ~Σplen-row prefix stream TWICE
       // (the 5M-doc probe put its disk-filling sort spill here), where

@@ -52,6 +52,21 @@ object Clustering {
     } finally sample.unpersist()
   }
 
+  /** Final KMeans fit + predictions + centres + silhouette.
+    *
+    * DELIBERATE DEVIATION from the reference (pinned, r14 verdict item
+    * 6): project-co2.py:65 fits its FINAL model on the same 10% sample
+    * the k-sweep used and only `transform`s the full frame, so the
+    * published centres/silhouette depend on the sample draw. This fits
+    * on the FULL frame: at the reference's data size the sample trick
+    * saves nothing, at 100 TB the sampling belongs in [[kSweep]] (model
+    * selection) while the one final fit is a handful of Lloyd passes
+    * over cached features — and full-fit centres are what the
+    * oracle-checked portable path (q_kmeans_portable) reproduces
+    * deterministically. ClusteringSpec's "full-frame fit" case pins
+    * this choice; q_kmeans_clusters stays rows-checked (Spark-ML RNG
+    * fidelity, SURVEY §2 R15).
+    */
   def fitPredict(
       df: DataFrame, featureCols: Seq[String], k: Int = 5,
       seed: Long = 1L): Fitted = {

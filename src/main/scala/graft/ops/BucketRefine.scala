@@ -82,8 +82,21 @@ object BucketRefine {
     * higher-order-function lambdas (those are CodegenFallback, the r11
     * quantize lesson).
     */
-  def subkeys(dg: Column, nBytes: Int, heavy: Column): Column =
-    subkeysWide(dg, nBytes, 2, heavy)
+  def subkeys(dg: Column, nBytes: Int, heavy: Column): Column = {
+    // ⌈n/2⌉ blocks — for odd n the trailing block is the single
+    // remainder byte (substring truncates naturally), keeping FULL
+    // digest coverage, which is exactly what lossless()'s pigeonhole
+    // bound assumes (r14 advisory: delegating to subkeysWide's
+    // ⌊n/2⌋-block form silently dropped the last byte for odd n, so an
+    // odd numHashes could lose pairs the bound claims it keeps; the
+    // shorter tail block only strengthens the bound — ≤ 0 agreeing
+    // bytes when it doesn't fully agree). Even n (the default 64) is
+    // bit-identical to subkeysWide(_, n, 2, _).
+    val blocks = (0 until (nBytes + 1) / 2).map { i =>
+      xxhash64(lit(i), substring(dg, 2 * i + 1, 2))
+    }
+    when(heavy, array(blocks: _*)).otherwise(array(lit(-1L)))
+  }
 
   /** Expected fraction of TRUE τ-pairs dropped by width-`w` block
     * re-keying under the probabilistic full-digest anchor: each byte is
@@ -97,7 +110,13 @@ object BucketRefine {
 
   /** Width-`w` generalization of [[subkeys]] (r14, the third-decade
     * superlinearity fix): ⌊n/w⌋ disjoint `w`-byte blocks (a trailing
-    * n mod w remainder is unused). Wider blocks trade anchor strength
+    * n mod w remainder is deliberately UNUSED — a short tail block
+    * would collide on junk pairs w.p. ~2^(−8·(n mod w)), dominating
+    * the w-byte junk rate the width was chosen for; [[anchorLoss]]
+    * uses the same ⌊n/w⌋ so the guard and the enumeration agree.
+    * This is the probabilistic-anchor path — callers needing the
+    * lossless() pigeonhole must use [[subkeys]], which covers every
+    * byte). Wider blocks trade anchor strength
     * for junk-collision rate: a junk pair with per-byte digest
     * agreement j collides on a w-byte block w.p. ~j^w + 2^(−8w), so
     * w = 3 cuts the dominant cross-replica term (j ≈ 0.01–0.05 on

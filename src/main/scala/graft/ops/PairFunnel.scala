@@ -47,16 +47,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * instead of silently receiving the wrong pair set (r12 advisory).
   * The persistent layer cannot see plans across JVMs, so it is guarded
   * by a '''corpus fingerprint''' instead (r13 verdict item 4): row
-  * count + the commutative md5-head id checksum (the q_table_checksum
-  * kernel — order/partitioning invariant, one column-pruned agg over
-  * the funnel input), folded into the staged table's NAME. A caller
-  * staging a CHANGED corpus under a reused tag therefore misses and
-  * builds its own table rather than being served stale pairs; the
-  * superseded snapshot's table stays on disk until the staging root is
-  * cleaned (deliberate — deleting a directory a concurrent session may
-  * be mid-scan is the worse failure). The fingerprint is ids-only: a
-  * corpus whose TEXT changed under identical ids still collides, which
-  * is the documented residual — ingest snapshots that rewrite text
+  * count + a commutative md5 checksum over `(id, length(text))` —
+  * order/partitioning invariant, one column-pruned agg over the funnel
+  * input — folded into the staged table's NAME. A caller staging a
+  * CHANGED corpus under a reused tag therefore misses and builds its
+  * own table rather than being served stale pairs; the superseded
+  * snapshot's table stays on disk until the staging root is cleaned
+  * (deliberate — deleting a directory a concurrent session may be
+  * mid-scan is the worse failure). Residual (r14 advisory narrowed it):
+  * only a text edit that preserves BOTH every doc's id and its exact
+  * character length still collides — ingest snapshots that rewrite text
   * assign new ids in every pipeline this engine models.
   *
   * Correctness: consumers get the IDENTICAL result the per-query build
@@ -110,20 +110,37 @@ object PairFunnel {
   }
 
   /** Order/partitioning-invariant fingerprint of the funnel INPUT: row
-    * count + summed md5-head of the id column (32-bit terms into a
-    * long — far from overflow at any row count this engine meets; the
-    * q_table_checksum kernel). One column-pruned agg per cross-JVM
-    * materialization; the in-process cache means a session pays it at
-    * most once per funnel.
+    * count + summed md5-head + xor-folded md5 tail of
+    * `concat(id, ':', length(text))`. One column-pruned agg per
+    * cross-JVM materialization; the in-process cache means a session
+    * pays it at most once per funnel.
+    *
+    * r14 advisory hardening: the ids-only form resolved a corpus whose
+    * TEXT changed under identical ids to the stale staged table, and
+    * its commutative 32-bit sum collided more easily than the naming
+    * suggested. The hash input now folds in length(text) (any edit
+    * that changes a doc's length flips its term; same-length edits
+    * remain a documented residual — hashing the text itself would
+    * re-scan the payload column this fingerprint exists to avoid), and
+    * a second 64-bit xor-fold over md5 bits 33..92 makes an engineered
+    * sum collision also need a simultaneous xor collision.
     */
-  private def corpusFingerprint(docs: DataFrame, idCol: String): String = {
+  private def corpusFingerprint(docs: DataFrame, idCol: String,
+      textCol: String): String = {
     import org.apache.spark.sql.functions._
+    val h = md5(concat_ws(":", col(idCol).cast("string"),
+      length(col(textCol)).cast("string")))
     val r = docs
-      .select(conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-        .cast("long").as("h"))
-      .agg(count(lit(1)).as("n"), sum(col("h")).as("s")).head()
+      .select(conv(substring(h, 1, 8), 16, 10).cast("long").as("h"),
+        // 15 hex chars = 60 bits — always fits a positive long (a full
+        // 16-char slice can exceed Long.MaxValue and ANSI-cast-throw)
+        conv(substring(h, 9, 15), 16, 10).cast("long").as("t"))
+      .agg(count(lit(1)).as("n"), sum(col("h")).as("s"),
+        expr("bit_xor(t)").as("x")).head()
     val s = if (r.isNullAt(1)) 0L else r.getLong(1)
-    s"n${r.getLong(0)}-x${java.lang.Long.toHexString(s)}"
+    val x = if (r.isNullAt(2)) 0L else r.getLong(2)
+    s"n${r.getLong(0)}-x${java.lang.Long.toHexString(s)}" +
+      s"-t${java.lang.Long.toHexString(x)}"
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {
@@ -201,7 +218,7 @@ object PairFunnel {
       p: Dedup.MinhashParams = Dedup.MinhashParams()): DataFrame =
     getOrBuild(key(docs, "pairs", tag, textCol, idCol, p),
       materialize(docs.sparkSession, tableName("pairs", tag, textCol, idCol, p),
-        corpusFingerprint(docs, idCol),
+        corpusFingerprint(docs, idCol, textCol),
         Dedup.minhashNearDupPairs(docs, textCol, idCol, p)))
 
   /** Smallest-id component labels over [[nearDupPairs]], built once per
@@ -212,7 +229,7 @@ object PairFunnel {
       p: Dedup.MinhashParams = Dedup.MinhashParams()): DataFrame =
     getOrBuild(key(docs, "labels", tag, textCol, idCol, p),
       materialize(docs.sparkSession, tableName("labels", tag, textCol, idCol, p),
-        corpusFingerprint(docs, idCol),
+        corpusFingerprint(docs, idCol, textCol),
         Dedup.componentMinLabels(nearDupPairs(docs, textCol, idCol, tag, p))))
 
   /** Test hook: drop every cached funnel (specs that mutate the

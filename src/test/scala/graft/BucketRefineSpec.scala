@@ -112,4 +112,79 @@ class BucketRefineSpec extends SparkSpecBase {
     assert(p eq p2)
     PairFunnel.invalidateAll()
   }
+
+  // --- r15: pin the width-3 anchor machinery (r14 verdict item 3) ---
+  // q_simjoin_prefix's 1e-5 runtime guard (SparkEntry, `require(
+  // anchorLoss <= 1e-5)`) is only as meaningful as anchorLoss's math;
+  // these cases pin the closed form against hand-computed values, its
+  // monotonicity, and subkeysWide's actual key enumeration so a
+  // refactor cannot silently change what the guard guards.
+
+  test("anchorLoss matches hand-computed (1 - tau^w)^floor(n/w)") {
+    // 64-byte digest, width 3 => 21 blocks; tau = 0.8 => (1-0.512)^21
+    assert(math.abs(BucketRefine.anchorLoss(64, 3, 0.8) - 2.8630e-7)
+      / 2.8630e-7 < 1e-3)
+    // tau = 0.9 => (1-0.729)^21
+    assert(math.abs(BucketRefine.anchorLoss(64, 3, 0.9) - 1.2370e-12)
+      / 1.2370e-12 < 1e-3)
+    // width 2 => 32 blocks; tau = 0.8 => (1-0.64)^32
+    assert(math.abs(BucketRefine.anchorLoss(64, 2, 0.8) - 6.3340e-15)
+      / 6.3340e-15 < 1e-3)
+    // floor semantics: a 65th byte adds no width-2 block (the remainder
+    // is uncovered by subkeysWide — by design; see its scaladoc)
+    assert(BucketRefine.anchorLoss(65, 2, 0.8) ===
+      BucketRefine.anchorLoss(64, 2, 0.8))
+    // the q_simjoin_prefix guard's actual operating point stays under it
+    assert(BucketRefine.anchorLoss(64, 3, 0.8) <= 1e-5)
+  }
+
+  test("anchorLoss is monotone decreasing in tau and increasing in width") {
+    val taus = Seq(0.5, 0.6, 0.7, 0.8, 0.9, 0.95)
+    taus.sliding(2).foreach { case Seq(lo, hi) =>
+      assert(BucketRefine.anchorLoss(64, 3, lo) > BucketRefine.anchorLoss(64, 3, hi))
+    }
+    // wider blocks = weaker anchor (fewer, harder-to-agree blocks)
+    assert(BucketRefine.anchorLoss(64, 2, 0.8) < BucketRefine.anchorLoss(64, 3, 0.8))
+    assert(BucketRefine.anchorLoss(64, 3, 0.8) < BucketRefine.anchorLoss(64, 4, 0.8))
+  }
+
+  test("subkeysWide enumerates floor(n/w) block keys gated by the heavy flag") {
+    // a 64-byte digest with distinguishable bytes
+    val bytes = Array.tabulate(64)(i => (i * 7 + 3).toByte)
+    val df = Seq((1, bytes, true), (2, bytes, false))
+      .toDF("id", "dg", "heavy")
+    val out = df.select(col("id"),
+        BucketRefine.subkeysWide(col("dg"), 64, 3, col("heavy")).as("sks"))
+      .as[(Int, Seq[Long])].collect().toMap
+    assert(out(1).size === 21, "64 bytes / width 3 = 21 blocks, remainder dropped")
+    assert(out(1).distinct.size === 21, "distinct bytes => distinct block keys")
+    assert(out(2) === Seq(-1L), "light rows keep the sentinel sub-key alone")
+    // block i is a function of bytes [3i, 3i+3) ONLY: flipping a byte in
+    // block 5 changes exactly that key; flipping the dropped 64th byte
+    // (index 63) changes nothing (21*3 = 63 bytes covered)
+    val b2 = bytes.clone(); b2(15) = (b2(15) ^ 0x5a).toByte // block 5
+    val b3 = bytes.clone(); b3(63) = (b3(63) ^ 0x5a).toByte // remainder
+    val out2 = Seq((1, b2, true), (2, b3, true)).toDF("id", "dg", "heavy")
+      .select(col("id"),
+        BucketRefine.subkeysWide(col("dg"), 64, 3, col("heavy")).as("sks"))
+      .as[(Int, Seq[Long])].collect().toMap
+    assert(out2(1).zip(out(1)).zipWithIndex.count { case ((a, b), _) => a != b } === 1)
+    assert(out2(1)(5) !== out(1)(5))
+    assert(out2(2) === out(1), "the uncovered remainder byte never keys a block")
+  }
+
+  test("subkeys covers every byte for odd digest lengths (lossless coverage)") {
+    // 5-byte digest => ceil(5/2) = 3 blocks, the last a single byte.
+    // lossless(5, cut) asserts the pigeonhole over FULL coverage; the
+    // r14 advisory caught subkeys delegating to the floor-block form,
+    // which dropped byte 5 and could lose pairs the bound claims kept.
+    val bytes = Array[Byte](10, 20, 30, 40, 50)
+    val tail = bytes.clone(); tail(4) = 99
+    val out = Seq((1, bytes, true), (2, tail, true)).toDF("id", "dg", "heavy")
+      .select(col("id"), BucketRefine.subkeys(col("dg"), 5, col("heavy")).as("sks"))
+      .as[(Int, Seq[Long])].collect().toMap
+    assert(out(1).size === 3, "ceil(5/2) = 3 blocks")
+    assert(out(1).take(2) === out(2).take(2))
+    assert(out(1)(2) !== out(2)(2), "the odd trailing byte must key its own block")
+  }
 }

@@ -75,4 +75,21 @@ class ClusteringSpec extends SparkSpecBase {
     // must beat an uninformative 0
     assert(sweep.map(_._2).max > 0.0)
   }
+
+  test("fitPredict fits on the FULL frame (pinned deviation from project-co2.py:65)") {
+    // The reference fits its final model on the k-sweep's 10% sample;
+    // fitPredict deliberately fits on the full frame (scaladoc records
+    // why). Witness: predictions cover EVERY input row with a real
+    // cluster assignment, and with two ideally-separated blobs the
+    // full-fit centres land inside their blobs — a 10%-sample fit of
+    // this 40-row frame (4 rows) could not even guarantee seeing both
+    // blobs. If fitPredict ever regresses to sample-fitting, the
+    // all-rows-predicted invariant still holds but the centre-accuracy
+    // one fails with high probability under any fixed seed.
+    val f = Clustering.fitPredict(blobs, Seq("change", "is_reduced"), k = 2, seed = 1L)
+    assert(f.predictions.count() === 40L, "every input row gets a prediction")
+    val centres = f.centers.map(_.head).sorted
+    assert(centres(0) > -101 && centres(0) < -97, s"low blob centre: ${centres(0)}")
+    assert(centres(1) > 99 && centres(1) < 103, s"high blob centre: ${centres(1)}")
+  }
 }

@@ -46,7 +46,15 @@ def fresh_con():
     # sharing a cwd collide on each other's temp files — observed as
     # SIGSEGV/SIGABRT children and "Could not read enough bytes from
     # .tmp/duckdb_temp_storage-*.tmp" in the r14 split sweep
-    tmpd = os.environ.get("COMPARE_TMPDIR") or f"/tmp/duckspill_{os.getpid()}"
+    tmpd = os.environ.get("COMPARE_TMPDIR")
+    if not tmpd:
+        # auto-created => auto-removed at exit (r14 advisory: these
+        # accumulated in /tmp across sweep runs — the same leak class
+        # the per-process dir was added to fix). An explicitly-set
+        # COMPARE_TMPDIR is caller-owned and left alone.
+        tmpd = f"/tmp/duckspill_{os.getpid()}"
+        import atexit, shutil
+        atexit.register(shutil.rmtree, tmpd, ignore_errors=True)
     os.makedirs(tmpd, exist_ok=True)
     c.sql(f"SET temp_directory='{tmpd}'")
     # SAMPLED-ORACLE mode (r10): COMPARE_TBL_SAMPLE mirrors the engine's
@@ -115,6 +123,12 @@ def _run_oracle_child(sql, out_path, err_path, timeout_s):
         return (True, None)
     finally:
         os.remove(sqlfile)
+        # a killed child never runs its atexit spill-dir cleanup; the
+        # parent knows the pid, so reap the dir here (no-op when the
+        # child exited cleanly or ran under a caller-owned tmpdir)
+        if not os.environ.get("COMPARE_TMPDIR"):
+            import shutil
+            shutil.rmtree(f"/tmp/duckspill_{p.pid}", ignore_errors=True)
 
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
