@@ -111,7 +111,7 @@ object Bench {
     // committed per-query baseline (also feeds the vs_prev gate below):
     // loaded up front so the blip-retry policy can consult it per query
     val baselineFile = new java.io.File(
-      s"bench_baselines/${sys.env.getOrElse("SPARK_GRAFT_BASELINE", "r13")}_${
+      s"bench_baselines/${sys.env.getOrElse("SPARK_GRAFT_BASELINE", "r15")}_${
         new java.io.File(sfDir).getName}.txt")
     // baseline format: `name wall_sec [cpu_sec]` — cpu present from r13
     // on, and it feeds the host-load verdict below (r12: a loaded-host

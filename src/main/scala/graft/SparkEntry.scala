@@ -3399,6 +3399,28 @@ object SparkEntry {
       // for the ranks, a funnel-filtered pass for the verify sets); the
       // only staged frame is the PREFIX-sized keyed frame below.
       val srcDocs = Tables.documents(s, dir)
+      // EXACT-DF MODE (r14 verdict item 5, behind a flag): the sampled
+      // broadcast rank map below caps at 2M entries, and its heavy-gram
+      // coverage band narrows as vocabulary grows — at some corpus size
+      // the map no longer sees the medium-df grams it exists to push
+      // out of prefixes. The documented replacement is the LINEAR
+      // distributed exact-df join form: exact per-gram doc frequency
+      // via one partial-agg groupBy on the 8-byte gram key, ranks
+      // joined back onto the gram stream (shuffle on g), and the
+      // per-doc rarest-first reorder done with a sort_array regroup
+      // (shuffle on doc_id) instead of a map-side kernel — no driver
+      // state, no cap, coverage exact at ANY vocabulary. Costs two
+      // corpus×grams-scale exchanges the broadcast path never pays
+      // (the r10 measurement: ~90 GB of exchange at 5M docs), so it is
+      // a FLAG, not the default: flip it when the corpus outgrows the
+      // map (the A/B probe record in bench_baselines/ carries the
+      // measured crossover). Both orders are consistent total orders,
+      // so the verified pair OUTPUT is identical either way (prefix
+      // filtering is lossless under any consistent order; only the
+      // candidate funnel's width changes) — diff_verify-checked.
+      val exactDf = s.conf.getOption("spark.graft.simjoin.exactDf")
+        .getOrElse(sys.env.getOrElse("SPARK_GRAFT_SIMJOIN_EXACTDF", "false"))
+        .toBoolean
       // Canonical token order WITHOUT a distributed frequency join
       // (r11): heavy-gram ranks are estimated from a deterministic 5%
       // doc sample, capped top-2M by count (driver state ≤ ~32 MB at
@@ -3430,7 +3452,9 @@ object SparkEntry {
       // property (capFitSample, table samples, split assignment); this
       // was the one stray. 0x0d/0x100 = 5.08% keeps the rank
       // calibration (rank >= 2 ~ df >= ~80).
-      val heavyRows = Tables.spreadForKernel(srcDocs)
+      // sampled-path state is LAZY: under the exact-df flag neither the
+      // sample aggregate nor the broadcast is ever built
+      lazy val heavySorted = Tables.spreadForKernel(srcDocs)
         .filter(substring(md5(concat(lit("rankmap:"),
           col("doc_id").cast("string"))), 1, 2) < lit("0d"))
         .select(explode(array_distinct(
@@ -3439,12 +3463,11 @@ object SparkEntry {
         .filter(col("c") >= 2)
         .orderBy(col("c").desc, col("g")).limit(2000000)
         .collect()
-      val heavySorted = heavyRows
         .map(r => (r.getLong(0), (63 - java.lang.Long.numberOfLeadingZeros(
           r.getLong(1))).toByte))
         .sortBy(_._1)
-      val bcKeys = s.sparkContext.broadcast(heavySorted.map(_._1))
-      val bcRanks = s.sparkContext.broadcast(heavySorted.map(_._2))
+      lazy val bcKeys = s.sparkContext.broadcast(heavySorted.map(_._1))
+      lazy val bcRanks = s.sparkContext.broadcast(heavySorted.map(_._2))
       // keyed is a PLAIN plan (r13): its one consumer is the staged
       // refined frame below, whose cache build evaluates the gram
       // kernel + reorder + signature exactly once. (Through r12 keyed
@@ -3461,7 +3484,7 @@ object SparkEntry {
       // evaluated ONCE per row: toks is referenced by several
       // non-cheap consumers, which blocks CollapseProject from
       // inlining it per consumer.)
-      val keyed = Tables.spreadForKernel(srcDocs)
+      lazy val keyed = Tables.spreadForKernel(srcDocs)
           .select(col("doc_id"),
             graft.functions.BroadcastRank.heavyRankOrder(array_distinct(
                 graft.functions.exprs.gram_hashes64(col("text"), 12)),
@@ -3472,6 +3495,48 @@ object SparkEntry {
               .as("ptoks"),
             graft.functions.exprs.sig_digest(
               graft.functions.exprs.minhash_sig_l(col("toks"), 64, 42L)).as("dg"))
+      // exact-df keyed frame (flag path — see the exactDf scaladoc):
+      // rank = floor(log2(exact df)) for df ≥ 2 (length(bin(c)) − 1 is
+      // the exact integer log2 — no float log2 boundary risk), else 0.
+      // The per-doc reorder replicates HeavyRankOrder's comparator in
+      // pure codegen'd SQL: sort key (rank << 56) | (g >>> 8) is always
+      // non-negative (rank ≤ 63) so signed sort == unsigned, and the
+      // tiebreak g XOR Long.MinValue maps unsigned g order onto signed
+      // sort_array order. sorted.r rides along so the prefix slice
+      // carries each gram's OWN rank — the heavy-bucket flag
+      // (rank ≥ 2 ⇔ df ≥ 4) then needs no broadcast and no second join
+      // of the prefix stream. Field extraction from array<struct>
+      // (GetArrayStructFields) and sort_array are codegen'd built-ins;
+      // no higher-order-function lambdas anywhere (the r11 lesson).
+      lazy val keyedE = {
+        val grams = Tables.spreadForKernel(srcDocs)
+          .select(col("doc_id"), explode(array_distinct(
+            graft.functions.exprs.gram_hashes64(col("text"), 12))).as("g"))
+        val dfRanks = grams.groupBy(col("g")).agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2)
+          .select(col("g"), (length(bin(col("c"))) - 1).cast("int").as("rank"))
+        grams
+          .join(dfRanks.hint("shuffle_hash"), Seq("g"), "left")
+          .select(col("doc_id"), struct(
+            shiftleft(coalesce(col("rank"), lit(0)).cast("long"), 56)
+              .bitwiseOR(shiftrightunsigned(col("g"), 8)).as("k"),
+            col("g").bitwiseXOR(lit(Long.MinValue)).as("gx"),
+            col("g").as("g"),
+            coalesce(col("rank"), lit(0)).cast("byte").as("r")).as("kg"))
+          .groupBy(col("doc_id"))
+          .agg(sort_array(collect_list(col("kg"))).as("sorted"))
+          .select(col("doc_id"), col("sorted.g").as("toks"),
+            col("sorted.r").as("rks"))
+          .select(col("doc_id"), size(col("toks")).as("m"), col("toks"),
+            col("rks"))
+          .select(col("doc_id"), col("m"),
+            expr(s"slice(toks, 1, m - cast(ceil($tau * m) as int) + 1)")
+              .as("ptoks"),
+            expr(s"slice(rks, 1, m - cast(ceil($tau * m) as int) + 1)")
+              .as("pranks"),
+            graft.functions.exprs.sig_digest(
+              graft.functions.exprs.minhash_sig_l(col("toks"), 64, 42L)).as("dg"))
+      }
       // positional prefix filter (the "PP" in PPJoin): a shared element
       // at 1-based sorted position rn caps the possible overlap at
       // 1 + min(ma − rn_a, mb − rn_b); pairs that can't reach the
@@ -3605,14 +3670,33 @@ object SparkEntry {
       // and is released the moment the candidate pairs are staged.
       // The sub-key in the build-side hash map's key is what stops
       // heavy-bucket probes from walking the whole bucket.
-      val refined = graft.ops.Staging.stageToDisk(keyed
-        .select(col("doc_id"), col("m"), col("dg"),
-          posexplode(col("ptoks")).as(Seq("pos", "pg")))
+      // the prefix stream with a per-element heavy flag: sampled mode
+      // computes it map-side from the broadcast map (one binary search
+      // per exploded row); exact mode reads it from the rank byte the
+      // reorder already carried into the prefix slice (arrays_zip +
+      // posexplode — no join, no broadcast, both codegen'd built-ins)
+      val prefixRows =
+        if (!exactDf)
+          keyed
+            .select(col("doc_id"), col("m"), col("dg"),
+              posexplode(col("ptoks")).as(Seq("pos", "pg")))
+            .select(col("doc_id"), col("m"), col("dg"),
+              (col("pos") + 1).as("rn"), col("pg"),
+              graft.functions.BroadcastRank.heavyRankAtLeast(
+                col("pg"), bcKeys, bcRanks, 2).as("hv"))
+        else
+          keyedE
+            .select(col("doc_id"), col("m"), col("dg"),
+              posexplode(arrays_zip(col("ptoks"), col("pranks")))
+                .as(Seq("pos", "z")))
+            .select(col("doc_id"), col("m"), col("dg"),
+              (col("pos") + 1).as("rn"), col("z.ptoks").as("pg"),
+              (col("z.pranks") >= 2).as("hv"))
+      val refined = graft.ops.Staging.stageToDisk(prefixRows
         .select(col("doc_id"), col("m"), substring(col("dg"), 1, 16).as("dg16"),
-          (col("pos") + 1).as("rn"), col("pg"),
+          col("rn"), col("pg"),
           explode(graft.ops.BucketRefine.subkeysWide(col("dg"), 64, 3,
-            graft.functions.BroadcastRank.heavyRankAtLeast(
-              col("pg"), bcKeys, bcRanks, 2))).as("sk"))
+            col("hv"))).as("sk"))
         .repartition(nParts, col("pg"), col("sk")))
       val cand = refined.as("a").hint("shuffle_hash").join(refined.as("b"),
           col("a.pg") === col("b.pg") && col("a.sk") === col("b.sk") &&
