@@ -1857,8 +1857,21 @@ object SparkEntry {
       val pTable = math.pow(pColl, planes)
       val tables = math.max(4, math.min(12,
         math.ceil(math.log(0.03) / math.log(1.0 - pTable)).toInt))
+      // bucket-join partition count (r15, from the embed decade probe):
+      // bucket rows = n·tables; at 4M self-join vectors the default 32
+      // partitions meant ~1.25M-row (~350 MB) SHJ builds per task and
+      // the join-consume stage at 96.7% of query cpu, 1.45× the
+      // per-pair cost of the 400k run — pure build locality, the same
+      // mechanism as the r14 simjoin fix. ~250k bucket rows per task
+      // (~70 MB builds), capped under the sort-bypass boundary like
+      // the prefix join; row count from parquet footers, no job.
+      val bypassCap = math.max(32,
+        s.conf.get("spark.shuffle.sort.bypassMergeThreshold", "200").toInt - 8)
+      val nParts = math.max(s.sessionState.conf.numShufflePartitions,
+        math.min(bypassCap, (n * tables / 500000L).toInt + 1))
       Dedup.embeddingNearDupPairs(corpus, "embedding", "vec_id",
-          numPlanes = planes, threshold = 0.98, numTables = tables)
+          numPlanes = planes, threshold = 0.98, numTables = tables,
+          numPartitions = nParts)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
     }),
 

@@ -555,10 +555,25 @@ object Dedup {
     * cosine is deterministic, so the duplicates are identical rows)
     * and deduplicated after the threshold filter.
     */
+  /** @param numPartitions when > 0, the bucket self-join's explicit
+    *   (t, sig) partition count — the r15 embed-probe fix: the join
+    *   shuffles on exactly these keys, so a user repartition pins the
+    *   build-side size per task with NO extra exchange
+    *   (EnsureRequirements sees the keys already clustered; both join
+    *   sides reuse the one exchange). At 4M self-join vectors the
+    *   default 32 partitions handed each shuffled-hash task a ~1.25M-row
+    *   (~350 MB) build and the join-consume stage ran 96.7% of query
+    *   cpu at 1.45× the per-pair cost of the 400k run (probe record
+    *   r15_embed_neardup_probe.json); callers that know the corpus size
+    *   from parquet footers (q_embed_neardup) size this like the
+    *   simjoin prefix join — ~250k bucket rows per task, capped under
+    *   the sort-bypass boundary. 0 (the default) keeps the session's
+    *   shuffle partitioning untouched for small corpora.
+    */
   def embeddingNearDupPairs(
       embs: DataFrame, vecCol: String, idCol: String,
       numPlanes: Int = 12, threshold: Double = 0.95, seed: Long = 42L,
-      dim: Int = 64, numTables: Int = 4): DataFrame = {
+      dim: Int = 64, numTables: Int = 4, numPartitions: Int = 0): DataFrame = {
     val keyed = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
     val tableCols = (0 until numTables).map { t =>
       struct(lit(t).as("t"),
@@ -579,9 +594,12 @@ object Dedup {
     // produce identical deterministic cosines.
     // shuffle_hash: bucket keys are numPlanes-bit signatures (adaptive
     // planes keep mean occupancy ~16); no sort, per-partition builds.
-    val buckets = keyed
+    val flat = keyed
       .select(col("id"), col("v"), explode(array(tableCols: _*)).as("b"))
       .select(col("id"), col("v"), col("b.t").as("t"), col("b.sig").as("sig"))
+    val buckets =
+      if (numPartitions > 0) flat.repartition(numPartitions, col("t"), col("sig"))
+      else flat
     val a = buckets.as("a")
     val b = buckets.as("b")
     a.hint("shuffle_hash").join(b,

@@ -39,14 +39,14 @@ def probe(tag):
     hdr = g(r"n=(\d+) planes=(\d+) tables=(\d+) pTable=([\d.eE+-]+)")
     tables = []
     for m in re.finditer(r"table=(\d+) buckets=(\d+) max_occ=(\d+) "
-                         r"mean_occ=([\d.]+) emission_pairs=(\d+)", txt):
+                         r"mean_occ=([\d.]+) emission_pairs=([\d.E+]+)", txt):
         tables.append({"t": int(m[1]), "buckets": int(m[2]),
                        "max_occ": int(m[3]), "mean_occ": float(m[4]),
-                       "emission_pairs": int(m[5])})
+                       "emission_pairs": int(float(m[5]))})
     return {
       "n": int(hdr[1]), "planes": int(hdr[2]), "tables": int(hdr[3]),
       "p_table": float(hdr[4]),
-      "total_emission_pairs": int(g(r"total emission pairs across tables: (\d+)")[1]),
+      "total_emission_pairs": int(float(g(r"total emission pairs across tables: ([\d.E+]+)")[1])),
       "verified_pairs": int(g(r"verified distinct pairs: (\d+)")[1]),
       "per_table": tables,
     }
