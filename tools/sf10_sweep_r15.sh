@@ -93,10 +93,20 @@ PYEOF
   touch "$VOUT/phaseA.done"
 fi
 
-# Phase H: heavy family, serial, sampled-oracle levels 08 then 04
+# Phase H: heavy family, serial, sampled-oracle levels 08 then 04.
+# q_kmeans_portable reads ORDERS (change features per o_custkey), so
+# the documents/embeddings/supplier levels never shrink ITS oracle —
+# its Lloyd-replay spilled >27 GB at every doc-sample level in the
+# first r15 pass. The orders term below is what actually bounds it
+# (measured: PASS at orders:o_orderkey:20 = ~1.9M orders, while the
+# doc-sampled attempts all ENOSPC'd). Likewise q_skyline reads PART —
+# its NOT EXISTS oracle is O(n^2) over 2M unsampled parts (timed out
+# at 2400 s twice in the first pass); part:p_partkey:04 (~31k parts)
+# passes in seconds. Both terms are harmless for the rest of the
+# family — nobody else reads orders or part.
 declare -A HLEVEL
 for lvl in 08 04; do
-  HSAMPLE="documents:doc_id:$lvl,embeddings:vec_id:$lvl,supplier:s_suppkey:$lvl"
+  HSAMPLE="documents:doc_id:$lvl,embeddings:vec_id:$lvl,supplier:s_suppkey:$lvl,orders:o_orderkey:20,part:p_partkey:04"
   # which heavies still need a verdict at this level?
   todo=""
   for q in $HEAVY; do
