@@ -1865,10 +1865,9 @@ object SparkEntry {
       // mechanism as the r14 simjoin fix. ~250k bucket rows per task
       // (~70 MB builds), capped under the sort-bypass boundary like
       // the prefix join; row count from parquet footers, no job.
-      val bypassCap = math.max(32,
-        s.conf.get("spark.shuffle.sort.bypassMergeThreshold", "200").toInt - 8)
-      val nParts = math.max(s.sessionState.conf.numShufflePartitions,
-        math.min(bypassCap, (n * tables / 500000L).toInt + 1))
+      val nParts = Dedup.sizedShufflePartitions(n * tables, 500000L,
+        s.sessionState.conf.numShufflePartitions,
+        s.conf.get("spark.shuffle.sort.bypassMergeThreshold", "200").toInt)
       Dedup.embeddingNearDupPairs(corpus, "embedding", "vec_id",
           numPlanes = planes, threshold = 0.98, numTables = tables,
           numPartitions = nParts)
@@ -3428,9 +3427,11 @@ object SparkEntry {
       // a FLAG, not the default: flip it when the corpus outgrows the
       // map (the A/B probe record in bench_baselines/ carries the
       // measured crossover). Both orders are consistent total orders,
-      // so the verified pair OUTPUT is identical either way (prefix
-      // filtering is lossless under any consistent order; only the
-      // candidate funnel's width changes) — diff_verify-checked.
+      // so prefix filtering itself is lossless under either; the two
+      // modes DO flag different bucket sets heavy, and with width-3
+      // refinement the anchor is probabilistic, so cross-mode identity
+      // holds up to the documented ≤ 1e-5 per-pair anchor residual
+      // (observed bit-identical at sf0.01/sf0.1 — diff_verify).
       val exactDf = s.conf.getOption("spark.graft.simjoin.exactDf")
         .getOrElse(sys.env.getOrElse("SPARK_GRAFT_SIMJOIN_EXACTDF", "false"))
         .toBoolean
@@ -3511,44 +3512,67 @@ object SparkEntry {
       // exact-df keyed frame (flag path — see the exactDf scaladoc):
       // rank = floor(log2(exact df)) for df ≥ 2 (length(bin(c)) − 1 is
       // the exact integer log2 — no float log2 boundary risk), else 0.
-      // The per-doc reorder replicates HeavyRankOrder's comparator in
-      // pure codegen'd SQL: sort key (rank << 56) | (g >>> 8) is always
-      // non-negative (rank ≤ 63) so signed sort == unsigned, and the
-      // tiebreak g XOR Long.MinValue maps unsigned g order onto signed
-      // sort_array order. sorted.r rides along so the prefix slice
-      // carries each gram's OWN rank — the heavy-bucket flag
-      // (rank ≥ 2 ⇔ df ≥ 4) then needs no broadcast and no second join
-      // of the prefix stream. Field extraction from array<struct>
-      // (GetArrayStructFields) and sort_array are codegen'd built-ins;
-      // no higher-order-function lambdas anywhere (the r11 lesson).
+      // SINGLE-NODE-SAFE FORM (r16; the design the r15 A/B record
+      // named): the r15 shape regrouped the full (rank, g) struct
+      // stream per doc with sort_array(collect_list(...)) — an
+      // ObjectHashAggregate that shipped one O(doc-grams) ARRAY
+      // partial per doc×partition, fell back to sort-based agg, and
+      // spilled the full corpus×grams stream past the probe host's
+      // disk at 500k docs (ENOSPC, bench_baselines/
+      // r15_simjoin_exactdf_ab.json). Now nothing regroups full
+      // arrays: (a) per-doc m / MinHash digest / prefix length are
+      // PURE map-side functions of the text (one extra gram-kernel
+      // pass — cheap to re-run, the staging lesson above); (b) the
+      // rarest-first PREFIX is the plen-smallest (hi, lo) pairs under
+      // HeavyRankOrder's comparator packed into two signed longs —
+      // hi = rank<<56 | g>>>8 (non-negative, rank ≤ 63, so signed
+      // sort == unsigned) and lo = g XOR Long.MinValue (signed lo
+      // order == unsigned g order) — kept by the bounded-heap
+      // smallest_k aggregate (functions/PrefixSmallestK): partials
+      // are ≤ plen entries of 16 bytes, the exchange carries plain
+      // bounded buffers, and the result is identical to
+      // slice(sort_array(collect_list(struct)), 1, plen) by the
+      // comparator's totality (g = lo XOR min recovers the gram,
+      // rank = hi >>> 56 recovers the rank byte — no third field can
+      // break ties). The gram stream pays exactly two plain-row
+      // corpus×grams exchanges (rank join on g, prefix agg on
+      // doc_id) — the linear cluster shape, now also disk-feasible
+      // single-node.
       lazy val keyedE = {
+        val docMeta = Tables.spreadForKernel(srcDocs)
+          .select(col("doc_id"), array_distinct(
+            graft.functions.exprs.gram_hashes64(col("text"), 12)).as("tk"))
+          .select(col("doc_id"), size(col("tk")).as("m"),
+            graft.functions.exprs.sig_digest(
+              graft.functions.exprs.minhash_sig_l(col("tk"), 64, 42L)).as("dg"))
+          .select(col("doc_id"), col("m"), col("dg"),
+            (col("m") - ceil(lit(tau) * col("m")).cast("int") + lit(1))
+              .as("plen"))
         val grams = Tables.spreadForKernel(srcDocs)
           .select(col("doc_id"), explode(array_distinct(
             graft.functions.exprs.gram_hashes64(col("text"), 12))).as("g"))
         val dfRanks = grams.groupBy(col("g")).agg(count(lit(1)).as("c"))
           .filter(col("c") >= 2)
           .select(col("g"), (length(bin(col("c"))) - 1).cast("int").as("rank"))
-        grams
+        val pairsK = grams
           .join(dfRanks.hint("shuffle_hash"), Seq("g"), "left")
-          .select(col("doc_id"), struct(
+          .select(col("doc_id"),
             shiftleft(coalesce(col("rank"), lit(0)).cast("long"), 56)
-              .bitwiseOR(shiftrightunsigned(col("g"), 8)).as("k"),
-            col("g").bitwiseXOR(lit(Long.MinValue)).as("gx"),
-            col("g").as("g"),
-            coalesce(col("rank"), lit(0)).cast("byte").as("r")).as("kg"))
+              .bitwiseOR(shiftrightunsigned(col("g"), 8)).as("hi"),
+            col("g").bitwiseXOR(lit(Long.MinValue)).as("lo"))
+        // plen joins onto the gram stream (shuffle_hash build = the
+        // docs-sized meta frame), the heap agg reuses the join's
+        // doc_id partitioning (no exchange of its own), and m/dg join
+        // back onto the DOC-sized agg output, never the gram stream
+        pairsK
+          .join(docMeta.select(col("doc_id"), col("plen"))
+            .hint("shuffle_hash"), Seq("doc_id"))
           .groupBy(col("doc_id"))
-          .agg(sort_array(collect_list(col("kg"))).as("sorted"))
-          .select(col("doc_id"), col("sorted.g").as("toks"),
-            col("sorted.r").as("rks"))
-          .select(col("doc_id"), size(col("toks")).as("m"), col("toks"),
-            col("rks"))
-          .select(col("doc_id"), col("m"),
-            expr(s"slice(toks, 1, m - cast(ceil($tau * m) as int) + 1)")
-              .as("ptoks"),
-            expr(s"slice(rks, 1, m - cast(ceil($tau * m) as int) + 1)")
-              .as("pranks"),
-            graft.functions.exprs.sig_digest(
-              graft.functions.exprs.minhash_sig_l(col("toks"), 64, 42L)).as("dg"))
+          .agg(graft.functions.PrefixSmallestK.agg(
+            col("hi"), col("lo"), col("plen")).as("pref"))
+          .join(docMeta.select(col("doc_id"), col("m"), col("dg"))
+            .hint("shuffle_hash"), Seq("doc_id"))
+          .select(col("doc_id"), col("m"), col("pref"), col("dg"))
       }
       // positional prefix filter (the "PP" in PPJoin): a shared element
       // at 1-based sorted position rn caps the possible overlap at
@@ -3587,10 +3611,11 @@ object SparkEntry {
       // ~15M-row hash builds per task — the r11 failure mode the
       // adaptive count exists to prevent.
       // Row count is parquet metadata — no scan.
-      val bypassCap = math.max(32,
-        s.conf.get("spark.shuffle.sort.bypassMergeThreshold", "200").toInt - 8)
-      val nParts = math.max(s.sessionState.conf.numShufflePartitions,
-        math.min(bypassCap, (srcDocs.count() / 15000L).toInt + 1))
+      // ~57 prefix rows/doc measured ⇒ 15k docs/partition ≈ 900k-row
+      // builds; sizing shared with q_embed_neardup (Dedup helper)
+      val nParts = Dedup.sizedShufflePartitions(srcDocs.count(), 15000L,
+        s.sessionState.conf.numShufflePartitions,
+        s.conf.get("spark.shuffle.sort.bypassMergeThreshold", "200").toInt)
       // shuffle_hash (r11): the pg keys are near-unique 8-byte gram
       // hashes; sort-merge sorted the ~Σplen-row prefix stream TWICE
       // (the 5M-doc probe put its disk-filling sort spill here), where
@@ -3685,9 +3710,16 @@ object SparkEntry {
       // heavy-bucket probes from walking the whole bucket.
       // the prefix stream with a per-element heavy flag: sampled mode
       // computes it map-side from the broadcast map (one binary search
-      // per exploded row); exact mode reads it from the rank byte the
-      // reorder already carried into the prefix slice (arrays_zip +
-      // posexplode — no join, no broadcast, both codegen'd built-ins)
+      // per exploded row); exact mode unpacks gram and rank from the
+      // (hi, lo) pair the heap agg kept (posexplode + bit ops — no
+      // join, no broadcast, all codegen'd built-ins). The exact flag
+      // cut is rank ≥ 6 ⇔ df ≥ 64 — NOT the sampled path's rank ≥ 2,
+      // whose meaning is ~20× higher (sampled count ≥ 4 at 5.08%
+      // sampling ⇔ full df ≈ 80): reusing the numeric 2 under exact
+      // ranks would flag every df ≥ 4 gram heavy and push genuine
+      // 4-doc near-dup families into width-3 block refinement, where
+      // pairs re-emit once per agreeing block — the measured k300
+      // blow-up class (see the ~16-doc-cap note below).
       val prefixRows =
         if (!exactDf)
           keyed
@@ -3700,11 +3732,11 @@ object SparkEntry {
         else
           keyedE
             .select(col("doc_id"), col("m"), col("dg"),
-              posexplode(arrays_zip(col("ptoks"), col("pranks")))
-                .as(Seq("pos", "z")))
+              posexplode(col("pref")).as(Seq("pos", "z")))
             .select(col("doc_id"), col("m"), col("dg"),
-              (col("pos") + 1).as("rn"), col("z.ptoks").as("pg"),
-              (col("z.pranks") >= 2).as("hv"))
+              (col("pos") + 1).as("rn"),
+              col("z.lo").bitwiseXOR(lit(Long.MinValue)).as("pg"),
+              (shiftrightunsigned(col("z.hi"), 56) >= 6).as("hv"))
       val refined = graft.ops.Staging.stageToDisk(prefixRows
         .select(col("doc_id"), col("m"), substring(col("dg"), 1, 16).as("dg16"),
           col("rn"), col("pg"),

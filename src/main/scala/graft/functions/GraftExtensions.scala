@@ -78,6 +78,11 @@ object GraftFunctionDefs {
       info("topk_by_score", "topk_by_score(score, id, k) - bounded-heap per-group top-k"),
       (c: Seq[Expression]) => TopKByScore(c.head, c(1),
         lit(c(2), "topk_by_score").toInt)),
+    ("smallest_k",
+      info("smallest_k",
+        "smallest_k(hi, lo, k) - bounded-heap k smallest (hi, lo) long pairs, " +
+          "ascending; k per-group-constant, read from the rows"),
+      (c: Seq[Expression]) => PrefixSmallestK(c.head, c(1), c(2))),
     ("count_min",
       info("count_min", "count_min(token, depth, width, seed) - count-min sketch table"),
       (c: Seq[Expression]) => CountMinAgg(c.head,

@@ -570,6 +570,26 @@ object Dedup {
     *   the sort-bypass boundary. 0 (the default) keeps the session's
     *   shuffle partitioning untouched for small corpora.
     */
+  /** Shuffle-partition sizing for the bucket/prefix SELF-JOINS (the
+    * r14 simjoin fix, generalized in r15/r16): one partition per
+    * ~`rowsPerTask` shuffled rows bounds the per-task shuffled-hash
+    * BUILD (locality — the r14 profile put the bigger half of a 13.7×
+    * decade ratio on build size, not emission count), floored at the
+    * session partitioning so small corpora keep their plan, and CAPPED
+    * just under `spark.shuffle.sort.bypassMergeThreshold` (crossing it
+    * flips the upstream exchange's writer onto the sort-based path —
+    * measured 2.7× cpu for identical bytes at 334 partitions vs the
+    * 200-threshold default). A deployment that raises the threshold
+    * for its scale gets the matching cap automatically. Named (and
+    * unit-pinned) so the sizing can't silently regress to a fixed
+    * count — the r11 OOM class at the next decade.
+    */
+  def sizedShufflePartitions(rows: Long, rowsPerTask: Long,
+      sessionParts: Int, bypassThreshold: Int): Int = {
+    val cap = math.max(32, bypassThreshold - 8)
+    math.max(sessionParts, math.min(cap, (rows / rowsPerTask).toInt + 1))
+  }
+
   def embeddingNearDupPairs(
       embs: DataFrame, vecCol: String, idCol: String,
       numPlanes: Int = 12, threshold: Double = 0.95, seed: Long = 42L,

@@ -248,4 +248,40 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(readSchema.contains("l_orderkey") && !readSchema.contains("l_comment"),
       s"scan must read only the projected columns: $readSchema")
   }
+
+  test("q_simjoin_prefix exact-df mode: bounded-heap prefix agg, shuffle-hash rank join, no array regroup (r16)") {
+    // the r15 form regrouped the full gram stream with
+    // sort_array(collect_list(...)) — an object agg whose sort fallback
+    // ENOSPC'd the sf10 probe; this pins the r16 single-node-safe plan:
+    // the smallest_k bounded-heap aggregate, shuffled-hash joins for the
+    // corpus×grams rank/plen edges (never a broadcast of the unbounded
+    // exact-df rank table), and no collect_list anywhere
+    spark.conf.set("spark.graft.simjoin.exactDf", "true")
+    try {
+      val p = plan("q_simjoin_prefix")
+      assert(p.contains("smallest_k"),
+        s"exact-df prefix must ride the bounded-heap aggregate:\n$p")
+      // (sort_array itself still appears — the verify stage's per-ROW
+      // map-side gram-set sort, which never regroups anything)
+      assert(!p.contains("collect_list"),
+        s"no full-array regroup in the exact-df path:\n$p")
+      assert(nOcc(p, "ShuffledHashJoin") >= 4,
+        s"rank/plen/meta/candidate joins must all be shuffled-hash:\n$p")
+    } finally spark.conf.unset("spark.graft.simjoin.exactDf")
+  }
+
+  test("embeddingNearDupPairs: explicit (t, sig) partition count reaches the bucket self-join (r15/r16 sizing)") {
+    // q_embed_neardup sizes this from parquet footers
+    // (Dedup.sizedShufflePartitions — formula unit-pinned in
+    // PrefixSmallestKSpec); here the plan-side half: a caller-supplied
+    // count must survive into the join's exchange (no silent fixed-32
+    // regression — at the next decade that is a 3.5 GB-build OOM class)
+    val e = sources.Tables.embeddings(spark, Sf001)
+    val p = ops.Dedup.embeddingNearDupPairs(e, "embedding", "vec_id",
+        numPlanes = 8, threshold = 0.98, numTables = 2, numPartitions = 57)
+      .queryExecution.executedPlan.toString
+    assert(p.contains(", 57)"),
+      s"the sized (t, sig) repartition must reach the bucket join:\n$p")
+    assert(p.contains("ShuffledHashJoin"), s"bucket join must stay SHJ:\n$p")
+  }
 }
