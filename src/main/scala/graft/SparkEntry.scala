@@ -1839,24 +1839,26 @@ object SparkEntry {
       // scale — expected bucket occupancy is n/2^planes, and the
       // candidate join is quadratic IN THE BUCKET, so 400k vectors in
       // 256 buckets/table meant ~1.2B candidate pairs and an executor
-      // OOM after 742 s. Size planes so occupancy stays ~16
-      // (planes = ⌈log2(n/16)⌉), and re-derive the table count from
-      // the LSH recall model so recall does NOT silently decay as
-      // planes grow: per-table collision for a θ-pair is p^planes with
-      // p = 1 − θ/π (Charikar 2002), and tables t gives miss
-      // (1 − p^planes)^t — pick the smallest t with miss ≤ 3% at the
-      // 0.98 threshold. At every oracle sf this resolves to the
-      // long-published (planes=8, tables=4); at the 10× probe it gives
-      // (12, 6), at 100× (15, 8): bucket rows grow ~2×, per-bucket
-      // quadratic work falls ~2000×. n comes from parquet footers —
-      // no job in the query graph (the q_semdedup discipline).
+      // OOM after 742 s. r16 (the r15 decade probe's residual): the
+      // integer schedule planes = ⌈log2(n/16)⌉ quantized occupancy
+      // anywhere in (8, 16] and the ceiling jitter + tables growth
+      // compounded into n^1.29 pair emission. Now the
+      // occupancy-TARGETED schedule (Dedup.occupancyPlanesSchedule):
+      // per-table planes mixed between ⌈log2(n/8)⌉ and one fewer so
+      // MEAN occupancy plateaus at 8, table count from the Charikar
+      // recall model over the mixed per-table collision rates
+      // (miss ≤ 3% at θ = 0.98) — emission tracks ~n·tables ≈ n^1.1,
+      // quantization-free (record: r16_embed_neardup_probe.json).
+      // True near-dups here sit at cosine ≈ 1 (parallel vectors sign
+      // identically under EVERY plane set), so the brute-force
+      // all-pairs oracle stays hash-green at every oracle sf under
+      // any schedule — asserted each round. n comes from parquet
+      // footers — no job in the query graph (the q_semdedup
+      // discipline).
       val n = 2L * Tables.parquetRowCount(s, dir, "embeddings")
-      val planes = math.max(8, math.min(20,
-        math.ceil(math.log(n / 16.0) / math.log(2.0)).toInt))
-      val pColl = 1.0 - math.acos(0.98) / math.Pi
-      val pTable = math.pow(pColl, planes)
-      val tables = math.max(4, math.min(12,
-        math.ceil(math.log(0.03) / math.log(1.0 - pTable)).toInt))
+      val schedule = Dedup.occupancyPlanesSchedule(n, targetOcc = 8.0,
+        theta = 0.98)
+      val tables = schedule.length
       // bucket-join partition count (r15, from the embed decade probe):
       // bucket rows = n·tables; at 4M self-join vectors the default 32
       // partitions meant ~1.25M-row (~350 MB) SHJ builds per task and
@@ -1869,8 +1871,7 @@ object SparkEntry {
         s.sessionState.conf.numShufflePartitions,
         s.conf.get("spark.shuffle.sort.bypassMergeThreshold", "200").toInt)
       Dedup.embeddingNearDupPairs(corpus, "embedding", "vec_id",
-          numPlanes = planes, threshold = 0.98, numTables = tables,
-          numPartitions = nParts)
+          schedule, 0.98, 42L, 64, nParts)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
     }),
 

@@ -590,14 +590,78 @@ object Dedup {
     math.max(sessionParts, math.min(cap, (rows / rowsPerTask).toInt + 1))
   }
 
+  /** Occupancy-targeted planes-per-TABLE schedule for the hyperplane
+    * LSH self-join (r16 — the q_embed_neardup decade fix). The r9
+    * integer schedule planes = ⌈log2(n/16)⌉ quantizes mean bucket
+    * occupancy anywhere in (8, 16]: across the r15 decade probe the
+    * ceiling jitter alone grew occupancy 1.3× (13.2 → 17.1) on top of
+    * the inherent table growth, and the skew tail squared it into
+    * ΣC(occ, 2) — pre-filter pair emission 19.6× per 10× data
+    * (≈ n^1.29). Fractional effective planes fix the quantization: a
+    * fraction f of the tables run kHi = ⌈log2(n/target)⌉ planes
+    * (occupancy x = n/2^kHi) and the rest kHi−1 (occupancy 2x), with
+    * f = 2 − target/x chosen so the MEAN occupancy sits exactly at the
+    * target — the plateau the emission curve needs. The table count
+    * then comes from the same Charikar recall model as before, summed
+    * over the mixed per-table collision rates pᵏ: smallest t with
+    * (1−p^kLo)^nLo · (1−p^kHi)^nHi ≤ maxMiss. With occupancy pinned,
+    * total emission Σ_t n·occ_t/2 grows as n·t where t ~ n^(−log2 p)
+    * (≈ n^0.095 at θ = 0.98) — the ~n^1.1 envelope, quantization-free.
+    * The target itself drops 16 → 8 (r16): the r15 probe measured the
+    * bucket-join consume stage at 96.7% of query cpu, so halving
+    * per-bucket quadratic work for ~7% more tables (one extra plane
+    * costs 1/p more tables) is a straight trade in the measured
+    * regime. maxPlanes 26 (was 20) keeps the plateau through the
+    * 40M-vector decade (signatures pack into a long — up to 64 fits),
+    * and maxTables 16 (was 12) keeps the 3% recall model satisfiable
+    * there (at 40M the mixed per-table collision is ~0.22, so 14
+    * tables are needed; the old 12-cap silently degraded the model to
+    * 4.4% miss).
+    */
+  def occupancyPlanesSchedule(n: Long, targetOcc: Double, theta: Double,
+      maxMiss: Double = 0.03, minPlanes: Int = 8, maxPlanes: Int = 26,
+      minTables: Int = 4, maxTables: Int = 16): Seq[Int] = {
+    val p = 1.0 - math.acos(theta) / math.Pi
+    val kHi = math.max(minPlanes, math.min(maxPlanes,
+      math.ceil(math.log(n.toDouble / targetOcc) / math.log(2.0)).toInt))
+    val kLo = math.max(minPlanes, kHi - 1)
+    val x = n.toDouble / math.pow(2.0, kHi)
+    val f =
+      if (kLo == kHi) 1.0
+      else math.min(1.0, math.max(0.0, 2.0 - targetOcc / x))
+    val pHi = math.pow(p, kHi)
+    val pLo = math.pow(p, kLo)
+    def miss(t: Int): Double = {
+      val nHi = math.round(f * t).toInt
+      math.pow(1.0 - pLo, (t - nHi).toDouble) *
+        math.pow(1.0 - pHi, nHi.toDouble)
+    }
+    var t = minTables
+    while (t < maxTables && miss(t) > maxMiss) t += 1
+    val nHi = math.round(f * t).toInt
+    (0 until t).map(i => if (i < nHi) kHi else kLo)
+  }
+
   def embeddingNearDupPairs(
       embs: DataFrame, vecCol: String, idCol: String,
       numPlanes: Int = 12, threshold: Double = 0.95, seed: Long = 42L,
-      dim: Int = 64, numTables: Int = 4, numPartitions: Int = 0): DataFrame = {
+      dim: Int = 64, numTables: Int = 4, numPartitions: Int = 0): DataFrame =
+    embeddingNearDupPairs(embs, vecCol, idCol,
+      Seq.fill(numTables)(numPlanes), threshold, seed, dim, numPartitions)
+
+  /** Per-TABLE planes variant (r16): table t uses `planesPerTable(t)`
+    * sign bits — the [[occupancyPlanesSchedule]] consumer. Semantics
+    * identical to the uniform form (a pair is a candidate if it
+    * collides in ANY table; cosine verify decides membership).
+    */
+  def embeddingNearDupPairs(
+      embs: DataFrame, vecCol: String, idCol: String,
+      planesPerTable: Seq[Int], threshold: Double, seed: Long,
+      dim: Int, numPartitions: Int): DataFrame = {
     val keyed = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val tableCols = (0 until numTables).map { t =>
+    val tableCols = planesPerTable.zipWithIndex.map { case (pl, t) =>
       struct(lit(t).as("t"),
-        Similarity.hyperplaneSignature(col("v"), numPlanes, dim, seed + t).as("sig"))
+        Similarity.hyperplaneSignature(col("v"), pl, dim, seed + t).as("sig"))
     }
     // Bucket rows CARRY THEIR VECTOR; the cosine is computed and
     // thresholded in the bucket join's own projection, and only

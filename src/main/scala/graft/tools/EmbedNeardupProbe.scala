@@ -3,26 +3,41 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** r15 probe (r14 verdict item 4): attribute q_embed_neardup's scale
-  * cost. At 10× data (200k → 2M vectors) its wall grew 5.52× — the
-  * steepest remaining funnel ratio after simjoin/semdedup. The query's
-  * cost model has three corpus-dependent terms:
-  *   (1) signature work: n · tables · planes · dim multiplies,
-  *   (2) bucket exchange: n · tables rows × ~(4·dim+24) bytes,
-  *   (3) candidate emission: Σ_buckets C(occupancy, 2) cosine evals.
-  * The adaptive sizing (planes = ⌈log2(n/16)⌉, tables from the recall
-  * model) grows BOTH planes and tables with n, so terms (1)(2) scale
-  * n·log n-ish while term (3) is held ~linear by the occupancy target.
-  * This prints the actual numbers at a given corpus: derived params,
-  * bucket-count/occupancy stats, exact pre-filter emission mass
-  * (Σ C(c,2) per table), and survivor counts — enough to name which
-  * term the next decade hits first. Pure aggregation, no pair join.
+/** r16 probe (r15 verdict item 1): measure whether the
+  * occupancy-TARGETED planes schedule (Dedup.occupancyPlanesSchedule)
+  * bends q_embed_neardup's pre-filter pair-emission curve to the
+  * ~n^1.1 envelope. The r15 probe named the mechanism (emission 19.6×
+  * per 10× data: ceil-quantized occupancy 13.2 → 17.1 plus the skew
+  * tail squared into ΣC(occ, 2)); this one runs the SAME bucket-stat
+  * aggregation under the new schedule and prints, per corpus: derived
+  * planes-per-table, bucket-count/occupancy stats, exact emission mass
+  * Σ C(c, 2), verified distinct pairs, and PLANTED-PAIR RECALL (every
+  * vector has a ×2-scaled copy at cosine ≈ 1 — the recall floor the
+  * verdict requires re-proven).
   *
-  * `runMain graft.tools.EmbedNeardupProbe [sfDir]`
+  * Probe ids: the scaled copy of vector v gets id v + idSpan where
+  * idSpan = max(vec_id) + 1 AFTER replication — the r15 probe reused
+  * the query's +10000 shift, which collides at probe corpora and made
+  * the survivor count conflate distinct pairs sharing an (id_a, id_b)
+  * key (r15 advisory item 3). The QUERY keeps its own +10000 shift at
+  * oracle sfs (where it is collision-free) — this probe measures the
+  * operator, not the query's id cosmetics.
+  *
+  * Third decade (sampled): `rep` > 1 replicates the base corpus rep×
+  * with seeded coordinate permutations (the ScaleGen recipe —
+  * permuted vectors sign independently, so buckets decorrelate across
+  * replicas) before the ×2-scale doubling. At rep = 10 on the k1000
+  * corpus that is 40M self-join vectors; pass emissionOnly = true to
+  * skip the O(emission) verify join and measure the curve alone.
+  *
+  * `runMain graft.tools.EmbedNeardupProbe [sfDir] [outJson] [rep] [emissionOnly]`
   */
 object EmbedNeardupProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("sfgen/sf10")
+    val out = if (args.length > 1) Some(args(1)) else None
+    val rep = if (args.length > 2) args(2).toInt else 1
+    val emissionOnly = args.length > 3 && args(3).toBoolean
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -31,22 +46,38 @@ object EmbedNeardupProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val s = spark
-    val e = graft.sources.Tables.embeddings(s, dir)
-    val scaled = e.select((col("vec_id") + 10000).as("vec_id"),
+    val e0 = graft.sources.Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"))
+    val nVec = graft.sources.Tables.parquetRowCount(s, dir, "embeddings")
+    val dim = 64
+    // replicas: seeded coordinate permutations, ids shifted by nVec
+    val perms: Array[Array[Int]] = (0 until rep).map { i =>
+      if (i == 0) (0 until dim).toArray
+      else new scala.util.Random(9001L + i)
+        .shuffle((0 until dim).toVector).toArray
+    }.toArray
+    val permute = udf { (v: Seq[Float], r: Int) =>
+      if (r == 0) v else { val p = perms(r); p.toSeq.map(v) }
+    }
+    val base =
+      if (rep == 1) e0
+      else (0 until rep).map { i =>
+        e0.select((col("vec_id") + lit(i * nVec)).as("vec_id"),
+          permute(col("embedding"), lit(i)).as("embedding"))
+      }.reduce(_ unionAll _)
+    val idSpan = rep.toLong * nVec
+    val scaled = base.select((col("vec_id") + lit(idSpan)).as("vec_id"),
       transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
-    val corpus = e.select(col("vec_id"), col("embedding")).unionByName(scaled)
-    val n = 2L * graft.sources.Tables.parquetRowCount(s, dir, "embeddings")
-    val planes = math.max(8, math.min(20,
-      math.ceil(math.log(n / 16.0) / math.log(2.0)).toInt))
-    val pColl = 1.0 - math.acos(0.98) / math.Pi
-    val pTable = math.pow(pColl, planes)
-    val tables = math.max(4, math.min(12,
-      math.ceil(math.log(0.03) / math.log(1.0 - pTable)).toInt))
-    println(s"n=$n planes=$planes tables=$tables pTable=$pTable")
-    val tableCols = (0 until tables).map { t =>
+    val corpus = base.unionByName(scaled)
+    val n = 2L * idSpan
+    val schedule = graft.ops.Dedup.occupancyPlanesSchedule(
+      n, targetOcc = 8.0, theta = 0.98)
+    val tables = schedule.length
+    println(s"n=$n rep=$rep schedule=${schedule.mkString(",")} tables=$tables")
+    val tableCols = schedule.zipWithIndex.map { case (pl, t) =>
       struct(lit(t).as("t"),
         graft.ops.Similarity.hyperplaneSignature(
-          col("embedding"), planes, 64, 42L + t).as("sig"))
+          col("embedding"), pl, dim, 42L + t).as("sig"))
     }
     val occ = corpus
       .select(explode(array(tableCols: _*)).as("b"))
@@ -57,16 +88,56 @@ object EmbedNeardupProbe {
       max(col("c")).as("max_occ"),
       avg(col("c")).as("mean_occ"),
       sum(col("c") * (col("c") - 1) / 2).as("emission_pairs"))
-      .orderBy(col("t"))
-    stats.collect().foreach(r =>
-      println(s"table=${r.get(0)} buckets=${r.get(1)} max_occ=${r.get(2)} " +
-        f"mean_occ=${r.getDouble(3)}%.2f emission_pairs=${r.get(4)}"))
-    val total = occ.agg(sum(col("c") * (col("c") - 1) / 2)).head().get(0)
-    println(s"total emission pairs across tables: $total")
-    // survivors (distinct verified pairs) — the output mass
-    val pairs = graft.ops.Dedup.embeddingNearDupPairs(corpus, "embedding",
-      "vec_id", numPlanes = planes, threshold = 0.98, numTables = tables)
-    println(s"verified distinct pairs: ${pairs.count()}")
+      .orderBy(col("t")).collect()
+    val perTable = stats.map { r =>
+      val m = Map(
+        "t" -> r.getAs[Any]("t"), "planes" -> schedule(r.getAs[Int]("t")),
+        "buckets" -> r.getAs[Any]("n_buckets"),
+        "max_occ" -> r.getAs[Any]("max_occ"),
+        "mean_occ" -> math.rint(r.getAs[Double]("mean_occ") * 100) / 100,
+        "emission_pairs" -> r.getAs[Any]("emission_pairs"))
+      println(m)
+      m
+    }
+    val total = perTable.map(_("emission_pairs").asInstanceOf[Long]).sum
+    val meanOcc = perTable.map(_("mean_occ").asInstanceOf[Double]).sum / tables
+    println(s"total emission pairs across tables: $total (mean occ $meanOcc)")
+    var verified = -1L
+    var plantedFound = -1L
+    if (!emissionOnly) {
+      val nParts = graft.ops.Dedup.sizedShufflePartitions(
+        n * tables, 500000L, 32, 200)
+      val pairs = graft.ops.Dedup.embeddingNearDupPairs(corpus, "embedding",
+        "vec_id", schedule, 0.98, 42L, dim, nParts)
+      val agg = pairs.agg(count(lit(1)),
+        sum(when(col("id_b") === col("id_a") + lit(idSpan), 1L)
+          .otherwise(0L))).head()
+      verified = agg.getLong(0)
+      plantedFound = agg.getLong(1)
+      println(s"verified distinct pairs: $verified; planted recall: " +
+        s"$plantedFound/$idSpan = ${plantedFound.toDouble / idSpan}")
+    }
+    out.foreach { p =>
+      val json = new StringBuilder
+      json ++= "{"
+      json ++= s""""n": $n, "rep": $rep, "id_span": $idSpan, """
+      json ++= s""""schedule": [${schedule.mkString(",")}], """
+      json ++= s""""tables": $tables, """
+      json ++= s""""mean_occ": ${math.rint(meanOcc * 100) / 100}, """
+      json ++= s""""total_emission_pairs": $total, """
+      json ++= s""""verified_pairs": $verified, """
+      json ++= s""""planted_pairs": $idSpan, """
+      json ++= s""""planted_found": $plantedFound, """
+      json ++= perTable.map(m =>
+        s"""{"t": ${m("t")}, "planes": ${m("planes")}, "buckets": ${m("buckets")}, """ +
+          s""""max_occ": ${m("max_occ")}, "mean_occ": ${m("mean_occ")}, """ +
+          s""""emission_pairs": ${m("emission_pairs")}}""")
+        .mkString("\"per_table\": [", ", ", "]")
+      json ++= "}"
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        json.toString.getBytes("UTF-8"))
+      println(s"wrote $p")
+    }
     spark.stop()
   }
 }

@@ -486,6 +486,55 @@ class DedupSpec extends SparkSpecBase {
     assert(pairs === Set((0L, 1L)))
   }
 
+  test("occupancyPlanesSchedule: mean occupancy plateaus at target, recall model holds, emission envelope ~n^1.1 (r16)") {
+    import ops.Dedup.occupancyPlanesSchedule
+    val p = 1.0 - math.acos(0.98) / math.Pi
+    def model(n: Long) = {
+      val sch = occupancyPlanesSchedule(n, targetOcc = 8.0, theta = 0.98)
+      val occ = sch.map(k => n.toDouble / math.pow(2.0, k))
+      val miss = sch.map(k => 1.0 - math.pow(p, k)).product
+      (sch, occ.sum / sch.length, occ.sum * n / 2.0, miss)
+    }
+    // plateau: mean model occupancy within 20% of target at every
+    // probe decade (the r9 integer schedule swung the full (8, 16]
+    // octave); recall model miss <= 3% throughout
+    for (n <- Seq(400000L, 4000000L, 40000000L)) {
+      val (sch, meanOcc, _, miss) = model(n)
+      assert(math.abs(meanOcc - 8.0) / 8.0 <= 0.2,
+        s"n=$n schedule=$sch meanOcc=$meanOcc")
+      assert(miss <= 0.031, s"n=$n miss=$miss")
+      assert(sch.forall(k => k >= 8 && k <= 26) && sch.length >= 4 && sch.length <= 16)
+    }
+    // the bent curve: modeled emission mass grows <= n^1.15 per decade
+    // (was n^1.29 measured under the integer schedule, r15 probe)
+    val decades = Seq(400000L, 4000000L, 40000000L).map(n => model(n)._3)
+    decades.sliding(2).foreach { case Seq(a, b) =>
+      assert(b / a <= math.pow(10.0, 1.15), s"emission decade ratio ${b / a}")
+    }
+    // mixed planes differ by at most one; small corpora resolve to the
+    // minimum 8 planes
+    assert(occupancyPlanesSchedule(4000L, 8.0, 0.98).toSet.subsetOf(Set(8, 9)))
+    for (n <- Seq(400000L, 4000000L, 40000000L)) {
+      val sch = occupancyPlanesSchedule(n, 8.0, 0.98)
+      assert(sch.max - sch.min <= 1, s"n=$n schedule=$sch")
+    }
+  }
+
+  test("embedding near-dup: the occupancy schedule finds planted parallel pairs (recall floor)") {
+    // parallel vectors sign identically under EVERY plane set — the
+    // oracle-correctness argument for q_embed_neardup under any schedule
+    val base = (0L until 64L).map { i =>
+      (i, Array.tabulate(64)(d => (math.sin(i * 37.0 + d) / 8.0).toFloat))
+    }
+    val scaled = base.map { case (i, v) => (i + 64L, v.map(_ * 2.0f)) }
+    val vecs = (base ++ scaled).toDF("vec_id", "embedding")
+    val sch = ops.Dedup.occupancyPlanesSchedule(128L, 8.0, 0.98)
+    val pairs = Dedup.embeddingNearDupPairs(vecs, "embedding", "vec_id",
+        sch, 0.98, 42L, 64, 0)
+      .filter(col("id_b") === col("id_a") + 64L).count()
+    assert(pairs === 64L, s"all 64 planted parallel pairs must verify (schedule $sch)")
+  }
+
   test("jaccard_sorted merge-walk matches set arithmetic") {
     val df = Seq((Array(1, 2, 3, 4), Array(3, 4, 5, 6))).toDF("a", "b")
     val j = df.select(exprs.jaccard_sorted(col("a"), col("b"))).as[Double].head()
