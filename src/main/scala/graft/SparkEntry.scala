@@ -2890,6 +2890,60 @@ object SparkEntry {
         .orderBy(col("n").desc, col("pair").asc)
         .limit(30)),
 
+    // E160: the BPE merge LOOP — E116 scores one round; this runs the
+    // actual vocabulary-induction iteration 3 unrolled rounds (the E80
+    // pagerank pattern): count adjacent pairs → argmax (ties by pair
+    // asc — deterministic) → merge every occurrence greedily
+    // left-to-right (standard BPE; runs of identical tokens merge
+    // non-overlapping from the left) → re-pair the merged stream and
+    // repeat. The merge itself is a per-ROW aggregate() fold over the
+    // token array (row-local — no exploded-token shuffle, no window
+    // over the corpus token stream); the argmax pair rides into the
+    // fold as a 1-row broadcast, so each round's only exchange is the
+    // vocabulary-sized pair count. The DuckDB oracle replays the
+    // greedy-overlap semantics relationally (gaps-and-islands parity
+    // over match positions — selected ⇔ even offset within its
+    // consecutive-match island, provably ≡ the left-to-right fold).
+    "q_bpe_merges" -> ((s, dir) => {
+      def pairCounts(docs: DataFrame): DataFrame = docs
+        .select(explode(when(size(col("ws")) >= 2,
+            transform(sequence(lit(1), size(col("ws")) - 1),
+              i => struct(element_at(col("ws"), i).as("a"),
+                element_at(col("ws"), i + 1).as("b"))))
+          .otherwise(array().cast("array<struct<a:string,b:string>>"))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("n"))
+      def best(pc: DataFrame): DataFrame =
+        pc.orderBy(col("n").desc, col("a").asc, col("b").asc).limit(1)
+      def merged(docs: DataFrame, bp: DataFrame): DataFrame = docs
+        .crossJoin(broadcast(bp.select(col("a").as("ma"), col("b").as("mb"))))
+        .select(expr(
+          """aggregate(
+            |  sequence(1, size(ws)),
+            |  struct(cast(array() as array<string>) as out, false as skip),
+            |  (acc, i) -> case
+            |    when acc.skip then struct(acc.out as out, false as skip)
+            |    when i < size(ws) and element_at(ws, i) = ma
+            |         and element_at(ws, i + 1) = mb
+            |      then struct(concat(acc.out, array(concat(
+            |             element_at(ws, i), ' ', element_at(ws, i + 1)))) as out,
+            |           true as skip)
+            |    else struct(concat(acc.out, array(element_at(ws, i))) as out,
+            |         false as skip)
+            |  end,
+            |  acc -> acc.out)""".stripMargin).as("ws"))
+      val t1 = Tables.documents(s, dir).select(split(col("text"), " ").as("ws"))
+      val b1 = best(pairCounts(t1))
+      val t2 = merged(t1, b1)
+      val b2 = best(pairCounts(t2))
+      val t3 = merged(t2, b2)
+      val b3 = best(pairCounts(t3))
+      def lab(b: DataFrame, r: Int) = b.select(lit(r).as("merge_round"),
+        concat(col("a"), lit(" + "), col("b")).as("pair"), col("n"))
+      lab(b1, 1).unionAll(lab(b2, 2)).unionAll(lab(b3, 3))
+        .orderBy(col("merge_round"))
+    }),
+
     // E158: word2phrase collocation mining — which adjacent pairs are
     // PHRASES (co-occur above independence after the rare-pair
     // discount), the step that merges multi-word expressions before
@@ -7406,6 +7460,86 @@ object SparkEntry {
         |  FROM (SELECT string_split(text, ' ') AS ws FROM documents))
         |SELECT pair, CAST(count(*) AS BIGINT) AS n
         |FROM p GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 30""".stripMargin,
+
+    // BPE merge-loop replay (3 unrolled rounds): the engine merges
+    // greedily left-to-right with a per-row fold; the relational
+    // equivalent selects, among each doc's match positions, those at an
+    // EVEN offset within their consecutive-match island (overlapping
+    // matches only arise as runs, and the fold takes the 1st, 3rd, …
+    // of each run) — gaps-and-islands parity, then re-number the
+    // surviving tokens and repeat
+    "q_bpe_merges" ->
+      """WITH t1 AS (
+        |  SELECT doc_id, i AS pos, ws[i] AS w
+        |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))),
+        |c1 AS (
+        |  SELECT w AS a, lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS b,
+        |         doc_id, pos
+        |  FROM t1),
+        |b1 AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n FROM c1
+        |       WHERE b IS NOT NULL GROUP BY a, b
+        |       ORDER BY n DESC, a ASC, b ASC LIMIT 1),
+        |s1 AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos, pos - min(pos) OVER (PARTITION BY doc_id, isl) AS off
+        |    FROM (SELECT m.doc_id, m.pos,
+        |                 m.pos - ROW_NUMBER() OVER (PARTITION BY m.doc_id ORDER BY m.pos) AS isl
+        |          FROM c1 m, b1 WHERE m.a = b1.a AND m.b = b1.b))
+        |  WHERE off % 2 = 0),
+        |t2 AS (
+        |  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS pos, w
+        |  FROM (
+        |    SELECT tt.doc_id, tt.pos,
+        |           CASE WHEN sm.pos IS NOT NULL THEN tt.w || ' ' || tt.nxt
+        |                ELSE tt.w END AS w,
+        |           sp.pos AS consumed
+        |    FROM (SELECT doc_id, pos, w,
+        |                 lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+        |          FROM t1) tt
+        |    LEFT JOIN s1 sm ON sm.doc_id = tt.doc_id AND sm.pos = tt.pos
+        |    LEFT JOIN s1 sp ON sp.doc_id = tt.doc_id AND sp.pos = tt.pos - 1)
+        |  WHERE consumed IS NULL),
+        |c2 AS (
+        |  SELECT w AS a, lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS b,
+        |         doc_id, pos
+        |  FROM t2),
+        |b2 AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n FROM c2
+        |       WHERE b IS NOT NULL GROUP BY a, b
+        |       ORDER BY n DESC, a ASC, b ASC LIMIT 1),
+        |s2 AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos, pos - min(pos) OVER (PARTITION BY doc_id, isl) AS off
+        |    FROM (SELECT m.doc_id, m.pos,
+        |                 m.pos - ROW_NUMBER() OVER (PARTITION BY m.doc_id ORDER BY m.pos) AS isl
+        |          FROM c2 m, b2 WHERE m.a = b2.a AND m.b = b2.b))
+        |  WHERE off % 2 = 0),
+        |t3 AS (
+        |  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS pos, w
+        |  FROM (
+        |    SELECT tt.doc_id, tt.pos,
+        |           CASE WHEN sm.pos IS NOT NULL THEN tt.w || ' ' || tt.nxt
+        |                ELSE tt.w END AS w,
+        |           sp.pos AS consumed
+        |    FROM (SELECT doc_id, pos, w,
+        |                 lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+        |          FROM t2) tt
+        |    LEFT JOIN s2 sm ON sm.doc_id = tt.doc_id AND sm.pos = tt.pos
+        |    LEFT JOIN s2 sp ON sp.doc_id = tt.doc_id AND sp.pos = tt.pos - 1)
+        |  WHERE consumed IS NULL),
+        |c3 AS (
+        |  SELECT w AS a, lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS b,
+        |         doc_id, pos
+        |  FROM t3),
+        |b3 AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n FROM c3
+        |       WHERE b IS NOT NULL GROUP BY a, b
+        |       ORDER BY n DESC, a ASC, b ASC LIMIT 1)
+        |SELECT CAST(1 AS INT) AS merge_round, a || ' + ' || b AS pair, n FROM b1
+        |UNION ALL
+        |SELECT CAST(2 AS INT), a || ' + ' || b, n FROM b2
+        |UNION ALL
+        |SELECT CAST(3 AS INT), a || ' + ' || b, n FROM b3
+        |ORDER BY merge_round""".stripMargin,
 
     // collocation replay: same split/enumeration as q_bpe_pairs, the
     // integer verdict in HUGEINT (the engine's decimal(38,0)), the
