@@ -56,6 +56,8 @@ object Co2Fidelity {
 
     val fitted = graft.ml.Clustering.fitPredict(
       change, Seq("change", "isReduced"), k = 5)
+    // Clustering.assemble casts the flag to double for VectorAssembler;
+    // facts read the pre-assemble boolean frame, clusters the predictions
     val preds = fitted.predictions.withColumnRenamed("prediction", "cluster")
 
     // clusterInfo (project-co2.py:130-133) + per-cluster counts; label
@@ -74,15 +76,15 @@ object Co2Fidelity {
     }
 
     def top3(c: String, asc: Boolean): String = {
-      val o = if (asc) preds.orderBy(col(c).asc) else preds.orderBy(col(c).desc)
+      val o = if (asc) change.orderBy(col(c).asc) else change.orderBy(col(c).desc)
       o.limit(3).select(col("Country Name"), col(c).cast("double"))
         .collect()
         .map(r => s"""["${r.getString(0)}", ${r.getDouble(1)}]""")
         .mkString("[", ", ", "]")
     }
-    val nReduced = preds.filter(col("isReduced")).count()
-    val nIncreased = preds.filter(!col("isReduced")).count()
-    val sums = preds.agg(
+    val nReduced = change.filter(col("isReduced")).count()
+    val nIncreased = change.filter(!col("isReduced")).count()
+    val sums = change.agg(
       sum(when(col("isReduced"), col("change"))),
       sum(when(!col("isReduced"), col("change"))),
       sum(col("change"))).head()

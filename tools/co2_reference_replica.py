@@ -65,7 +65,7 @@ cluster_summary = [
      "n_countries": r["n_countries"]} for r in info]
 
 def top3(c, ascending):
-    rows = (preds.orderBy(asc(c) if ascending else desc(c)).limit(3)
+    rows = (co2.orderBy(asc(c) if ascending else desc(c)).limit(3)
             .select("Country Name", col(c).cast("double")).collect())
     return [[r[0], r[1]] for r in rows]
 
@@ -73,11 +73,11 @@ facts = {
     "top3_2004": top3("2004", False), "bottom3_2004": top3("2004", True),
     "top3_2014": top3("2014", False), "bottom3_2014": top3("2014", True),
     "top3_reduction": top3("change", True), "top3_increase": top3("change", False),
-    "n_reduced": preds.filter(col("isReduced")).count(),
-    "n_increased": preds.filter(~col("isReduced")).count(),
-    "sum_change_reduced": preds.filter(col("isReduced")).agg(ssum("change")).collect()[0][0],
-    "sum_change_increased": preds.filter(~col("isReduced")).agg(ssum("change")).collect()[0][0],
-    "sum_change_total": preds.agg(ssum("change")).collect()[0][0],
+    "n_reduced": co2.filter(col("isReduced")).count(),
+    "n_increased": co2.filter(~col("isReduced")).count(),
+    "sum_change_reduced": co2.filter(col("isReduced")).agg(ssum("change")).collect()[0][0],
+    "sum_change_increased": co2.filter(~col("isReduced")).agg(ssum("change")).collect()[0][0],
+    "sum_change_total": co2.agg(ssum("change")).collect()[0][0],
 }
 
 json.dump({
