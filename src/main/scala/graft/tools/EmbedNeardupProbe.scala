@@ -87,7 +87,7 @@ object EmbedNeardupProbe {
       count(lit(1)).as("n_buckets"),
       max(col("c")).as("max_occ"),
       avg(col("c")).as("mean_occ"),
-      sum(col("c") * (col("c") - 1) / 2).as("emission_pairs"))
+      sum(expr("c * (c - 1) DIV 2")).as("emission_pairs"))
       .orderBy(col("t")).collect()
     val perTable = stats.map { r =>
       val m = Map(

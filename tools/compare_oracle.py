@@ -90,7 +90,27 @@ if _CHILD_MODE:
     sqlfile, out_path, err_path = sys.argv[3], sys.argv[4], sys.argv[5]
     try:
         _c = fresh_con()
-        _c.sql(open(sqlfile).read()).df().to_parquet(out_path)
+        _sql = open(sqlfile).read()
+        if os.environ.get("COMPARE_CHECKSUM_CHILD"):
+            # CHECKSUM mode (r16): never materialize the oracle result —
+            # one streaming pass computes (row count, commutative hash
+            # sum) and writes a 1-row parquet. sum(hash(...)) is
+            # order-invariant (the E68 table-checksum design) and runs
+            # in constant memory, where the EXCEPT ALL big-result path
+            # sorts both 180M-row sides and spills past this host's
+            # disk. Columns are VARCHAR-canonicalized (shortest-repr,
+            # same strictness family as the pandas repr() path) and
+            # name-sorted, mirroring the engine-side expression exactly;
+            # the hugeint sum rides as VARCHAR (pandas has no int128).
+            _cols = sorted(r[0] for r in _c.sql(f"DESCRIBE {_sql}").fetchall())
+            _proj = ", ".join(f'CAST("{x}" AS VARCHAR)' for x in _cols)
+            _colstr = "|".join(_cols)
+            _c.sql(
+                f"SELECT CAST(count(*) AS BIGINT) AS n, "
+                f"CAST(sum(hash({_proj})) AS VARCHAR) AS chk, "
+                f"'{_colstr}' AS cols FROM ({_sql}) _t").df().to_parquet(out_path)
+        else:
+            _c.sql(_sql).df().to_parquet(out_path)
     except Exception as e:
         with open(err_path, "w") as f:
             f.write(f"{type(e).__name__}: {e}")
@@ -100,7 +120,7 @@ if _CHILD_MODE:
 con = fresh_con()
 
 
-def _run_oracle_child(sql, out_path, err_path, timeout_s):
+def _run_oracle_child(sql, out_path, err_path, timeout_s, checksum=False):
     """Run one oracle in a fresh SUBPROCESS (timeout mode): hard
     isolation — kill() reclaims a wedged query's CPU/memory outright, no
     interrupt state can leak into later queries (the r9 sf1 sweep saw a
@@ -111,10 +131,15 @@ def _run_oracle_child(sql, out_path, err_path, timeout_s):
     sqlfile = out_path + ".sql"
     with open(sqlfile, "w") as f:
         f.write(sql)
+    env = dict(os.environ)
+    if checksum:
+        env["COMPARE_CHECKSUM_CHILD"] = "1"
+    else:
+        env.pop("COMPARE_CHECKSUM_CHILD", None)
     p = subprocess.Popen(
         [sys.executable, os.path.abspath(__file__), "--oracle-child",
          sfdir, sqlfile, out_path, err_path],
-        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL, env=env)
     try:
         return (False, p.wait(timeout_s))
     except subprocess.TimeoutExpired:
@@ -143,6 +168,14 @@ if rlog and os.path.isfile(rlog):
             resume_ok.add(line.split()[1])
 
 oracle_timeouts = []
+
+# CHECKSUM-mode queries (r16): COMPARE_CHECKSUM="q_unpivot,..." —
+# comparator-bound rows (result too big to sort/EXCEPT on this disk,
+# oracle itself cheap) verify as full-result commutative checksums
+# instead of table-sampled sub-corpora. Only honored in timeout mode
+# (scale sweeps); the small-sf gate keeps exact row-level compares.
+checksum_queries = set(filter(None,
+    os.environ.get("COMPARE_CHECKSUM", "").split(",")))
 
 
 def _fail(name, why):
@@ -176,7 +209,9 @@ for name, sql in sorted(oracle.items()):
             import tempfile
             tmp = tempfile.mktemp(prefix=f"oracle_{name}_", suffix=".parquet")
             errf = tmp + ".err"
-            timed_out, exitcode = _run_oracle_child(sql, tmp, errf, timeout_s)
+            chk_mode = name in checksum_queries
+            timed_out, exitcode = _run_oracle_child(
+                sql, tmp, errf, timeout_s, checksum=chk_mode)
             if timed_out:
                 oracle_timeouts.append(name)
                 # the killed child may have left a partially written
@@ -207,6 +242,37 @@ for name, sql in sorted(oracle.items()):
             gp = f"{got_path}/*.parquet" if os.path.isdir(got_path) else got_path
             # hold the connection (see the --oracle-child GC note)
             cc = fresh_con()
+            if chk_mode:
+                # FULL-RESULT commutative checksum (r16, the E68
+                # machinery on both engines): the child wrote a 1-row
+                # (n, chk, cols) frame from one streaming pass over the
+                # oracle query; compute the IDENTICAL expression over
+                # the engine's dumped parquet and compare scalars —
+                # order-invariant, constant memory, no 2×180M-row
+                # EXCEPT ALL sort spill
+                want = pd.read_parquet(tmp)
+                os.remove(tmp)
+                ecols = sorted(r[0] for r in cc.sql(
+                    f"DESCRIBE SELECT * FROM read_parquet('{gp}')").fetchall())
+                wcols = want["cols"][0].split("|")
+                if ecols != wcols:
+                    _fail(name, f"columns {ecols} != {wcols}")
+                    continue
+                eproj = ", ".join(f'CAST("{x}" AS VARCHAR)' for x in ecols)
+                en, echk = cc.sql(
+                    f"SELECT CAST(count(*) AS BIGINT), "
+                    f"CAST(sum(hash({eproj})) AS VARCHAR) "
+                    f"FROM read_parquet('{gp}')").fetchone()
+                wn, wchk = int(want["n"][0]), want["chk"][0]
+                if en != wn:
+                    _fail(name, f"rows {en} != {wn}")
+                elif echk != wchk:
+                    _fail(name, f"commutative checksum mismatch over {en} rows "
+                                f"({echk} != {wchk})")
+                else:
+                    print(f"PASS {name} ({en} rows, full-result commutative "
+                          f"checksum)", flush=True)
+                continue
             nw, ng = [cc.sql(
                 f"SELECT count(*) FROM read_parquet('{q}')").fetchone()[0]
                 for q in (tmp, gp)]
