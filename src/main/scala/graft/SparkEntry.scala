@@ -1847,17 +1847,24 @@ object SparkEntry {
       // per-table planes mixed between ⌈log2(n/8)⌉ and one fewer so
       // MEAN occupancy plateaus at 8, table count from the Charikar
       // recall model over the mixed per-table collision rates
-      // (miss ≤ 3% at θ = 0.98) — emission tracks ~n·tables ≈ n^1.1,
-      // quantization-free (record: r16_embed_neardup_probe.json).
+      // (miss ≤ 3% at θ = 0.98), PLUS the occupancy CAP (splitOcc =
+      // 16): the 4M-vector band probe put 82% of emission in over-16-
+      // occupancy buckets — the size-biased shoulder the mean can't
+      // see — so over-cap buckets subdivide by extra signature-prefix
+      // bits back toward the target, bounding ΣC(occ, 2) ≈ n·target
+      // per table; emission then tracks the inherent n·tables ≈ n^1.1
+      // envelope (record: r16_embed_neardup_probe.json). extraBits = 2
+      // charges the cap's sub-key agreement to the recall model.
       // True near-dups here sit at cosine ≈ 1 (parallel vectors sign
-      // identically under EVERY plane set), so the brute-force
-      // all-pairs oracle stays hash-green at every oracle sf under
-      // any schedule — asserted each round. n comes from parquet
-      // footers — no job in the query graph (the q_semdedup
+      // identically under EVERY plane set — including the cap's extra
+      // bits, so a cap can never separate a genuine family), so the
+      // brute-force all-pairs oracle stays hash-green at every oracle
+      // sf under any schedule — asserted each round. n comes from
+      // parquet footers — no job in the query graph (the q_semdedup
       // discipline).
       val n = 2L * Tables.parquetRowCount(s, dir, "embeddings")
       val schedule = Dedup.occupancyPlanesSchedule(n, targetOcc = 8.0,
-        theta = 0.98)
+        theta = 0.98, extraBits = 2.0)
       val tables = schedule.length
       // bucket-join partition count (r15, from the embed decade probe):
       // bucket rows = n·tables; at 4M self-join vectors the default 32
@@ -1871,7 +1878,7 @@ object SparkEntry {
         s.sessionState.conf.numShufflePartitions,
         s.conf.get("spark.shuffle.sort.bypassMergeThreshold", "200").toInt)
       Dedup.embeddingNearDupPairs(corpus, "embedding", "vec_id",
-          schedule, 0.98, 42L, 64, nParts)
+          schedule, 0.98, 42L, 64, nParts, splitOcc = 16, splitTarget = 8)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
     }),
 

@@ -620,7 +620,8 @@ object Dedup {
     */
   def occupancyPlanesSchedule(n: Long, targetOcc: Double, theta: Double,
       maxMiss: Double = 0.03, minPlanes: Int = 8, maxPlanes: Int = 26,
-      minTables: Int = 4, maxTables: Int = 16): Seq[Int] = {
+      minTables: Int = 4, maxTables: Int = 16,
+      extraBits: Double = 0.0): Seq[Int] = {
     val p = 1.0 - math.acos(theta) / math.Pi
     val kHi = math.max(minPlanes, math.min(maxPlanes,
       math.ceil(math.log(n.toDouble / targetOcc) / math.log(2.0)).toInt))
@@ -629,8 +630,17 @@ object Dedup {
     val f =
       if (kLo == kHi) 1.0
       else math.min(1.0, math.max(0.0, 2.0 - targetOcc / x))
-    val pHi = math.pow(p, kHi)
-    val pLo = math.pow(p, kLo)
+    // extraBits (r16): when the consumer enables the occupancy CAP
+    // (embeddingBuckets splitOcc > 0), a θ-boundary pair that lands in
+    // an over-cap bucket must also agree on that bucket's sub-key bits
+    // — effectively `extra` more planes in that table. The cap's
+    // sub-key width is data-dependent (0 for the sub-cap majority,
+    // ceil(log2(occ/target)) above it); callers pass the expected
+    // width over SIZE-BIASED rows (~2 at the measured 4M-vector skew)
+    // and the miss model charges every table conservatively, buying
+    // the recall floor back with ~1 extra table.
+    val pHi = math.pow(p, kHi + extraBits)
+    val pLo = math.pow(p, kLo + extraBits)
     def miss(t: Int): Double = {
       val nHi = math.round(f * t).toInt
       math.pow(1.0 - pLo, (t - nHi).toDouble) *
@@ -647,22 +657,98 @@ object Dedup {
       numPlanes: Int = 12, threshold: Double = 0.95, seed: Long = 42L,
       dim: Int = 64, numTables: Int = 4, numPartitions: Int = 0): DataFrame =
     embeddingNearDupPairs(embs, vecCol, idCol,
-      Seq.fill(numTables)(numPlanes), threshold, seed, dim, numPartitions)
+      Seq.fill(numTables)(numPlanes), threshold, seed, dim, numPartitions,
+      splitOcc = 0, splitTarget = 8)
+
+  /** Maximum sub-key width of the occupancy cap: over-cap buckets are
+    * subdivided by at most this many extra signature bits (2^8 = 256
+    * sub-buckets caps a 100k-occupancy pathology back to ~400/bucket).
+    */
+  val SplitMaxBits = 8
+
+  /** Bucket rows for the hyperplane-LSH self-join: one row per
+    * (vector, table) carrying the vector, the table's `planesPerTable
+    * (t)`-bit signature prefix, and the occupancy-cap sub-key `ext`.
+    *
+    * Occupancy CAP (r16, the decade-probe residual): ΣC(occ, 2) is
+    * quadratic per bucket, so even with MEAN occupancy pinned by the
+    * planes schedule, the size-biased shoulder (60% of measured 4M-
+    * vector emission sat in 17–64-occupancy buckets, 22% above) keeps
+    * the emission exponent near n^1.2. With `splitOcc` > 0, buckets
+    * whose occupancy exceeds it are subdivided by `ceil(log2(occ /
+    * splitTarget))` EXTRA signature bits (≤ [[SplitMaxBits]]) — the
+    * sig is a stable prefix (planes are generated per plane index),
+    * so the sub-key is just the next bits of the same signature, and
+    * expected sub-bucket occupancy returns to `splitTarget`. Genuine
+    * near-dup families stay intact: cosine ≈ 1 members sign
+    * identically under EVERY plane, so their C(family, 2) true pairs
+    * — the output-size floor no cap can remove — still co-bucket,
+    * while merely co-bucketed junk splits apart. Boundary-θ pairs pay
+    * p^extra per over-cap table; [[occupancyPlanesSchedule]]'s
+    * `extraBits` charges that to the miss budget.
+    *
+    * Plan shape: the occupancy count runs on a SKINNY branch (the
+    * (t, sig) projection only — no vectors, no ids; column pruning
+    * reaches the scan, and its exchange moves bucket-count-sized
+    * partial-agg rows, not corpus payloads). The over-cap list joins
+    * back onto the vector-carrying rows under AQE's size decision
+    * (broadcast at every measured scale — the list is the occupancy
+    * tail, ~3% of buckets; a pathological corpus degrades to a
+    * shuffled join, never an OOM cliff). The vectors themselves move
+    * in exactly ONE exchange either way: the sized repartition on the
+    * FULL join key (t, sig, ext), which both self-join sides reuse —
+    * pinned by PlanAuditSpec.
+    */
+  def embeddingBuckets(
+      embs: DataFrame, vecCol: String, idCol: String,
+      planesPerTable: Seq[Int], seed: Long, dim: Int,
+      numPartitions: Int, splitOcc: Int, splitTarget: Int): DataFrame = {
+    val keyed = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val tableCols = planesPerTable.zipWithIndex.map { case (pl, t) =>
+      val full = Similarity.hyperplaneSignature(
+        col("v"), pl + (if (splitOcc > 0) SplitMaxBits else 0), dim, seed + t)
+      struct(lit(t).as("t"),
+        full.bitwiseAND(lit((1L << pl) - 1)).as("sig"),
+        shiftright(full, pl).bitwiseAND(lit((1L << SplitMaxBits) - 1))
+          .as("extbits"))
+    }
+    val flat = keyed
+      .select(col("id"), col("v"), explode(array(tableCols: _*)).as("b"))
+      .select(col("id"), col("v"), col("b.t").as("t"), col("b.sig").as("sig"),
+        col("b.extbits").as("extbits"))
+    val withExt =
+      if (splitOcc <= 0) flat.withColumn("ext", lit(0L)).drop("extbits")
+      else {
+        val heavy = flat.select(col("t"), col("sig"))
+          .groupBy(col("t"), col("sig")).agg(count(lit(1)).as("occ"))
+          .filter(col("occ") > splitOcc)
+          .select(col("t"), col("sig"),
+            least(lit(SplitMaxBits),
+              ceil(log2(col("occ") / lit(splitTarget.toDouble))))
+              .cast("int").as("extra"))
+        flat.join(heavy, Seq("t", "sig"), "left")
+          .withColumn("ext", coalesce(
+            col("extbits").bitwiseAND(
+              expr("shiftleft(CAST(1 AS BIGINT), extra) - 1")),
+            lit(0L)))
+          .drop("extbits", "extra")
+      }
+    if (numPartitions > 0)
+      withExt.repartition(numPartitions, col("t"), col("sig"), col("ext"))
+    else withExt
+  }
 
   /** Per-TABLE planes variant (r16): table t uses `planesPerTable(t)`
     * sign bits — the [[occupancyPlanesSchedule]] consumer. Semantics
     * identical to the uniform form (a pair is a candidate if it
-    * collides in ANY table; cosine verify decides membership).
+    * collides in ANY table; cosine verify decides membership), plus
+    * the optional [[embeddingBuckets]] occupancy cap.
     */
   def embeddingNearDupPairs(
       embs: DataFrame, vecCol: String, idCol: String,
       planesPerTable: Seq[Int], threshold: Double, seed: Long,
-      dim: Int, numPartitions: Int): DataFrame = {
-    val keyed = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val tableCols = planesPerTable.zipWithIndex.map { case (pl, t) =>
-      struct(lit(t).as("t"),
-        Similarity.hyperplaneSignature(col("v"), pl, dim, seed + t).as("sig"))
-    }
+      dim: Int, numPartitions: Int,
+      splitOcc: Int, splitTarget: Int): DataFrame = {
     // Bucket rows CARRY THEIR VECTOR; the cosine is computed and
     // thresholded in the bucket join's own projection, and only
     // (id_a, id_b, cosine) survivors reach the dedup. The r10 shape
@@ -677,18 +763,15 @@ object Dedup {
     // before it, and duplicate collisions (same pair in several tables)
     // produce identical deterministic cosines.
     // shuffle_hash: bucket keys are numPlanes-bit signatures (adaptive
-    // planes keep mean occupancy ~16); no sort, per-partition builds.
-    val flat = keyed
-      .select(col("id"), col("v"), explode(array(tableCols: _*)).as("b"))
-      .select(col("id"), col("v"), col("b.t").as("t"), col("b.sig").as("sig"))
-    val buckets =
-      if (numPartitions > 0) flat.repartition(numPartitions, col("t"), col("sig"))
-      else flat
+    // planes keep mean occupancy at the schedule target); no sort,
+    // per-partition builds.
+    val buckets = embeddingBuckets(embs, vecCol, idCol, planesPerTable,
+      seed, dim, numPartitions, splitOcc, splitTarget)
     val a = buckets.as("a")
     val b = buckets.as("b")
     a.hint("shuffle_hash").join(b,
         col("a.t") === col("b.t") && col("a.sig") === col("b.sig") &&
-          col("a.id") < col("b.id"))
+          col("a.ext") === col("b.ext") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         exprs.cosine_f(col("a.v"), col("b.v")).as("cosine"))
       .filter(col("cosine") >= threshold)

@@ -71,17 +71,17 @@ object EmbedNeardupProbe {
     val corpus = base.unionByName(scaled)
     val n = 2L * idSpan
     val schedule = graft.ops.Dedup.occupancyPlanesSchedule(
-      n, targetOcc = 8.0, theta = 0.98)
+      n, targetOcc = 8.0, theta = 0.98, extraBits = 2.0)
     val tables = schedule.length
     println(s"n=$n rep=$rep schedule=${schedule.mkString(",")} tables=$tables")
-    val tableCols = schedule.zipWithIndex.map { case (pl, t) =>
-      struct(lit(t).as("t"),
-        graft.ops.Similarity.hyperplaneSignature(
-          col("embedding"), pl, dim, 42L + t).as("sig"))
-    }
-    val occ = corpus
-      .select(explode(array(tableCols: _*)).as("b"))
-      .groupBy(col("b.t").as("t"), col("b.sig").as("sig"))
+    val nParts = graft.ops.Dedup.sizedShufflePartitions(
+      n * tables, 500000L, 32, 200)
+    // stats over the EXACT join keys (t, sig, ext) — occupancy-cap
+    // sub-buckets included — via the same embeddingBuckets the query's
+    // pair join consumes
+    val occ = graft.ops.Dedup.embeddingBuckets(corpus, "embedding",
+        "vec_id", schedule, 42L, dim, nParts, splitOcc = 16, splitTarget = 8)
+      .groupBy(col("t"), col("sig"), col("ext"))
       .agg(count(lit(1)).as("c"))
     val stats = occ.groupBy(col("t")).agg(
       count(lit(1)).as("n_buckets"),
@@ -89,6 +89,21 @@ object EmbedNeardupProbe {
       avg(col("c")).as("mean_occ"),
       sum(expr("c * (c - 1) DIV 2")).as("emission_pairs"))
       .orderBy(col("t")).collect()
+    // Emission share by occupancy band (all tables pooled): how much of
+    // ΣC(occ,2) lives in over-cap buckets — the mass an occupancy cap
+    // (extra-signature-bit bucket split) can attack, vs the sub-cap
+    // mass the planes schedule already holds linear.
+    val bands = occ.select(
+      when(col("c") <= 16, "a<=16").when(col("c") <= 64, "b17-64")
+        .when(col("c") <= 256, "c65-256").when(col("c") <= 1024, "d257-1024")
+        .otherwise("e>1024").as("band"),
+      expr("c * (c - 1) DIV 2").as("em"))
+      .groupBy("band").agg(count(lit(1)).as("n_buckets"), sum("em").as("emission"))
+      .orderBy("band").collect()
+    bands.foreach { r =>
+      println(s"band=${r.getString(0)} buckets=${r.getLong(1)} " +
+        s"emission=${r.getLong(2)}")
+    }
     val perTable = stats.map { r =>
       val m = Map(
         "t" -> r.getAs[Any]("t"), "planes" -> schedule(r.getAs[Int]("t")),
@@ -105,10 +120,9 @@ object EmbedNeardupProbe {
     var verified = -1L
     var plantedFound = -1L
     if (!emissionOnly) {
-      val nParts = graft.ops.Dedup.sizedShufflePartitions(
-        n * tables, 500000L, 32, 200)
       val pairs = graft.ops.Dedup.embeddingNearDupPairs(corpus, "embedding",
-        "vec_id", schedule, 0.98, 42L, dim, nParts)
+        "vec_id", schedule, 0.98, 42L, dim, nParts,
+        splitOcc = 16, splitTarget = 8)
       val agg = pairs.agg(count(lit(1)),
         sum(when(col("id_b") === col("id_a") + lit(idSpan), 1L)
           .otherwise(0L))).head()

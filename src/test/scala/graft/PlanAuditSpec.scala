@@ -149,7 +149,11 @@ class PlanAuditSpec extends SparkSpecBase {
       // collocations: the 1-row token-total frame broadcasts onto the
       // scored pairs (q_tfidf's corpus-stats shape); both count joins
       // are key-equi on the word
-      "q_collocations")
+      "q_collocations",
+      // bpe-merges: each round's winning pair is a 1-row broadcast
+      // crossJoined onto the docs for the merge rewrite (q_tfidf's
+      // scalar shape, three unrolled rounds)
+      "q_bpe_merges")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = SparkEntry.queries(name)(spark, Sf0001)
         .queryExecution.executedPlan.toString
@@ -282,6 +286,26 @@ class PlanAuditSpec extends SparkSpecBase {
       .queryExecution.executedPlan.toString
     assert(p.contains(", 57)"),
       s"the sized (t, sig) repartition must reach the bucket join:\n$p")
+    assert(p.contains("ShuffledHashJoin"), s"bucket join must stay SHJ:\n$p")
+  }
+
+  test("embeddingNearDupPairs occupancy cap: skinny count branch, one sized vector exchange on the full join key (r16)") {
+    val e = sources.Tables.embeddings(spark, Sf001)
+    val p = ops.Dedup.embeddingNearDupPairs(e, "embedding", "vec_id",
+        Seq(12, 12, 11), 0.98, 42L, 64, 57, splitOcc = 16, splitTarget = 8)
+      .queryExecution.executedPlan.toString
+    // the cap sub-key must be part of the self-join keys AND of the
+    // sized repartition — otherwise over-cap rows co-shuffle unsplit
+    // (the emission curve silently reverts to n^1.2)
+    assert(p.contains("ext"), s"cap sub-key missing from the plan:\n$p")
+    assert("hashpartitioning\\(t#\\d+, sig#\\d+L, ext#\\d+L, 57\\)".r
+        .findFirstIn(p).isDefined,
+      s"vector rows must move in the sized (t, sig, ext) repartition:\n$p")
+    // the occupancy-count branch must stay SKINNY: its scan reads the
+    // embedding column only (no ids — column pruning reached the scan),
+    // so its exchange moves bucket-count rows, never vector payloads
+    assert(p.contains("ReadSchema: struct<embedding:array<float>>"),
+      s"occupancy-count branch must scan the pruned schema:\n$p")
     assert(p.contains("ShuffledHashJoin"), s"bucket join must stay SHJ:\n$p")
   }
 }
