@@ -1878,7 +1878,8 @@ object SparkEntry {
         s.sessionState.conf.numShufflePartitions,
         s.conf.get("spark.shuffle.sort.bypassMergeThreshold", "200").toInt)
       Dedup.embeddingNearDupPairs(corpus, "embedding", "vec_id",
-          schedule, 0.98, 42L, 64, nParts, splitOcc = 16, splitTarget = 8)
+          schedule, 0.98, 42L, 64, nParts, splitOcc = 16, splitTarget = 8,
+          stageBuckets = true)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
     }),
 

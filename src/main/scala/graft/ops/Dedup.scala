@@ -658,7 +658,7 @@ object Dedup {
       dim: Int = 64, numTables: Int = 4, numPartitions: Int = 0): DataFrame =
     embeddingNearDupPairs(embs, vecCol, idCol,
       Seq.fill(numTables)(numPlanes), threshold, seed, dim, numPartitions,
-      splitOcc = 0, splitTarget = 8)
+      splitOcc = 0, splitTarget = 8, stageBuckets = false)
 
   /** Maximum sub-key width of the occupancy cap: over-cap buckets are
     * subdivided by at most this many extra signature bits (2^8 = 256
@@ -748,7 +748,8 @@ object Dedup {
       embs: DataFrame, vecCol: String, idCol: String,
       planesPerTable: Seq[Int], threshold: Double, seed: Long,
       dim: Int, numPartitions: Int,
-      splitOcc: Int, splitTarget: Int): DataFrame = {
+      splitOcc: Int, splitTarget: Int,
+      stageBuckets: Boolean): DataFrame = {
     // Bucket rows CARRY THEIR VECTOR; the cosine is computed and
     // thresholded in the bucket join's own projection, and only
     // (id_a, id_b, cosine) survivors reach the dedup. The r10 shape
@@ -765,17 +766,34 @@ object Dedup {
     // shuffle_hash: bucket keys are numPlanes-bit signatures (adaptive
     // planes keep mean occupancy at the schedule target); no sort,
     // per-partition builds.
-    val buckets = embeddingBuckets(embs, vecCol, idCol, planesPerTable,
+    // stageBuckets (r16, the q_simjoin_prefix discipline): with the
+    // occupancy cap the bucket subtree carries a broadcast join, and
+    // AQE's stage cache stopped canonical-matching the two self-join
+    // sides — measured as TWIN corpus-scale shuffle writes (2 × ~13 GB
+    // at the 4M-vector probe, past this host's disk). Staging the
+    // repartitioned frame DISK_ONLY materializes it ONCE; both join
+    // sides read stored columnar blocks with the (t, sig, ext)
+    // HashPartitioning intact, so the join itself needs NO exchange,
+    // and the frame is released as soon as the (tiny) survivor set is
+    // staged. On a cluster this is the standard staging-table move.
+    val raw = embeddingBuckets(embs, vecCol, idCol, planesPerTable,
       seed, dim, numPartitions, splitOcc, splitTarget)
+    val buckets = if (stageBuckets) Staging.stageToDisk(raw) else raw
     val a = buckets.as("a")
     val b = buckets.as("b")
-    a.hint("shuffle_hash").join(b,
+    val pairs = a.hint("shuffle_hash").join(b,
         col("a.t") === col("b.t") && col("a.sig") === col("b.sig") &&
           col("a.ext") === col("b.ext") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         exprs.cosine_f(col("a.v"), col("b.v")).as("cosine"))
       .filter(col("cosine") >= threshold)
       .distinct()
+    if (!stageBuckets) pairs
+    else {
+      val out = Staging.stageToDisk(pairs)
+      Staging.release(buckets)
+      out
+    }
   }
 
   // ---------------------------------------------- incremental (delta) dedup

@@ -122,7 +122,7 @@ object EmbedNeardupProbe {
     if (!emissionOnly) {
       val pairs = graft.ops.Dedup.embeddingNearDupPairs(corpus, "embedding",
         "vec_id", schedule, 0.98, 42L, dim, nParts,
-        splitOcc = 16, splitTarget = 8)
+        splitOcc = 16, splitTarget = 8, stageBuckets = true)
       val agg = pairs.agg(count(lit(1)),
         sum(when(col("id_b") === col("id_a") + lit(idSpan), 1L)
           .otherwise(0L))).head()

@@ -530,7 +530,8 @@ class DedupSpec extends SparkSpecBase {
     val vecs = (base ++ scaled).toDF("vec_id", "embedding")
     val sch = ops.Dedup.occupancyPlanesSchedule(128L, 8.0, 0.98)
     val pairs = Dedup.embeddingNearDupPairs(vecs, "embedding", "vec_id",
-        sch, 0.98, 42L, 64, 0, splitOcc = 16, splitTarget = 8)
+        sch, 0.98, 42L, 64, 0, splitOcc = 16, splitTarget = 8,
+        stageBuckets = false)
       .filter(col("id_b") === col("id_a") + 64L).count()
     assert(pairs === 64L, s"all 64 planted parallel pairs must verify (schedule $sch)")
   }

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 /** Plan-REGRESSION assertions: the bench numbers prove today's plans are
   * fast; these specs pin the plan SHAPES so a config drift (e.g.
   * autoBroadcastJoinThreshold, a lost broadcast hint, an accidental
@@ -292,7 +294,8 @@ class PlanAuditSpec extends SparkSpecBase {
   test("embeddingNearDupPairs occupancy cap: skinny count branch, one sized vector exchange on the full join key (r16)") {
     val e = sources.Tables.embeddings(spark, Sf001)
     val p = ops.Dedup.embeddingNearDupPairs(e, "embedding", "vec_id",
-        Seq(12, 12, 11), 0.98, 42L, 64, 57, splitOcc = 16, splitTarget = 8)
+        Seq(12, 12, 11), 0.98, 42L, 64, 57, splitOcc = 16, splitTarget = 8,
+        stageBuckets = false)
       .queryExecution.executedPlan.toString
     // the cap sub-key must be part of the self-join keys AND of the
     // sized repartition — otherwise over-cap rows co-shuffle unsplit
@@ -307,5 +310,32 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("ReadSchema: struct<embedding:array<float>>"),
       s"occupancy-count branch must scan the pruned schema:\n$p")
     assert(p.contains("ShuffledHashJoin"), s"bucket join must stay SHJ:\n$p")
+  }
+
+  test("staged bucket self-join: SHJ reads cached blocks with NO exchange (r16)") {
+    // with the occupancy cap's broadcast join in the bucket subtree,
+    // AQE's stage cache stopped canonical-matching the two self-join
+    // sides — measured as twin ~13 GB shuffle writes at the 4M-vector
+    // probe. The fix is the q_simjoin_prefix staging discipline: the
+    // (t, sig, ext)-repartitioned frame is persisted DISK_ONLY once and
+    // the join's sides read stored blocks with the HashPartitioning
+    // intact (partition keys == join keys, in order), so the join
+    // inserts no exchange at all.
+    val e = sources.Tables.embeddings(spark, Sf001)
+    val buckets = ops.Staging.stageToDisk(ops.Dedup.embeddingBuckets(
+      e, "embedding", "vec_id", Seq(12, 12, 11), 42L, 64, 57, 16, 8))
+    try {
+      val a = buckets.as("a"); val b = buckets.as("b")
+      val p = a.hint("shuffle_hash").join(b,
+          col("a.t") === col("b.t") && col("a.sig") === col("b.sig") &&
+            col("a.ext") === col("b.ext") && col("a.id") < col("b.id"))
+        .queryExecution.executedPlan.toString
+      val joinRegion =
+        p.split("ShuffledHashJoin")(1).split("InMemoryRelation")(0)
+      assert(!joinRegion.contains("Exchange hashpartitioning"),
+        s"staged self-join must not re-exchange the bucket rows:\n$p")
+      assert(joinRegion.contains("InMemoryTableScan"),
+        s"staged self-join must read the cached blocks:\n$p")
+    } finally ops.Staging.release(buckets)
   }
 }

@@ -212,8 +212,21 @@ rec = {
  "n_pass": len(passes), "n_fail": len(fails),
  "n_oracle_timeout_skip": len(skips), "skipped": skips, "fails": fails,
  "anchor_residual": anchor,
- "green": not fails and not skips,
 }
+# COVERAGE ASSERTION (r15 ADVICE item 4): 'no fails and no skips' alone
+# lets a never-compared query (Verify-side crash -> NODUMP, or a worker
+# log missing entirely) read as green by silence. Green additionally
+# requires a completed verdict (pass) for EVERY registered oracle query
+# plus the rows-only names.
+oracle_names = set(json.load(open(f"{vout}/oracle_sql.json")))
+rows_only = {os.path.basename(p) for p in glob.glob(f"{vout}/q_*")
+             if os.path.basename(p) not in oracle_names
+             and os.path.basename(p).startswith("q_")}
+expected = oracle_names | rows_only
+uncovered = sorted(expected - passes)
+rec["coverage"] = {"expected": len(expected), "passed": len(passes & expected),
+                   "uncovered": uncovered}
+rec["green"] = not fails and not skips and not uncovered
 json.dump(rec, open(out, "w"), indent=1)
 print(json.dumps({k: rec[k] for k in
       ["n_pass", "n_fail", "green", "heavy_sampled_oracle"]}))
