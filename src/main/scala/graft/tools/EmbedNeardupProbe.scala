@@ -73,15 +73,34 @@ object EmbedNeardupProbe {
     val schedule = graft.ops.Dedup.occupancyPlanesSchedule(
       n, targetOcc = 8.0, theta = 0.98, extraBits = 2.0)
     val tables = schedule.length
-    println(s"n=$n rep=$rep schedule=${schedule.mkString(",")} tables=$tables")
+    // args(4) "lo-hi": restrict the STATS aggregation to schedule
+    // tables lo..hi (global indices) — each table's bucket counts are
+    // an independent measurement, but a single session RETAINS every
+    // job's shuffle files until app exit, so the 40M-vector leg's
+    // 14-table stats (~2 skinny exchanges × 560M bucket rows) exceed
+    // this one-volume host's headroom in one JVM. The driver script
+    // runs chunks in separate JVMs (files freed between) and sums.
+    // Seeds stay global: chunk planes = schedule.slice, seed 42+lo,
+    // and t relabeled +lo, so chunked stats are bitwise the tables
+    // they'd be in the full run.
+    val (tLo, tHi) = if (args.length > 4 && args(4).nonEmpty) {
+      val a = args(4).split("-"); (a(0).toInt, math.min(a(1).toInt, tables - 1))
+    } else (0, tables - 1)
+    val chunk = schedule.slice(tLo, tHi + 1)
+    println(s"n=$n rep=$rep schedule=${schedule.mkString(",")} tables=$tables" +
+      s" statsTables=$tLo-$tHi")
     val nParts = graft.ops.Dedup.sizedShufflePartitions(
       n * tables, 500000L, 32, 200)
     // stats over the EXACT join keys (t, sig, ext) — occupancy-cap
     // sub-buckets included — via the same embeddingBuckets the query's
-    // pair join consumes
+    // pair join consumes. numPartitions = 0: the stats path must NOT
+    // repartition the vector-carrying rows (the aggregations only need
+    // the skinny partial-agg exchanges; the r16 first run's sized
+    // repartition here wrote a corpus-scale shuffle that ENOSPC'd the
+    // 4M leg alongside the verify phase's staged cache).
     val occ = graft.ops.Dedup.embeddingBuckets(corpus, "embedding",
-        "vec_id", schedule, 42L, dim, nParts, splitOcc = 16, splitTarget = 8)
-      .groupBy(col("t"), col("sig"), col("ext"))
+        "vec_id", chunk, 42L + tLo, dim, 0, splitOcc = 16, splitTarget = 8)
+      .groupBy((col("t") + lit(tLo)).as("t"), col("sig"), col("ext"))
       .agg(count(lit(1)).as("c"))
     val stats = occ.groupBy(col("t")).agg(
       count(lit(1)).as("n_buckets"),
@@ -115,8 +134,10 @@ object EmbedNeardupProbe {
       m
     }
     val total = perTable.map(_("emission_pairs").asInstanceOf[Long]).sum
-    val meanOcc = perTable.map(_("mean_occ").asInstanceOf[Double]).sum / tables
-    println(s"total emission pairs across tables: $total (mean occ $meanOcc)")
+    val meanOcc =
+      perTable.map(_("mean_occ").asInstanceOf[Double]).sum / perTable.length
+    println(s"total emission pairs across tables $tLo-$tHi: $total " +
+      s"(mean occ $meanOcc)")
     var verified = -1L
     var plantedFound = -1L
     if (!emissionOnly) {
@@ -137,6 +158,7 @@ object EmbedNeardupProbe {
       json ++= s""""n": $n, "rep": $rep, "id_span": $idSpan, """
       json ++= s""""schedule": [${schedule.mkString(",")}], """
       json ++= s""""tables": $tables, """
+      json ++= s""""stats_tables": "$tLo-$tHi", """
       json ++= s""""mean_occ": ${math.rint(meanOcc * 100) / 100}, """
       json ++= s""""total_emission_pairs": $total, """
       json ++= s""""verified_pairs": $verified, """
