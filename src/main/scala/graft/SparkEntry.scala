@@ -2904,14 +2904,31 @@ object SparkEntry {
     // asc — deterministic) → merge every occurrence greedily
     // left-to-right (standard BPE; runs of identical tokens merge
     // non-overlapping from the left) → re-pair the merged stream and
-    // repeat. The merge itself is a per-ROW aggregate() fold over the
-    // token array (row-local — no exploded-token shuffle, no window
-    // over the corpus token stream); the argmax pair rides into the
-    // fold as a 1-row broadcast, so each round's only exchange is the
-    // vocabulary-sized pair count. The DuckDB oracle replays the
-    // greedy-overlap semantics relationally (gaps-and-islands parity
-    // over match positions — selected ⇔ even offset within its
-    // consecutive-match island, provably ≡ the left-to-right fold).
+    // repeat. The merge itself is row-local array math (no exploded-
+    // token shuffle, no window over the corpus token stream); the
+    // argmax pair rides in as a 1-row broadcast, so each round's only
+    // exchange is the vocabulary-sized pair count. The DuckDB oracle
+    // replays the greedy-overlap semantics relationally (gaps-and-
+    // islands parity over match positions — selected ⇔ even offset
+    // within its consecutive-match island, provably ≡ the left-to-right
+    // fold).
+    //
+    // r16 perf (guide §1.2/§2): the original shape benched 10.6 s,
+    // ~85 % of it three SINGLE-TASK stages (sf0.1 documents is one
+    // parquet split, so every merge round serialized on one core) each
+    // re-running an O(tokens²) fold (the accumulator array was copied
+    // per appended token) — and round 3 recomputed round 1's merge
+    // because nothing was staged. Three fixes, result-identical:
+    // (a) spread the token stream across the session's cores once
+    //     (spreadForKernel round-robin — a no-op on a multi-split
+    //     100 TB table) with only the text column in the exchange;
+    // (b) the greedy merge is now linear: match positions → selected
+    //     starts (a fold over the handful of MATCHES, not every token:
+    //     a match is merged iff it is not immediately consumed by the
+    //     previous selected match — the same left-to-right semantics) →
+    //     one flatten/transform reconstruction;
+    // (c) each round's token stream is staged DISK_ONLY (Staging
+    //     scaladoc), so round N never re-runs round N−1's merge.
     "q_bpe_merges" -> ((s, dir) => {
       def pairCounts(docs: DataFrame): DataFrame = docs
         .select(explode(when(size(col("ws")) >= 2,
@@ -2925,24 +2942,36 @@ object SparkEntry {
         pc.orderBy(col("n").desc, col("a").asc, col("b").asc).limit(1)
       def merged(docs: DataFrame, bp: DataFrame): DataFrame = docs
         .crossJoin(broadcast(bp.select(col("a").as("ma"), col("b").as("mb"))))
-        .select(expr(
+        // selected merge starts: positions p with ws[p]=ma, ws[p+1]=mb,
+        // taken left-to-right unless consumed by the previous selected
+        // start (p = last+1). Fold runs over match positions only.
+        .withColumn("starts", expr(
           """aggregate(
-            |  sequence(1, size(ws)),
-            |  struct(cast(array() as array<string>) as out, false as skip),
-            |  (acc, i) -> case
-            |    when acc.skip then struct(acc.out as out, false as skip)
-            |    when i < size(ws) and element_at(ws, i) = ma
-            |         and element_at(ws, i + 1) = mb
-            |      then struct(concat(acc.out, array(concat(
-            |             element_at(ws, i), ' ', element_at(ws, i + 1)))) as out,
-            |           true as skip)
-            |    else struct(concat(acc.out, array(element_at(ws, i))) as out,
-            |         false as skip)
-            |  end,
-            |  acc -> acc.out)""".stripMargin).as("ws"))
-      val t1 = Tables.documents(s, dir).select(split(col("text"), " ").as("ws"))
+            |  case when size(ws) >= 2
+            |    then filter(sequence(1, size(ws) - 1),
+            |           i -> element_at(ws, i) = ma
+            |                and element_at(ws, i + 1) = mb)
+            |    else cast(array() as array<int>) end,
+            |  struct(cast(array() as array<int>) as sel, -2 as last),
+            |  (acc, p) -> case when p > acc.last + 1
+            |    then struct(concat(acc.sel, array(p)) as sel, p as last)
+            |    else acc end,
+            |  acc -> acc.sel)""".stripMargin))
+        .select(expr(
+          """case when size(starts) = 0 then ws else
+            |  flatten(transform(sequence(1, size(ws)), i -> case
+            |    when array_contains(starts, i)
+            |      then array(concat(element_at(ws, i), ' ',
+            |                        element_at(ws, i + 1)))
+            |    when array_contains(starts, i - 1)
+            |      then cast(array() as array<string>)
+            |    else array(element_at(ws, i)) end))
+            |end""".stripMargin).as("ws"))
+      val t1 = graft.ops.Staging.stageToDisk(
+        Tables.spreadForKernel(Tables.documents(s, dir).select(col("text")))
+          .select(split(col("text"), " ").as("ws")))
       val b1 = best(pairCounts(t1))
-      val t2 = merged(t1, b1)
+      val t2 = graft.ops.Staging.stageToDisk(merged(t1, b1))
       val b2 = best(pairCounts(t2))
       val t3 = merged(t2, b2)
       val b3 = best(pairCounts(t3))
