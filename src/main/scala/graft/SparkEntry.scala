@@ -635,12 +635,24 @@ object SparkEntry {
     // by basket size, the shuffle is order-keyed — never a global
     // cross join. Deterministic top-20 with full tiebreaks.
     "q_copurchase" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("ok"), col("l_partkey")).distinct()
-      val a = li.select(col("ok"), col("l_partkey").as("part_a"))
-      val b = li.select(col("ok").as("ok2"), col("l_partkey").as("part_b"))
-      a.join(b, col("ok") === col("ok2") && col("part_a") < col("part_b"))
-        .groupBy(col("part_a"), col("part_b"))
+      // r16 (guide §2.4/§3): the ok-keyed SELF-JOIN formulation shuffled
+      // the distinct (order, part) rows twice (distinct exchange + join
+      // re-shuffle) and sorted ~1M pair rows through an SMJ before the
+      // pair aggregation (measured 11 cpu-s / 3.8 s bench). Orders are
+      // BOUNDED baskets (TPC-H ≤ 7 lines), so the a<b pair set is
+      // row-local math on the per-order part set: one exchange keyed by
+      // order builds collect_set, pairs enumerate from the sorted array
+      // in place, and the pair aggregation partial-aggregates map-side.
+      // Same pair multiset ⇒ identical counts; plan 3 exchanges → 2.
+      val pairs = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .groupBy(col("ok"))
+        .agg(sort_array(collect_set(col("pk"))).as("ps"))
+        .select(explode(expr(
+          """flatten(transform(ps, (x, i) ->
+            |  transform(slice(ps, i + 2, size(ps)), y ->
+            |    struct(x as part_a, y as part_b))))""".stripMargin)).as("p"))
+      pairs.groupBy(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"))
         .agg(count(lit(1)).as("n_orders"))
         .orderBy(col("n_orders").desc, col("part_a").asc, col("part_b").asc)
         .limit(20)
@@ -3362,20 +3374,36 @@ object SparkEntry {
     // all-pairs variant is q_triangles' compact-forward territory);
     // this is the "expand a contamination/dup seed list" pipeline op.
     "q_khop" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-      val a = li.select(col("ok"), col("pk").as("src"))
-      val bSide = li.select(col("ok").as("ok2"), col("pk").as("dst"))
-      val edges = a.join(bSide, col("ok") === col("ok2") && col("src") =!= col("dst"))
-        .select(col("src"), col("dst")).distinct()
-      val seeds = edges.filter(col("src") < 50)
-      val h1 = seeds.select(col("src"), col("dst"))
+      // r16 (guide §2.4/§3): edges came from an ok-keyed SELF-JOIN of
+      // the distinct (order, part) rows — two shuffles of the same frame
+      // plus an SMJ emitting ~1M directed pair rows before their own
+      // distinct (20 cpu-s / 4.2 s bench). Baskets are bounded (TPC-H
+      // ≤ 7 lines/order), so directed pairs are row-local on the
+      // per-order part set (one ok-keyed exchange + in-place
+      // enumeration), and the edge distinct partial-aggregates map-side
+      // BEFORE its exchange instead of deduping the full join output.
+      // reach likewise folds union+distinct+count into one
+      // count_distinct agg (partial dedup map-side, one exchange).
+      // Same edge set, same counts; the staged edges frame is read by
+      // seeds, the wedge join, and h1 without re-running the pair scan.
+      val edges = graft.ops.Staging.stageToDisk(
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .groupBy(col("ok"))
+          .agg(collect_set(col("pk")).as("ps"))
+          .select(explode(expr(
+            """flatten(transform(ps, x ->
+              |  transform(filter(ps, y -> y != x), y ->
+              |    struct(x as src, y as dst))))""".stripMargin)).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
+          .distinct())
+      val h1 = edges.filter(col("src") < 50)
       val e2 = edges.select(col("src").as("mid"), col("dst").as("dst2"))
       val h2 = h1.join(e2, col("dst") === col("mid"))
         .select(col("src"), col("dst2").as("dst"))
         .filter(col("dst") =!= col("src"))
-      val reach = h1.union(h2).distinct()
-        .groupBy(col("src")).agg(count(lit(1)).as("n_reach2"))
+      val reach = h1.union(h2)
+        .groupBy(col("src")).agg(count_distinct(col("dst")).as("n_reach2"))
       val direct = h1.groupBy(col("src")).agg(count(lit(1)).as("n_1hop"))
       direct.join(reach, "src")
         .select(col("src").as("seed_part"), col("n_1hop"), col("n_reach2"))
