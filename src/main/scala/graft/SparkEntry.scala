@@ -2516,9 +2516,14 @@ object SparkEntry {
             TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tokens"))
           .filter(TextAnalysis.langIdHeuristic(col("text")) === "en" &&
             col("quality") >= 0.5))
-      val losers = Dedup.componentMinLabels(
-          Dedup.minhashNearDupPairs(
-            enriched.select(col("doc_id"), col("text")), "text", "doc_id"))
+      // r16: route the closure through PairFunnel (keyed by the
+      // FILTERED corpus plan) — q_provenance runs the identical
+      // enrich+filter, so the two queries share ONE banding+verify+
+      // closure build per session instead of each paying it (guide
+      // §2.4: don't recompute what an earlier identical stage built;
+      // same sharing discipline as the 8 raw-corpus funnel consumers).
+      val losers = graft.ops.PairFunnel.componentLabels(
+          enriched.select(col("doc_id"), col("text")), "text", "doc_id", dir)
         .filter(col("root") =!= col("id"))
         .select(col("id").as("doc_id"))
       enriched.join(losers, Seq("doc_id"), "left_anti")
@@ -3097,9 +3102,11 @@ object SparkEntry {
             TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tokens"))
           .filter(TextAnalysis.langIdHeuristic(col("text")) === "en" &&
             col("quality") >= 0.5))
-      val labels = Dedup.componentMinLabels(
-        Dedup.minhashNearDupPairs(
-          enriched.select(col("doc_id"), col("text")), "text", "doc_id"))
+      // r16: same PairFunnel routing as q_corpus_pipeline — the two
+      // queries enrich+filter identically, so the funnel (and its
+      // closure) is built once per session and shared.
+      val labels = graft.ops.PairFunnel.componentLabels(
+        enriched.select(col("doc_id"), col("text")), "text", "doc_id", dir)
       val withRoot = enriched
         .join(labels.select(col("id").as("doc_id"), col("root")),
           Seq("doc_id"), "left")
