@@ -1598,10 +1598,15 @@ object SparkEntry {
     // the tiebreak), composing the closure labels with the quality
     // kernel. One max(struct) per component, no window.
     "q_dedup_keep_best" -> ((s, dir) => {
-      // spread: the quality kernel and the LSH signatures both run at
-      // the scan otherwise — one task on a single-row-group file
-      val docs = Tables.spreadForKernel(Tables.documents(s, dir))
-      val labels = graft.ops.PairFunnel.componentLabels(docs, "text", "doc_id", dir)
+      // spread: the quality kernel runs at the scan otherwise — one
+      // task on a single-row-group file. The funnel gets the UNSPREAD
+      // plan: minhashNearDupPairs spreads internally, and the funnel
+      // cache key embeds the docs plan's semanticHash — passing the
+      // spread frame here forked a second, byte-identical raw-corpus
+      // funnel build per session (r16, guide §2.4).
+      val base = Tables.documents(s, dir)
+      val docs = Tables.spreadForKernel(base)
+      val labels = graft.ops.PairFunnel.componentLabels(base, "text", "doc_id", dir)
       val scored = docs.select(col("doc_id"),
         round(TextAnalysis.qualityScore(col("text")) * 10000).cast("long").as("q_milli"))
       scored.join(labels, scored("doc_id") === labels("id"), "left")
@@ -1627,7 +1632,7 @@ object SparkEntry {
     "q_dedup_sweep" -> ((s, dir) => {
       val grid = Seq(60, 70, 80, 90)
       val pairs = graft.ops.PairFunnel.nearDupPairs(
-        Tables.spreadForKernel(Tables.documents(s, dir)), "text", "doc_id", dir,
+        Tables.documents(s, dir), "text", "doc_id", dir,
         Dedup.MinhashParams(jaccardThreshold = 0.6))
       val gridDf = s.range(1)
         .select(explode(array(grid.map(lit): _*)).as("threshold_centi"))
@@ -1655,8 +1660,11 @@ object SparkEntry {
     // near-matching hundreds). Derived from the verified pair set, so
     // the cost is the funnel, not the corpus.
     "q_dup_degree" -> ((s, dir) => {
+      // unspread plan: shares the session funnel with every other
+      // default-params consumer (the build spreads internally; the
+      // spread wrapper only forked the cache key — r16)
       val pairs = graft.ops.PairFunnel.nearDupPairs(
-        Tables.spreadForKernel(Tables.documents(s, dir)), "text", "doc_id", dir)
+        Tables.documents(s, dir), "text", "doc_id", dir)
       pairs.select(col("id_a").as("id"))
         .union(pairs.select(col("id_b").as("id")))
         .groupBy(col("id")).agg(count(lit(1)).as("degree"))
@@ -1677,8 +1685,10 @@ object SparkEntry {
     // quoted duplication that whole-doc fingerprints and set-Jaccard
     // under-report.
     "q_substring_dup" -> ((s, dir) =>
-      Dedup.sharedSubstringSpans(Tables.documents(s, dir), "text", "doc_id",
-          minLen = 40)
+      // session-shared span pass (r16): containment and the minLen
+      // sweep consume the same base — built once per snapshot
+      graft.ops.PairFunnel.sharedSpans(Tables.documents(s, dir), "text",
+          "doc_id", dir, minLen = 40)
         .select(col("id_a"), col("id_b"), col("max_shared_len"))),
 
     // E140: exact containment — pairs where the verified longest shared
@@ -1690,7 +1700,7 @@ object SparkEntry {
     "q_containment" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val lens = docs.select(col("doc_id"), length(col("text")).as("len"))
-      Dedup.sharedSubstringSpans(docs, "text", "doc_id", minLen = 40)
+      graft.ops.PairFunnel.sharedSpans(docs, "text", "doc_id", dir, minLen = 40)
         .join(lens.select(col("doc_id").as("id_a"), col("len").as("len_a")), "id_a")
         .join(lens.select(col("doc_id").as("id_b"), col("len").as("len_b")), "id_b")
         .filter(col("max_shared_len") >= least(col("len_a"), col("len_b")))
@@ -1711,7 +1721,9 @@ object SparkEntry {
     // a curator reads to PICK minLen before the full dedup run.
     "q_substring_sweep" -> ((s, dir) =>
       Dedup.sharedSpanSweep(Tables.documents(s, dir), "text", "doc_id",
-        grid = Seq(40, 80, 160, 320))),
+        grid = Seq(40, 80, 160, 320),
+        baseSpans = Some(graft.ops.PairFunnel.sharedSpans(
+          Tables.documents(s, dir), "text", "doc_id", dir, minLen = 40)))),
 
     // E132: delta novelty rate — per source in an incoming delta slice,
     // the fraction of its DISTINCT 12-grams absent from the standing
@@ -1750,8 +1762,10 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       val evalDocs = docs.filter(col("doc_id") % 20 === 3)
       val corpus = docs.filter(col("doc_id") % 20 =!= 3)
-      Dedup.contaminationPairsFused(corpus, evalDocs, "text", "doc_id",
-        shingleN = 8, threshold = 0.8)
+      // session-shared (r16): the decontaminate ACTION query runs the
+      // identical fused scan — built once per snapshot
+      graft.ops.PairFunnel.contaminationPairs(docs, corpus, evalDocs,
+        "text", "doc_id", dir, shingleN = 8, threshold = 0.8)
     }),
 
     // E71: decontamination ACTION — the flag→remove pair completed:
@@ -1762,8 +1776,8 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       val evalDocs = docs.filter(col("doc_id") % 20 === 3)
       val corpus = docs.filter(col("doc_id") % 20 =!= 3)
-      val flagged = Dedup.contaminationPairsFused(corpus, evalDocs, "text", "doc_id",
-          shingleN = 8, threshold = 0.8)
+      val flagged = graft.ops.PairFunnel.contaminationPairs(docs, corpus,
+          evalDocs, "text", "doc_id", dir, shingleN = 8, threshold = 0.8)
         .select(col("corpus_id").as("doc_id"))
       corpus.join(flagged, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("source"))

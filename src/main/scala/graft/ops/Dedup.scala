@@ -1014,9 +1014,14 @@ object Dedup {
     */
   def sharedSpanSweep(
       docs: DataFrame, textCol: String, idCol: String,
-      grid: Seq[Int] = Seq(40, 80, 160, 320)): DataFrame = {
+      grid: Seq[Int] = Seq(40, 80, 160, 320),
+      baseSpans: Option[DataFrame] = None): DataFrame = {
     require(grid.nonEmpty && grid.forall(_ >= 2))
-    val base = sharedSubstringSpans(docs, textCol, idCol, grid.min)
+    // r16: callers that already hold the base span pass (the session-
+    // shared PairFunnel.sharedSpans) pass it in; it MUST be the
+    // sharedSubstringSpans output for these docs at minLen = grid.min.
+    val base = baseSpans.getOrElse(
+      sharedSubstringSpans(docs, textCol, idCol, grid.min))
     val gridDf = docs.sparkSession.range(1)
       .select(explode(array(grid.distinct.sorted.map(m => lit(m)): _*)).as("min_len"))
     // qualifying (threshold, pair) rows — funnel-sized × |grid|

@@ -232,6 +232,44 @@ object PairFunnel {
         corpusFingerprint(docs, idCol, textCol),
         Dedup.componentMinLabels(nearDupPairs(docs, textCol, idCol, tag, p))))
 
+  /** Verified shared-substring spans ([[Dedup.sharedSubstringSpans]])
+    * at `minLen`, built once per snapshot (r16): substring-dup,
+    * containment and the minLen calibration sweep all consume the SAME
+    * base span pass — each previously re-ran the corpus-sized anchor
+    * shuffle + diagonal verify (the second-most expensive scan family
+    * after the minhash funnel). Deterministic for a given dataset, so
+    * sharing changes no result bytes; same two cache layers and key
+    * discipline as [[nearDupPairs]].
+    */
+  def sharedSpans(docs: DataFrame, textCol: String, idCol: String, tag: String,
+      minLen: Int = 40, anchorStride: Int = 8): DataFrame =
+    getOrBuild(key(docs, "spans", tag, textCol, idCol, minLen, anchorStride),
+      materialize(docs.sparkSession,
+        tableName("spans", tag, textCol, idCol, minLen, anchorStride),
+        corpusFingerprint(docs, idCol, textCol),
+        Dedup.sharedSubstringSpans(docs, textCol, idCol, minLen, anchorStride)))
+
+  /** Contamination pairs ([[Dedup.contaminationPairsFused]]) for a
+    * (corpus, eval) split of `docs`, built once per snapshot (r16):
+    * the flag query and the remove query run the identical fused scan.
+    * The in-process key folds BOTH side plans' semantic hashes (a
+    * different split under the same tag must miss, per the r12 key
+    * discipline); the persistent fingerprint is over the PARENT frame,
+    * which covers every row of either side.
+    */
+  def contaminationPairs(docs: DataFrame, corpus: DataFrame,
+      evalDocs: DataFrame, textCol: String, idCol: String, tag: String,
+      shingleN: Int, threshold: Double): DataFrame =
+    getOrBuild(key(docs, "contam",
+        corpus.queryExecution.analyzed.semanticHash(),
+        evalDocs.queryExecution.analyzed.semanticHash(),
+        tag, textCol, idCol, shingleN, threshold),
+      materialize(docs.sparkSession,
+        tableName("contam", tag, textCol, idCol, shingleN, threshold),
+        corpusFingerprint(docs, idCol, textCol),
+        Dedup.contaminationPairsFused(corpus, evalDocs, textCol, idCol,
+          shingleN, threshold)))
+
   /** Test hook: drop every cached funnel (specs that mutate the
     * underlying dataset between runs call this). Staging tables on
     * disk are NOT touched — delete the directory to invalidate those.

@@ -2,7 +2,6 @@ package graft.sql
 
 import org.apache.spark.sql.SparkSession
 
-import graft.ops.Dedup
 import graft.sources.Tables
 
 /** SQL front end over the PIPELINE operators — not just plain tables.
@@ -29,17 +28,24 @@ object GraftViews {
     Tables.embeddings(spark, dir).createOrReplaceTempView("embeddings_v")
   }
 
-  /** `neardup_pairs(id_a, id_b, jaccard)` — verified MinHash+LSH pairs. */
+  /** `neardup_pairs(id_a, id_b, jaccard)` — verified MinHash+LSH pairs.
+    * r16: served from the session-shared [[graft.ops.PairFunnel]] (same
+    * snapshot key the dedup queries use) instead of a private rebuild —
+    * the funnel is the most expensive scan family in the engine and the
+    * result is identical by construction.
+    */
   def registerNearDupPairs(spark: SparkSession, dir: String): Unit =
-    Dedup.minhashNearDupPairs(Tables.documents(spark, dir), "text", "doc_id")
+    graft.ops.PairFunnel
+      .nearDupPairs(Tables.documents(spark, dir), "text", "doc_id", dir)
       .createOrReplaceTempView("neardup_pairs")
 
   /** `dup_components(id, root)` — transitive-closure labels over the
-    * verified pairs (root = smallest reachable doc_id).
+    * verified pairs (root = smallest reachable doc_id). Shared funnel,
+    * same rationale as [[registerNearDupPairs]].
     */
   def registerDupComponents(spark: SparkSession, dir: String): Unit =
-    Dedup.componentMinLabels(
-        Dedup.minhashNearDupPairs(Tables.documents(spark, dir), "text", "doc_id"))
+    graft.ops.PairFunnel
+      .componentLabels(Tables.documents(spark, dir), "text", "doc_id", dir)
       .createOrReplaceTempView("dup_components")
 
   /** `ann_topk(query_id, rank, neighbor_id, cosine)` — brute-force
