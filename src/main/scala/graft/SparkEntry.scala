@@ -1976,7 +1976,7 @@ object SparkEntry {
       // not a better index
       Similarity.ivfTopK(e, "vec_id", "embedding", queries, "qid", "qv",
           k = 5, numCells = 16, nProbe = 12,
-          fitFraction = 0.25, rerankShortlist = fractionRerank(e, 240),
+          fitFraction = 0.25, rerankShortlist = fractionRerank(s, dir, 240),
           sketchDim = 32)
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("neighbor_id"), col("cosine"))
@@ -1993,12 +1993,12 @@ object SparkEntry {
       val e = Tables.embeddings(s, dir)
       val queries = e.filter(col("vec_id") < 20)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      val exact = Similarity.bruteForceTopK(
+      val exact = Similarity.bruteForceTopKShared(
           e, "vec_id", "embedding", queries, "qid", "qv", k = 5)
         .select(col("query_id"), col("neighbor_id"))
       val approx = Similarity.ivfTopK(e, "vec_id", "embedding", queries, "qid", "qv",
           k = 5, numCells = 16, nProbe = 12,
-          fitFraction = 0.25, rerankShortlist = fractionRerank(e, 240),
+          fitFraction = 0.25, rerankShortlist = fractionRerank(s, dir, 240),
           sketchDim = 32)
         .select(col("query_id"), col("neighbor_id"))
       val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "leftsemi")
@@ -2020,7 +2020,7 @@ object SparkEntry {
       val e = Tables.embeddings(s, dir)
       val queries = e.filter(col("vec_id") < 20)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      val exact = Similarity.bruteForceTopK(
+      val exact = Similarity.bruteForceTopKShared(
           e, "vec_id", "embedding", queries, "qid", "qv", k = 5)
         .select(col("query_id"), col("neighbor_id"))
       val nq = 20L
@@ -2040,7 +2040,7 @@ object SparkEntry {
       val e = Tables.embeddings(s, dir)
       val queries = e.filter(col("vec_id") < 20)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      val exact = Similarity.bruteForceTopK(
+      val exact = Similarity.bruteForceTopKShared(
           e, "vec_id", "embedding", queries, "qid", "qv", k = 5)
         .select(col("query_id"), col("neighbor_id"))
       val approx = Similarity.lshTopK(e, "vec_id", "embedding", queries, "qid", "qv",
@@ -2066,7 +2066,7 @@ object SparkEntry {
       val queries = e.filter(col("vec_id") < 20)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       Similarity.pqTopK(e, "vec_id", "embedding", queries, "qid", "qv",
-          k = 5, m = 8, codebookSize = 16, rerank = fractionRerank(e, 96), fitFraction = 0.5)
+          k = 5, m = 8, codebookSize = 16, rerank = fractionRerank(s, dir, 96), fitFraction = 0.5)
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("neighbor_id"), col("cosine"))
     }),
@@ -2078,11 +2078,11 @@ object SparkEntry {
       val e = Tables.embeddings(s, dir)
       val queries = e.filter(col("vec_id") < 20)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      val exact = Similarity.bruteForceTopK(
+      val exact = Similarity.bruteForceTopKShared(
           e, "vec_id", "embedding", queries, "qid", "qv", k = 5)
         .select(col("query_id"), col("neighbor_id"))
       val approx = Similarity.pqTopK(e, "vec_id", "embedding", queries, "qid", "qv",
-          k = 5, m = 8, codebookSize = 16, rerank = fractionRerank(e, 96), fitFraction = 0.5)
+          k = 5, m = 8, codebookSize = 16, rerank = fractionRerank(s, dir, 96), fitFraction = 0.5)
         .select(col("query_id"), col("neighbor_id"))
       val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "leftsemi")
         .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
@@ -2109,7 +2109,7 @@ object SparkEntry {
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       Similarity.ivfPqTopK(e, "vec_id", "embedding", queries, "qid", "qv",
           k = 5, numCells = 16, nProbe = 12, m = 8, codebookSize = 16,
-          rerank = fractionRerank(e, 128), fitFraction = 0.5)
+          rerank = fractionRerank(s, dir, 128), fitFraction = 0.5)
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("neighbor_id"), col("cosine"))
     }),
@@ -2120,12 +2120,12 @@ object SparkEntry {
       val e = Tables.embeddings(s, dir)
       val queries = e.filter(col("vec_id") < 20)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      val exact = Similarity.bruteForceTopK(
+      val exact = Similarity.bruteForceTopKShared(
           e, "vec_id", "embedding", queries, "qid", "qv", k = 5)
         .select(col("query_id"), col("neighbor_id"))
       val approx = Similarity.ivfPqTopK(e, "vec_id", "embedding", queries, "qid", "qv",
           k = 5, numCells = 16, nProbe = 12, m = 8, codebookSize = 16,
-          rerank = fractionRerank(e, 128), fitFraction = 0.5)
+          rerank = fractionRerank(s, dir, 128), fitFraction = 0.5)
         .select(col("query_id"), col("neighbor_id"))
       val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "leftsemi")
         .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
@@ -2145,7 +2145,7 @@ object SparkEntry {
       val e = Tables.embeddings(s, dir)
       val queries = e.filter(col("vec_id") < 20)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      val exact = Similarity.bruteForceTopK(
+      val exact = Similarity.bruteForceTopKShared(
           e, "vec_id", "embedding", queries, "qid", "qv", k = 5)
         .select(col("query_id"), col("neighbor_id"))
       val nq = 20L
@@ -2172,7 +2172,7 @@ object SparkEntry {
       val e = Tables.embeddings(s, dir)
       val queries = e.filter(col("vec_id") < 20)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      val exact = Similarity.bruteForceTopK(
+      val exact = Similarity.bruteForceTopKShared(
           e, "vec_id", "embedding", queries, "qid", "qv", k = 5)
         .select(col("query_id"), col("neighbor_id"))
       val nq = 20L
@@ -2269,7 +2269,7 @@ object SparkEntry {
       val run = Similarity.lshTopK(e, "vec_id", "embedding",
         queries, "qid", "qv", k = 5, numPlanes = 8, numTables = 6,
         probeHamming = 2)
-      val qrels = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+      val qrels = Similarity.bruteForceTopKShared(e, "vec_id", "embedding",
           queries, "qid", "qv", k = 5)
         .select(col("query_id"), col("neighbor_id"))
       Similarity.retrievalMetrics(run, qrels, k = 5)
@@ -4671,8 +4671,13 @@ object SparkEntry {
     * deliberately keep their published literals — they chart the
     * operating surface; these are the operating points.
     */
-  private def fractionRerank(e: org.apache.spark.sql.DataFrame, base: Int): Int =
-    math.max(base, (e.count() / 20L).toInt)
+  /** r16: the count comes from the parquet footers (driver metadata,
+    * no job) instead of `e.count()` — six ANN queries each scheduled a
+    * count stage just to size their shortlist. Sampled-oracle mode is
+    * handled inside parquetRowCount (real count of the sampled view).
+    */
+  private def fractionRerank(s: SparkSession, dir: String, base: Int): Int =
+    math.max(base, (Tables.parquetRowCount(s, dir, "embeddings") / 20L).toInt)
 
   /** The DuckDB mirror of [[fractionRerank]] as a SQL scalar. */
   private def fractionRerankSql(base: Int): String =
