@@ -1742,13 +1742,17 @@ object SparkEntry {
         .select(col("source"), col("g")).distinct()
       val cg = grams(docs.filter(col("doc_id") % 7 =!= 3))
         .select(col("g")).distinct()
-      val novel = dg.join(cg, Seq("g"), "left_anti")
-        .groupBy(col("source")).agg(count(lit(1)).as("n_novel"))
-      dg.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
-        .join(novel, Seq("source"), "left")
-        .select(col("source"), col("n_grams"),
-          coalesce(col("n_novel"), lit(0L)).as("n_novel"),
-          expr("(coalesce(n_novel, 0L) * 10000) div n_grams").as("novelty_bp"))
+      // one outer join + one aggregation (r16): the anti-join + two
+      // separate aggs + re-join consumed dg twice — the profile showed
+      // the delta gram pass running once per consumer. cg's grams are
+      // distinct, so the left join matches each (source, g) at most
+      // once: count/novel in one pass, identical numbers.
+      dg.join(cg.withColumn("__hit", lit(1)), Seq("g"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("__hit").isNull, 1L).otherwise(0L)).as("n_novel"))
+        .select(col("source"), col("n_grams"), col("n_novel"),
+          expr("(n_novel * 10000) div n_grams").as("novelty_bp"))
     }),
 
     // E32: benchmark decontamination — containment of a held-out "eval"
