@@ -38,6 +38,13 @@ object Similarity {
     new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, AnyRef)]()
   private val memoLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private val memoBuilds = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Number of memoized fit builds actually executed (not served from
+    * the memo) since JVM start — the spec's "no second fit ran"
+    * witness, mirroring [[PairFunnel.buildsExecuted]].
+    */
+  def fitBuildsExecuted: Long = memoBuilds.get()
   private def memoized[T <: AnyRef](spark: SparkSession, parts: Seq[Any])(
       build: => T): T = {
     val it = memo.entrySet().iterator()
@@ -54,7 +61,10 @@ object Similarity {
     lock.synchronized {
       val h2 = memo.get(k)
       if (h2 != null) h2._2.asInstanceOf[T]
-      else { val v = build; memo.put(k, (spark, v)); v }
+      else {
+        memoBuilds.incrementAndGet()
+        val v = build; memo.put(k, (spark, v)); v
+      }
     }
   }
 
