@@ -2513,27 +2513,18 @@ object SparkEntry {
     // quality, tokens) → filter → near-dup dedup with closure → corpus
     // stats per source. One oracle covers the composed whole.
     "q_corpus_pipeline" -> ((s, dir) => {
-      // The regex-heavy enrichment runs in ONE pass, staged to
-      // executor-local disk (Staging.stageToDisk: eager DISK_ONLY — a
-      // lazy checkpoint here let the dedup branch and the survivor agg
-      // race and each recompute the three regex kernels; the
-      // per-query clearCache in Bench/Verify releases it). At 100 TB
-      // this is the standard staging-table move: materialize the
-      // filtered corpus once, then let the dedup scans and the
-      // survivor agg read it instead of re-running three regex passes
-      // over the source. (spread first: the three regex kernels
-      // otherwise run in the one-task scan of a single-row-group file)
-      // (A "skinny staging" variant — stage only the numeric columns,
-      // re-derive the filter in the dedup scan — was measured at +2 s:
-      // the two extra regex-kernel corpus passes cost more than
-      // serializing the staged text column.)
-      val enriched = graft.ops.Staging.stageToDisk(
-        Tables.spreadForKernel(Tables.documents(s, dir)).select(
-            col("doc_id"), col("text"), col("source"),
-            TextAnalysis.qualityScore(col("text")).as("quality"),
-            TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tokens"))
-          .filter(TextAnalysis.langIdHeuristic(col("text")) === "en" &&
-            col("quality") >= 0.5))
+      // The regex-heavy enrichment runs in ONE pass — and since r16,
+      // ONCE PER SESSION: q_provenance runs the identical
+      // enrich+filter, so the staged frame moved from the per-query
+      // Staging layer into the session-shared PairFunnel (the same
+      // 100 TB staging-table move, now shared by both consumers; with
+      // a funnelDir it IS a staging table). (spread first: the three
+      // regex kernels otherwise run in the one-task scan of a
+      // single-row-group file.) (A "skinny staging" variant — stage
+      // only the numeric columns, re-derive the filter in the dedup
+      // scan — was measured at +2 s: the two extra regex-kernel corpus
+      // passes cost more than serializing the staged text column.)
+      val enriched = enrichedCorpus(s, dir)
       // r16: route the closure through PairFunnel (keyed by the
       // FILTERED corpus plan) — q_provenance runs the identical
       // enrich+filter, so the two queries share ONE banding+verify+
@@ -3113,13 +3104,9 @@ object SparkEntry {
     // pipeline with string shingles + a recursive closure and
     // re-renders the chain from the same fields.
     "q_provenance" -> ((s, dir) => {
-      val enriched = graft.ops.Staging.stageToDisk(
-        Tables.spreadForKernel(Tables.documents(s, dir)).select(
-            col("doc_id"), col("text"), col("source"),
-            TextAnalysis.qualityScore(col("text")).as("quality"),
-            TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tokens"))
-          .filter(TextAnalysis.langIdHeuristic(col("text")) === "en" &&
-            col("quality") >= 0.5))
+      // session-shared enriched corpus (r16): identical to
+      // q_corpus_pipeline's enrich+filter — built once, shared
+      val enriched = enrichedCorpus(s, dir)
       // r16: same PairFunnel routing as q_corpus_pipeline — the two
       // queries enrich+filter identically, so the funnel (and its
       // closure) is built once per session and shared.
@@ -4675,6 +4662,25 @@ object SparkEntry {
     * deliberately keep their published literals — they chart the
     * operating surface; these are the operating points.
     */
+  /** The corpus pipeline's enriched + filtered corpus (three regex
+    * kernels per document), session-shared via [[graft.ops.PairFunnel]]
+    * (r16): q_corpus_pipeline and q_provenance run the IDENTICAL
+    * enrich+filter — each previously staged its own copy per query,
+    * paying the regex pass twice per session. The shared frame is one
+    * checkpoint instance, so the downstream funnel keyed on its plan
+    * is also shared between the two consumers.
+    */
+  private def enrichedCorpus(s: SparkSession, dir: String) =
+    graft.ops.PairFunnel.sharedBuild(Tables.documents(s, dir),
+      "enrich", dir, "doc_id", "text", Seq("en", "q5000")) {
+      Tables.spreadForKernel(Tables.documents(s, dir)).select(
+          col("doc_id"), col("text"), col("source"),
+          TextAnalysis.qualityScore(col("text")).as("quality"),
+          TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tokens"))
+        .filter(TextAnalysis.langIdHeuristic(col("text")) === "en" &&
+          col("quality") >= 0.5)
+    }
+
   /** r16: the count comes from the parquet footers (driver metadata,
     * no job) instead of `e.count()` — six ANN queries each scheduled a
     * count stage just to size their shortlist. Sampled-oracle mode is

@@ -270,6 +270,24 @@ object PairFunnel {
         Dedup.contaminationPairsFused(corpus, evalDocs, textCol, idCol,
           shingleN, threshold)))
 
+  /** Generic session-shared materialization (r16): same two cache
+    * layers and key discipline as the funnel, for OTHER expensive
+    * deterministic intermediates consumed by more than one query —
+    * currently the corpus pipeline's enriched+filtered corpus (three
+    * regex kernels over every document), which q_corpus_pipeline and
+    * q_provenance previously each rebuilt. `docsForKey` is the SOURCE
+    * frame the build reads (its plan hash keys the in-process entry;
+    * its (id, length(text)) fingerprint guards the persistent table),
+    * and `build` must be a pure deterministic function of it.
+    */
+  def sharedBuild(docsForKey: DataFrame, kind: String, tag: String,
+      idCol: String, textCol: String, params: Seq[Any])(
+      build: => DataFrame): DataFrame =
+    getOrBuild(key(docsForKey, (kind +: tag +: params): _*),
+      materialize(docsForKey.sparkSession,
+        tableName(kind, (tag +: params): _*),
+        corpusFingerprint(docsForKey, idCol, textCol), build))
+
   /** Test hook: drop every cached funnel (specs that mutate the
     * underlying dataset between runs call this). Staging tables on
     * disk are NOT touched — delete the directory to invalidate those.
