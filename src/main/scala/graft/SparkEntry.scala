@@ -644,15 +644,15 @@ object SparkEntry {
       // order builds collect_set, pairs enumerate from the sorted array
       // in place, and the pair aggregation partial-aggregates map-side.
       // Same pair multiset ⇒ identical counts; plan 3 exchanges → 2.
+      // basket_pairs kernel, not nested transform/slice lambdas (r16
+      // follow-up — same CodegenFallback rationale as q_khop)
       val pairs = Tables.lineitem(s, dir)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .groupBy(col("ok"))
         .agg(sort_array(collect_set(col("pk"))).as("ps"))
-        .select(explode(expr(
-          """flatten(transform(ps, (x, i) ->
-            |  transform(slice(ps, i + 2, size(ps)), y ->
-            |    struct(x as part_a, y as part_b))))""".stripMargin)).as("p"))
-      pairs.groupBy(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"))
+        .select(explode(
+          graft.functions.exprs.basket_pairs(col("ps"), directed = false)).as("p"))
+      pairs.groupBy(col("p.a").as("part_a"), col("p.b").as("part_b"))
         .agg(count(lit(1)).as("n_orders"))
         .orderBy(col("n_orders").desc, col("part_a").asc, col("part_b").asc)
         .limit(20)
@@ -3386,30 +3386,24 @@ object SparkEntry {
     // all-pairs variant is q_triangles' compact-forward territory);
     // this is the "expand a contamination/dup seed list" pipeline op.
     "q_khop" -> ((s, dir) => {
-      // r16 (guide §2.4/§3): edges came from an ok-keyed SELF-JOIN of
-      // the distinct (order, part) rows — two shuffles of the same frame
-      // plus an SMJ emitting ~1M directed pair rows before their own
-      // distinct (20 cpu-s / 4.2 s bench). Baskets are bounded (TPC-H
-      // ≤ 7 lines/order), so directed pairs are row-local on the
-      // per-order part set (one ok-keyed exchange + in-place
-      // enumeration), and the edge distinct partial-aggregates map-side
-      // BEFORE its exchange instead of deduping the full join output.
-      // reach likewise folds union+distinct+count into one
-      // count_distinct agg (partial dedup map-side, one exchange).
-      // Same edge set, same counts; the staged edges frame is read by
-      // seeds, the wedge join, and h1 without re-running the pair scan.
-      val edges = graft.ops.Staging.stageToDisk(
-        Tables.lineitem(s, dir)
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .groupBy(col("ok"))
-          .agg(collect_set(col("pk")).as("ps"))
-          .select(explode(expr(
-            """flatten(transform(ps, x ->
-              |  transform(filter(ps, y -> y != x), y ->
-              |    struct(x as src, y as dst))))""".stripMargin)).as("e"))
-          .select(col("e.src").as("src"), col("e.dst").as("dst"))
-          .distinct())
-      val h1 = edges.filter(col("src") < 50)
+      // r16, MEASURED BOTH WAYS and kept in the r15 self-join shape:
+      // two basket-enumeration rewrites (staged 6M-row directed edges;
+      // then staged baskets + lazy codegen'd basket_pairs) benched at
+      // 51 and 29 one-shot cpu-s vs this form's 16 — the seed filter's
+      // pushdown below the self-join (only the e2 probe side ever pays
+      // the full pair distinct) beats avoiding the join exchange,
+      // because both still pay the dominant 6M-pair distinct. The only
+      // kept change: reach folds union→distinct→count into ONE
+      // count_distinct aggregation (partial dedup map-side, one
+      // exchange fewer; identical counts).
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val a = li.select(col("ok"), col("pk").as("src"))
+      val bSide = li.select(col("ok").as("ok2"), col("pk").as("dst"))
+      val edges = a.join(bSide, col("ok") === col("ok2") && col("src") =!= col("dst"))
+        .select(col("src"), col("dst")).distinct()
+      val seeds = edges.filter(col("src") < 50)
+      val h1 = seeds.select(col("src"), col("dst"))
       val e2 = edges.select(col("src").as("mid"), col("dst").as("dst2"))
       val h2 = h1.join(e2, col("dst") === col("mid"))
         .select(col("src"), col("dst2").as("dst"))

@@ -300,6 +300,41 @@ object HashKernels extends Serializable {
     new GenericArrayData(out.toArray)
   }
 
+  /** Every pair of a BOUNDED per-key item set (long elements),
+    * enumerated row-locally as struct rows — the basket-pair kernel
+    * behind q_copurchase / q_khop (r16). `directed = false` expects a
+    * sorted-distinct array and emits (a, b) with a < b in array order;
+    * `directed = true` emits both orientations of every x ≠ y pair.
+    * Replaces the nested `transform`/`filter` lambda form: every
+    * HigherOrderFunction is CodegenFallback (interpreted, one closure
+    * allocation per element per row — the r11 zip_with lesson), which
+    * benched the khop pair scan at 3× the self-join's cpu on a
+    * one-shot run. One tight loop, zero per-element closures, stays
+    * inside the WholeStageCodegen span.
+    */
+  def basketPairs(items: ArrayData, directed: Boolean): ArrayData = {
+    val n = items.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val m = n * (n - 1)
+    val out = new Array[Any](if (directed) m else m / 2)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      val x = items.getLong(i)
+      var j = if (directed) 0 else i + 1
+      while (j < n) {
+        if (directed && j == i) { j += 1 }
+        else {
+          out(k) = new GenericInternalRow(Array[Any](x, items.getLong(j)))
+          k += 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Longest run of equal code points between two strings along one
     * alignment diagonal, scanned over a bounded char window — the exact
     * span measurement behind [[graft.ops.Dedup.sharedSubstringSpans]].
@@ -935,6 +970,20 @@ case class MinHashSigL(child: Expression, k: Int, seed: Long)
 /** `winnow_anchors(hash_array, w)`: robust-winnowing anchor positions
   * (see [[HashKernels.winnowAnchors]]) as `array<struct<p:int,h:long>>`.
   */
+/** `basket_pairs(items, directed)` — see [[HashKernels.basketPairs]]. */
+case class BasketPairs(child: Expression, directed: Boolean) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("a", LongType, nullable = false),
+      StructField("b", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "basket_pairs"
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.basketPairs(v.asInstanceOf[ArrayData], directed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashKernels.basketPairs($c, $directed)")
+  override protected def withNewChildInternal(c: Expression): BasketPairs = copy(child = c)
+}
+
 case class WinnowAnchors(child: Expression, w: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(
     StructType(Seq(StructField("p", IntegerType, nullable = false),
@@ -1362,6 +1411,8 @@ object exprs {
     ColumnBridge.column(MinHashSigL(expr(c), k, seed))
   def winnow_anchors(c: Column, w: Int): Column =
     ColumnBridge.column(WinnowAnchors(expr(c), w))
+  def basket_pairs(c: Column, directed: Boolean): Column =
+    ColumnBridge.column(BasketPairs(expr(c), directed))
   def longest_common_run(ta: Column, tb: Column, packed: Column, w: Int, m: Int): Column =
     ColumnBridge.column(LongestCommonRun(expr(ta), expr(tb), expr(packed), w, m))
   def shingle_set(c: Column, n: Int): Column =
